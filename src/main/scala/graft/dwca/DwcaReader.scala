@@ -1,0 +1,104 @@
+package graft.dwca
+
+import java.io.File
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.zip.ZipFile
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
+
+import scala.jdk.CollectionConverters._
+
+/** Reads a Darwin Core Archive (directory or .zip of delimited text files +
+  * `meta.xml`) into Spark DataFrames — the Spark-native equivalent of the
+  * reference's `DwCAReader`/`pd_read` usage (dwc_validator/validate_dwca.py:27-28,
+  * :81-82).
+  *
+  * Design notes for scale: the archive text files are read by Spark's
+  * distributed CSV source (splittable for uncompressed files), *not*
+  * materialized on the driver. All columns are read as strings
+  * (`inferSchema=false`), matching the reference's `parse_dates=False`
+  * lenient-typing model; typed interpretation happens per-check via
+  * `try_cast` (SURVEY.md §1.2). Zip archives are extracted to a temp dir on
+  * the driver first — Spark cannot read inside zips; for 100 TB-scale
+  * archives the expectation is extracted files on distributed storage.
+  */
+final class DwcaArchive private (
+    val spark: SparkSession,
+    val descriptor: ArchiveDescriptor,
+    rootDir: File) {
+
+  def coreDataFrame: DataFrame = read(descriptor.core)
+
+  def extensionDataFrames: Seq[(TableDescriptor, DataFrame)] =
+    descriptor.extensions.map(e => e -> read(e))
+
+  /** Read one table of the archive per its declared dialect, naming columns
+    * positionally after the DwC term local names (id/coreid per SURVEY.md T4).
+    */
+  def read(table: TableDescriptor): DataFrame = {
+    val d = table.dialect
+    val reader = spark.read
+      .option("sep", d.fieldsTerminatedBy)
+      .option("encoding", d.encoding)
+      // pandas reads empty CSV fields as NaN; pin Spark's equivalent (null).
+      .option("nullValue", "")
+      // Empty quote string disables quote handling (the DwCA default,
+      // fieldsEnclosedBy="").
+      .option("quote", d.fieldsEnclosedBy)
+      .option("header", d.ignoreHeaderLines > 0)
+      .option("mode", "PERMISSIVE")
+      .option("inferSchema", "false")
+    // NB: lineSep deliberately NOT set — unset, Spark's CSV parser handles
+    // \n, \r\n and \r uniformly, covering both fixture dialects
+    // (dwca-simple "\n", dwca-bad-coordinates "\r\n").
+    val raw = reader.csv(new File(rootDir, table.location).getAbsolutePath)
+    val names = table.columnNames
+    // Tolerate files with fewer/more physical columns than declared.
+    val renamed = raw.toDF(raw.columns.indices.map { i =>
+      if (i < names.length) names(i) else s"_c$i"
+    }: _*)
+    // meta.xml <field term=… default=…/> with no index → constant column.
+    table.defaultOnlyFields.foldLeft(renamed) { (df, f) =>
+      if (df.columns.contains(f.localName)) df
+      else df.withColumn(f.localName, lit(f.default.orNull))
+    }
+  }
+}
+
+object DwcaArchive {
+
+  /** Open an archive at `path` (directory, or .zip extracted to a temp dir). */
+  def open(spark: SparkSession, path: String): DwcaArchive = {
+    val f = new File(path)
+    val dir =
+      if (f.isDirectory) f
+      else if (f.isFile) extractZip(f)
+      else throw new IllegalArgumentException(s"archive not found: $path")
+    val meta = new File(dir, "meta.xml")
+    if (!meta.isFile)
+      throw new IllegalArgumentException(s"no meta.xml in archive: $path")
+    new DwcaArchive(spark, MetaXml.parse(meta), dir)
+  }
+
+  private def extractZip(zip: File): File = {
+    val tmp = Files.createTempDirectory("dwca-").toFile
+    tmp.deleteOnExit()
+    val zf = new ZipFile(zip)
+    try {
+      zf.entries().asScala.foreach { e =>
+        val target: Path = tmp.toPath.resolve(e.getName).normalize()
+        if (!target.startsWith(tmp.toPath))
+          throw new IllegalArgumentException(s"zip entry escapes archive dir: ${e.getName}")
+        if (e.isDirectory) Files.createDirectories(target)
+        else {
+          Files.createDirectories(target.getParent)
+          val in = zf.getInputStream(e)
+          try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+        }
+      }
+    } finally zf.close()
+    tmp
+  }
+}

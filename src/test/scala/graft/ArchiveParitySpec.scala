@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.validate.ArchiveValidator
+
+/** 1:1 port of the reference's archive tests
+  * (dwc_validator/test/test_occurrence_archive.py and
+  * test_event_archive.py) against the same fixture archives.
+  */
+class ArchiveParitySpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def occ(name: String) =
+    ArchiveValidator.validateArchive(spark, TestSpark.resourcePath(s"/occurrence_archives/$name"), Seq("occurrenceID"))
+
+  test("validate ok (dwca-simple)") { // test_occurrence_archive.py:23-39
+    val r = occ("dwca-simple")
+    assert(r.core.record_count == 5)
+    assert(r.core.coordinates_report.get.invalid_decimal_latitude_count == 0)
+    assert(r.core.coordinates_report.get.invalid_decimal_longitude_count == 0)
+    assert(r.core.records_with_temporal_count == 5)
+    assert(r.core.records_with_recorded_by_count == 5)
+    assert(r.core.records_with_taxonomy_count == 5)
+    assert(r.valid)
+    assert(r.dataset_type == "Occurrence")
+  }
+
+  test("validate bad coordinates (dwca-bad-coordinates, \\r\\n dialect)") { // :41-52
+    val r = occ("dwca-bad-coordinates")
+    assert(r.core.record_count == 5)
+    assert(r.core.coordinates_report.get.invalid_decimal_latitude_count == 1)
+    assert(r.core.coordinates_report.get.invalid_decimal_longitude_count == 1)
+    assert(r.core.warnings.contains("INVALID_OR_OUT_OF_RANGE_COORDINATES"))
+  }
+
+  test("validate out of range coordinates") { // :54-65
+    val r = occ("dwca-out-of-range-coordinates")
+    assert(r.core.record_count == 5)
+    assert(r.core.coordinates_report.get.invalid_decimal_latitude_count == 1)
+    assert(r.core.coordinates_report.get.invalid_decimal_longitude_count == 1)
+  }
+
+  test("validate geodetic datum (GIRAFFE unrecognised)") { // :67-85
+    val r = occ("dwca-bad-geodetic-datum")
+    assert(r.core.record_count == 5)
+    assert(r.core.coordinates_report.get.invalid_decimal_latitude_count == 0)
+    assert(r.core.coordinates_report.get.invalid_decimal_longitude_count == 0)
+    val gd = r.core.vocab_reports.find(_.field == "geodeticDatum").get
+    assert(gd.has_field)
+    assert(gd.recognised_count == 4)
+    assert(gd.unrecognised_count == 1)
+    assert(gd.non_matching_values == Seq("GIRAFFE"))
+  }
+
+  test("validate unrecognised basis of record") { // :87-107
+    val r = occ("dwca-unrecognised-basis-of-record")
+    assert(r.core.record_count == 5)
+    assert(r.core.coordinates_report.get.invalid_decimal_latitude_count == 0)
+    assert(r.core.coordinates_report.get.invalid_decimal_longitude_count == 0)
+    val bor = r.core.vocab_reports.find(_.field == "basisOfRecord").get
+    assert(bor.has_field)
+    assert(bor.recognised_count == 3)
+    assert(bor.unrecognised_count == 2)
+    assert(bor.non_matching_values.head == "NONSENSE")
+  }
+
+  test("validate event archive (core + occurrence extension)") { // test_event_archive.py:20-29
+    val r = ArchiveValidator.validateArchive(spark, TestSpark.resourcePath("/event_archives/dwca-simple"))
+    assert(r.core.record_count == 5)
+    assert(r.core.coordinates_report.get.invalid_decimal_latitude_count == 0)
+    assert(r.core.coordinates_report.get.invalid_decimal_longitude_count == 0)
+    assert(r.core.record_type == "Event")
+    assert(r.dataset_type == "Event")
+    // Occurrence extension validated; MeasurementOrFact extension is not
+    // (reference: validate_dwca.py:79).
+    assert(r.extensions.size == 1)
+    assert(r.extensions.head.record_count == 5)
+    // lowercase "observation" matches the vocab case-insensitively.
+    val bor = r.extensions.head.vocab_reports.find(_.field == "basisOfRecord").get
+    assert(bor.recognised_count == 5)
+    assert(bor.unrecognised_count == 0)
+    // eventDate-derived breakdowns present from the Event core.
+    assert(r.breakdowns.contains("year"))
+    assert(r.breakdowns("year") == Map("2023" -> 5L))
+    assert(r.breakdowns("day").size == 5)
+  }
+}
