@@ -1,0 +1,230 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Deduplication operators over the `documents` table — the operators a
+  * training-data pipeline runs before anything else.
+  *
+  * Design for 100 TB:
+  *  - exact dedup is a hash-groupBy: one shuffle keyed on the fingerprint,
+  *    map-side partial aggregation, no driver materialization;
+  *  - MinHash signatures are one groupBy(doc_id) pass (K min-aggregates over
+  *    exploded shingles — partial aggregation collapses the explode before
+  *    the shuffle);
+  *  - LSH candidate generation joins ONLY within (band, band-hash) buckets —
+  *    never all-pairs; the join is shuffle-keyed on the band hash. A
+  *    pathological mega-bucket would square — production caps bucket size
+  *    (count + filter before the self-join) which composes with this plan;
+  *  - SimHash is two chained aggregations, both keyed on doc_id.
+  *
+  * All hashes derive from md5 (first 15 hex chars → 60-bit integer), which
+  * is bit-identical in Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+  * (`('0x'||substr(md5(x),1,15))::UBIGINT`) — so even the MinHash signature
+  * matrix gets a DuckDB oracle.
+  */
+object Dedup {
+
+  val NumPerms = 16 // MinHash permutations
+  val NumBands = 4  // LSH bands → 4 rows per band
+
+  /** 60-bit integer hash of a string column, reproducible in DuckDB. */
+  def h60(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit("#" + seed))), 1, 15), 16, 10).cast("long")
+
+  /** Same hash as [[h60]] in DuckDB SQL, over SQL expression `e`. */
+  def h60Sql(e: String, seed: Int): String =
+    s"CAST(('0x' || substr(md5($e || '#$seed'), 1, 15))::UBIGINT AS BIGINT)"
+
+  /** Same hash as [[h60]] in Spark SQL text form (for expr-built lambdas). */
+  def h60Expr(e: String, seed: Int): String =
+    s"CAST(conv(substr(md5(concat($e, '#$seed')), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Word 3-shingles of `text` (single-space tokenized); docs shorter than
+    * 3 tokens fall back to one truncated shingle (both engines slice
+    * past-the-end leniently, so semantics agree).
+    */
+  private val shinglesExpr =
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+
+  private val shinglesSqlCte =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+      |    i -> array_to_string(t[i : i + 2], ' '))) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |)""".stripMargin
+
+  /** MinHash signature over a shingle relation (doc_id, shingle): wide form,
+    * one min-aggregate per permutation, single shuffle keyed on doc_id.
+    */
+  def minhashSignature(shingled: DataFrame): DataFrame = {
+    val mins = (0 until NumPerms).map(p =>
+      min(h60(col("shingle"), p)).as(f"mh$p%02d"))
+    shingled.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** 3-shingle relation of the documents table. */
+  def shingles3(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+
+  /** Unigram (token) shingle relation — token-reordered copies collide. */
+  def shingles1(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr("split(text, ' ')")).as("shingle"))
+
+  /** LSH banding of a wide signature: (doc_id, band, band_hash). */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      val rowCols = (b * NumPerms / NumBands until (b + 1) * NumPerms / NumBands)
+        .map(p => col(f"mh$p%02d").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", rowCols: _*)).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
+  }
+
+  /** Candidate near-duplicate pairs from LSH buckets over unigram MinHash,
+    * verified with exact token-set Jaccard. No all-pairs join anywhere.
+    */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val bands = lshBands(minhashSignature(shingles1(docs)))
+    val left = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
+    val right = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+    val pairs = left.join(right, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+
+    val toksets = docs.select(col("doc_id"),
+      expr("array_sort(array_distinct(split(text, ' ')))").as("tokset"))
+    pairs
+      .join(toksets.select(col("doc_id").as("doc_a"), col("tokset").as("ta")), "doc_a")
+      .join(toksets.select(col("doc_id").as("doc_b"), col("tokset").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.9) // emit verified near-dups, not the candidate cloud
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash over the token bag (order-insensitive near-dup hash). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val js = broadcast(docs.sparkSession.range(0, 32)
+      .select(col("id").cast("int").as("j")))
+    toks.crossJoin(js)
+      .withColumn("contrib",
+        col("cnt") * (expr(s"shiftright(${h60Expr("tok", 0)}, j) % 2") * 2 - 1))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("s"))
+      .withColumn("bitval",
+        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bitval")).cast("long").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Exact dedup on whitespace-normalized lowercase text.
+    GraftQuery.of("dedup_exact",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper_doc_id"))
+    },
+
+    // Exact dedup on the sorted token multiset — catches token-reordered
+    // copies that byte-level normalization misses.
+    GraftQuery.of("dedup_exact_canonical",
+      """SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp,
+        |min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .groupBy(md5(concat_ws(" ", expr("array_sort(split(text, ' '))"))).as("fp"))
+        .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper_doc_id"))
+    },
+
+    // MinHash signature matrix over 3-shingles.
+    GraftQuery.of("dedup_minhash_sig", {
+      val aggCols = (0 until NumPerms)
+        .map(p => f"min(${h60Sql("shingle", p)}) AS mh$p%02d").mkString(",\n  ")
+      s"""WITH $shinglesSqlCte
+         |SELECT doc_id,
+         |  $aggCols
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      minhashSignature(shingles3(documents(s, d))).orderBy(col("doc_id"))
+    },
+
+    // LSH candidate pairs + exact Jaccard verification.
+    GraftQuery.of("dedup_lsh_pairs", {
+      val aggCols = (0 until NumPerms)
+        .map(p => f"min(${h60Sql("tok", p)}) AS mh$p%02d").mkString(",\n  ")
+      val bandCols = (0 until NumBands).map { b =>
+        val rows = (b * NumPerms / NumBands until (b + 1) * NumPerms / NumBands)
+          .map(p => f"mh$p%02d::VARCHAR").mkString(" || ',' || ")
+        s"md5($rows) AS bh$b"
+      }.mkString(",\n  ")
+      val bandUnion = (0 until NumBands)
+        .map(b => s"SELECT doc_id, $b AS band, bh$b AS band_hash FROM banded")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), sig AS (
+         |  SELECT doc_id,
+         |  $aggCols
+         |  FROM toks GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, $bandCols FROM sig
+         |), bands AS (
+         |  $bandUnion
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |), tsets AS (
+         |  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS tokset
+         |  FROM documents
+         |)
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(len(list_intersect(ta.tokset, tb.tokset))::DOUBLE /
+         |          (len(ta.tokset) + len(tb.tokset)
+         |           - len(list_intersect(ta.tokset, tb.tokset)))::DOUBLE, 6) AS jaccard
+         |  FROM pairs
+         |  JOIN tsets ta ON ta.doc_id = doc_a
+         |  JOIN tsets tb ON tb.doc_id = doc_b)
+         |WHERE jaccard >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+      lshCandidatePairs(documents(s, d))
+    },
+
+    // 32-bit SimHash.
+    GraftQuery.of("dedup_simhash", {
+      val hTok = h60Sql("tok", 0)
+      s"""WITH toks AS (
+         |  SELECT doc_id, tok, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok
+         |), bits AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN sum(cnt * ((($hTok >> j) & 1) * 2 - 1)) > 0
+         |         THEN (1::BIGINT << j) ELSE 0 END AS bitval
+         |  FROM toks, generate_series(0, 31) AS g(j)
+         |  GROUP BY doc_id, j
+         |)
+         |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      simhash(documents(s, d))
+    })
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Operators over the `events` stream-shaped table (event_id, ts, user_id,
+  * event_type, value, props-JSON): schema-on-read JSON access,
+  * sessionization, and tumbling-window aggregation.
+  *
+  * These are the batch twins of the Structured Streaming versions in
+  * `graft.streaming` — identical column logic, so a `readStream` source can
+  * be dropped in front of the same transformations. Sessionization uses a
+  * lag window partitioned by user_id (one shuffle on user_id — exactly the
+  * state partitioning a streaming mapGroupsWithState would use).
+  */
+object Events {
+
+  val SessionGapSeconds = 1800L
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Schema-on-read JSON property extraction + per-type aggregates.
+    GraftQuery.of("events_props_agg",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(k).as("sum_k"),
+          min(k).as("min_k"),
+          max(k).as("max_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // Sessionization: a session break is a >30 min gap between consecutive
+    // events of one user; emits per-user session and event counts.
+    GraftQuery.of("events_sessionize",
+      s"""WITH gaps AS (
+         |  SELECT user_id,
+         |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+         |        PARTITION BY user_id ORDER BY ts, event_id) > $SessionGapSeconds
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
+         |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val epoch = unix_timestamp(col("ts").cast("timestamp"))
+      events(s, d)
+        .withColumn("new_session",
+          when(epoch - lag(epoch, 1).over(w) > SessionGapSeconds, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (lit(1) + sum(col("new_session"))).cast("long").as("n_sessions"))
+        .orderBy(col("user_id"))
+    },
+
+    // Tumbling 1-hour window aggregation (batch twin of a streaming
+    // window(ts, "1 hour") aggregate; date_trunc ≡ tumbling window start).
+    GraftQuery.of("events_hourly_agg",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n,
+        |  round(sum("value"), 4) AS sum_value, min("value") AS min_value,
+        |  max("value") AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    })
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Multimodal-column plumbing: treat media payloads as opaque `binary`
+  * columns with typed metadata, and run feature extraction as a
+  * per-partition batch operation.
+  *
+  * The real decode step (image/audio codecs) is STUBBED — the container has
+  * no media libraries — by [[fakeFeatures]], a deterministic hash-derived
+  * feature vector. Everything around the stub is real and load-bearing at
+  * scale: binary columns flow through parquet scans untouched (no
+  * row-group-wide string decode), metadata extraction is codegen'd
+  * expression work, and the feature extractor has the batch shape a
+  * vectorized UDF would have (array<double> out, fixed dim, no driver
+  * round-trips).
+  */
+object Multimodal {
+
+  /** STUB decode: a real pipeline would decode the blob (JPEG/WAV/MP4) and
+    * emit model features. Deterministic stand-in: `dim` doubles in [0, 1)
+    * derived from chained md5 of the payload. Replace with a codec-backed
+    * extractor; the schema, partitioning and query plumbing stay identical.
+    */
+  def fakeFeatures(blob: Column, dim: Int): Column = {
+    require(dim > 0 && dim % 4 == 0, s"dim must be a positive multiple of 4: $dim")
+    val words = (0 until dim / 4).flatMap { w =>
+      // 4 features per md5: bytes 0-3 of the 60-bit word, scaled to [0,1).
+      val h = conv(substring(md5(concat(blob, lit(s":$w"))), 1, 15), 16, 10).cast("long")
+      (0 until 4).map(b => (shiftright(h, 8 * b).bitwiseAND(lit(255L))).cast("double") / 255.0)
+    }
+    array(words: _*)
+  }
+
+  /** Media-shaped view of `documents`: payload as opaque bytes + metadata. */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      lit("text/plain").as("mime_type"))
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Typed metadata over opaque binary payloads: byte length + digest +
+    // the first 4 stub features (scalar columns so DuckDB can oracle them).
+    GraftQuery.of("mm_binary_meta",
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  round(((('0x' || substr(md5(text || ':0'), 1, 15))::UBIGINT >> 0) & 255) / 255.0, 6) AS f0,
+        |  round(((('0x' || substr(md5(text || ':0'), 1, 15))::UBIGINT >> 8) & 255) / 255.0, 6) AS f1,
+        |  round(((('0x' || substr(md5(text || ':0'), 1, 15))::UBIGINT >> 16) & 255) / 255.0, 6) AS f2,
+        |  round(((('0x' || substr(md5(text || ':0'), 1, 15))::UBIGINT >> 24) & 255) / 255.0, 6) AS f3
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      val media = asMedia(documents(s, d))
+      val feats = fakeFeatures(col("payload"), 4)
+      media.select(
+        (Seq(col("media_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest")) ++
+          (0 until 4).map(i => round(element_at(feats, i + 1), 6).as(s"f$i"))): _*)
+        .orderBy(col("media_id"))
+    },
+
+    // Full stub feature extraction (array column, the shape a model-feature
+    // pipeline materializes). Hash of the feature array keeps the output
+    // scalar; no SQL oracle — covered by the deterministic unit test.
+    GraftQuery.noOracle("mm_feature_extract") { (s, d) =>
+      val media = asMedia(documents(s, d))
+      media.select(
+        col("media_id"),
+        fakeFeatures(col("payload"), 16).as("features"))
+        .select(col("media_id"),
+          md5(to_json(struct(col("features")))).as("features_digest"))
+        .orderBy(col("media_id"))
+    })
+}

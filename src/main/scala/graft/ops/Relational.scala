@@ -1,0 +1,289 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** SURVEY §2 operator families (A1–A15 aggregates, P filters, E scalar
+  * expressions) phrased over the driver's synthetic testdata so each gets a
+  * DuckDB-oracle CORRECTNESS row, plus TPC-H-style multi-join headline
+  * queries that exercise the same operators at benchmark scale.
+  *
+  * Scale notes (the plans these produce at 100 TB):
+  *  - every full-table aggregate is a single partial/final HashAggregate —
+  *    no shuffle except the `countDistinct` expand;
+  *  - top-k plans as TakeOrderedAndProject (no full sort);
+  *  - the join queries broadcast every dimension side (region/nation/
+  *    supplier/customer are orders of magnitude smaller than lineitem) so
+  *    the only shuffle is the final groupBy on the aggregation key;
+  *  - float sums are rounded to the exact decimal precision of the true
+  *    value (prices carry 2 decimals, discounted products 4) so the result
+  *    is order-insensitive and hash-stable across engines.
+  */
+object Relational {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // A1 — record count (reference: validate.py:74 `len(dataframe)`).
+    GraftQuery.of("q_a1_record_count",
+      "SELECT count(*) AS record_count FROM lineitem") { (s, d) =>
+      lineitem(s, d).agg(count(lit(1)).as("record_count"))
+    },
+
+    // A2 — per-column non-null counts (reference: breakdown.py:37-51).
+    GraftQuery.of("q_a2_column_counts",
+      """SELECT count(o_orderkey) AS cnt_orderkey, count(o_custkey) AS cnt_custkey,
+        |count(o_orderstatus) AS cnt_orderstatus, count(o_totalprice) AS cnt_totalprice,
+        |count(o_orderdate) AS cnt_orderdate, count(o_orderpriority) AS cnt_orderpriority
+        |FROM orders""".stripMargin) { (s, d) =>
+      orders(s, d).agg(
+        count(col("o_orderkey")).as("cnt_orderkey"),
+        count(col("o_custkey")).as("cnt_custkey"),
+        count(col("o_orderstatus")).as("cnt_orderstatus"),
+        count(col("o_totalprice")).as("cnt_totalprice"),
+        count(col("o_orderdate")).as("cnt_orderdate"),
+        count(col("o_orderpriority")).as("cnt_orderpriority"))
+    },
+
+    // A3 — any-of-group populated count (reference: validate.py:134-159,
+    // row-wise any-non-null ≅ coalesce-not-null).
+    GraftQuery.of("q_a3_group_populated",
+      """SELECT count(CASE WHEN COALESCE(CAST(c_name AS VARCHAR), c_mktsegment) IS NOT NULL
+        |THEN 1 END) AS group_populated FROM customer""".stripMargin) { (s, d) =>
+      customer(s, d).agg(
+        count(when(coalesce(col("c_name").cast("string"), col("c_mktsegment")).isNotNull, 1))
+          .as("group_populated"))
+    },
+
+    // A4 + A9 — single-column non-null / null counts (validate.py:181,253).
+    GraftQuery.of("q_a4_a9_null_counts",
+      """SELECT count("value") AS value_populated,
+        |count(CASE WHEN "value" IS NULL THEN 1 END) AS value_missing,
+        |count(props) AS props_populated FROM events""".stripMargin) { (s, d) =>
+      events(s, d).agg(
+        count(col("value")).as("value_populated"),
+        count(when(col("value").isNull, 1)).as("value_missing"),
+        count(col("props")).as("props_populated"))
+    },
+
+    // A5 + P6 + E1 — lenient cast, inclusive range count, invalid = total −
+    // in-range (reference: validate.py:185-205 coordinate checks).
+    GraftQuery.of("q_a5_range_counts",
+      """SELECT count(CASE WHEN l_quantity BETWEEN 10 AND 30 THEN 1 END) AS in_range,
+        |count(l_quantity) - count(CASE WHEN l_quantity BETWEEN 10 AND 30 THEN 1 END) AS out_of_range
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val inRange = count(when(col("l_quantity").between(10, 30), 1))
+      lineitem(s, d).agg(
+        inRange.as("in_range"),
+        (count(col("l_quantity")) - inRange).as("out_of_range"))
+    },
+
+    // A6 + A7 + A8 — null-id count, exact distinct, duplicates = count −
+    // distinct (reference: validate.py:238-253, SURVEY T6).
+    GraftQuery.of("q_a6_a8_id_checks",
+      """SELECT count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS null_ids,
+        |count(DISTINCT o_orderkey) AS distinct_ids,
+        |count(o_custkey) - count(DISTINCT o_custkey) AS dup_custkeys
+        |FROM orders""".stripMargin) { (s, d) =>
+      orders(s, d).agg(
+        count(when(col("o_orderkey").isNull, 1)).as("null_ids"),
+        countDistinct(col("o_orderkey")).as("distinct_ids"),
+        (count(col("o_custkey")) - countDistinct(col("o_custkey"))).as("dup_custkeys"))
+    },
+
+    // A10 + E2 + E3 — vocabulary match count with the reference's derived
+    // unrecognised arithmetic (validate.py:285-313).
+    GraftQuery.of("q_a10_vocab_counts",
+      """SELECT count(*) AS record_count,
+        |count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS nulls,
+        |count(CASE WHEN lower(o_orderpriority) IN ('1-urgent', '2-high') THEN 1 END) AS recognised,
+        |count(*) - count(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+        |  - count(CASE WHEN lower(o_orderpriority) IN ('1-urgent', '2-high') THEN 1 END) AS unrecognised
+        |FROM orders""".stripMargin) { (s, d) =>
+      val nulls = count(when(col("o_orderpriority").isNull, 1))
+      val recognised =
+        count(when(lower(col("o_orderpriority")).isin("1-urgent", "2-high"), 1))
+      orders(s, d).agg(
+        count(lit(1)).as("record_count"),
+        nulls.as("nulls"),
+        recognised.as("recognised"),
+        (count(lit(1)) - nulls - recognised).as("unrecognised"))
+    },
+
+    // A11 + E1 — numeric-parse validity under ANSI mode: try_cast coerces,
+    // never throws (reference intent of validate.py:348-363; SURVEY T1/T2).
+    GraftQuery.of("q_a11_numeric_validity",
+      """SELECT count(CASE WHEN text IS NOT NULL AND TRY_CAST(text AS DOUBLE) IS NULL
+        |THEN 1 END) AS non_numeric_text,
+        |count(CASE WHEN TRY_CAST(CAST(n_chars AS VARCHAR) AS DOUBLE) IS NOT NULL
+        |THEN 1 END) AS numeric_nchars
+        |FROM documents""".stripMargin) { (s, d) =>
+      documents(s, d).agg(
+        count(when(col("text").isNotNull && expr("try_cast(text AS DOUBLE)").isNull, 1))
+          .as("non_numeric_text"),
+        count(when(expr("try_cast(CAST(n_chars AS STRING) AS DOUBLE)").isNotNull, 1))
+          .as("numeric_nchars"))
+    },
+
+    // A12 — group-by count histogram (reference: breakdown.py:65-74).
+    GraftQuery.of("q_a12_histogram",
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // A13 — top-k by frequency, deterministic tie-break (breakdown.py:54-62).
+    GraftQuery.of("q_a13_topk",
+      """SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand
+        |ORDER BY cnt DESC, p_brand LIMIT 10""".stripMargin) { (s, d) =>
+      part(s, d).groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("p_brand"))
+        .limit(10)
+    },
+
+    // A14 + E5 — date-part derived histograms (breakdown.py:77-102).
+    GraftQuery.of("q_a14_date_histogram",
+      """SELECT CAST(date_part('year', ts) AS BIGINT) AS y,
+        |CAST(date_part('month', ts) AS BIGINT) AS m, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      events(s, d).groupBy(
+          year(col("ts")).cast("long").as("y"),
+          month(col("ts")).cast("long").as("m"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("y"), col("m"))
+    },
+
+    // A15 + P3 + P4 — distinct-sort-limit sample of non-vocabulary values
+    // (validate.py:297-300; nulls dropped up front per SURVEY T5).
+    GraftQuery.of("q_a15_distinct_sample",
+      """SELECT DISTINCT c_mktsegment FROM customer
+        |WHERE c_mktsegment IS NOT NULL
+        |AND lower(c_mktsegment) NOT IN ('building', 'automobile')
+        |ORDER BY c_mktsegment LIMIT 10""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .filter(col("c_mktsegment").isNotNull &&
+          !lower(col("c_mktsegment")).isin("building", "automobile"))
+        .select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment")).limit(10)
+    },
+
+    // P3 + P6 — filter + projection; predicate and column pruning must both
+    // reach the parquet scan (PushedFilters / ReadSchema).
+    GraftQuery.of("q_p3_filter_project",
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber, l_quantity
+        |FROM lineitem WHERE date_part('year', l_shipdate) >= 1995 AND l_quantity >= 45
+        |ORDER BY l_orderkey, linenumber LIMIT 200""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(year(col("l_shipdate")) >= 1995 && col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("linenumber"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("linenumber")).limit(200)
+    },
+
+    // E2 + E3 — lowercase + distinct (validate.py:286).
+    GraftQuery.of("q_e2_lower_distinct",
+      """SELECT DISTINCT lower(o_orderpriority) AS priority FROM orders
+        |ORDER BY priority""".stripMargin) { (s, d) =>
+      orders(s, d).select(lower(col("o_orderpriority")).as("priority"))
+        .distinct().orderBy(col("priority"))
+    },
+
+    // E5 — date-part extraction breakdown (breakdown.py:91-93).
+    GraftQuery.of("q_e5_date_parts",
+      """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+        |CAST(date_part('day', o_orderdate) AS BIGINT) AS dom, count(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      orders(s, d).groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("y"), col("dom"))
+    },
+
+    // ------------------------------------------------------------------
+    // TPC-H-style headline queries (bench workload).
+    // ------------------------------------------------------------------
+
+    // Pricing summary (TPC-H Q1 shape): one partial/final HashAggregate.
+    GraftQuery.of("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // Revenue top-k (TPC-H Q3 shape): broadcast the filtered customer dim,
+    // shuffle only on the groupBy key; TakeOrderedAndProject for the top 10.
+    GraftQuery.of("q3_top_revenue",
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    },
+
+    // Local-supplier revenue (TPC-H Q5 shape): every dimension broadcast;
+    // the fact table shuffles once, on the final groupBy key.
+    GraftQuery.of("q5_region_revenue",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("n_name"))
+    },
+
+    // Window function — top order per customer, deterministic tie-break.
+    GraftQuery.of("q_window_top_order",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    })
+}

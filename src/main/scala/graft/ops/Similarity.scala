@@ -1,0 +1,131 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: broadcast the (small) probe set against the
+  *    full table — one scan of the big side, no shuffle until the tiny
+  *    top-k window. The scale path for "few probes × huge corpus".
+  *  - LSH-bucketed ANN: random-hyperplane signatures put every vector in a
+  *    small bucket; probes search only their own bucket plus Hamming-1
+  *    neighbors (multiprobe), then re-rank exactly within candidates. The
+  *    join is keyed on the bucket id — candidate count per probe is
+  *    ~corpus/2^bits × (bits+1), independent of an all-pairs blowup. The
+  *    scale path for "huge probe set × huge corpus".
+  *
+  * Hyperplanes are ±1-component vectors derived deterministically from md5
+  * (no RNG — plans are reproducible across sessions and engines).
+  * All arithmetic is double (floats cast up front) and similarities are
+  * rounded to 6 decimals so cross-engine comparison is FP-stable.
+  */
+object Similarity {
+
+  /** Sum of squares of a float-array column, computed in double. */
+  private def normSq(arr: String): Column =
+    expr(s"aggregate($arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+  /** Dot product of two float-array columns, computed in double. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** Brute-force cosine top-k for a probe set (vec_id < nProbes). */
+  def knnBrute(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
+    val withNorm = emb.withColumn("nsq", normSq("embedding"))
+    val probes = withNorm.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nsq").as("pnsq"))
+    val cands = withNorm
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nsq").as("nnsq"))
+    val scored = cands.crossJoin(broadcast(probes))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(dot("pe", "ne") / sqrt(col("pnsq") * col("nnsq")), 6))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Deterministic ±1 hyperplane component: plane j, dimension i. */
+  private def planeSign(j: Int, i: Int): Double = {
+    val digest = MessageDigest.getInstance("MD5")
+      .digest(s"plane:$j:$i".getBytes(StandardCharsets.UTF_8))
+    if ((digest(0) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Bucket id column: `bits` sign-bits of hyperplane projections. */
+  def lshBucket(arr: String, bits: Int, dim: Int): Column = {
+    val bitCols = (0 until bits).map { j =>
+      val proj = expr(
+        s"aggregate(zip_with($arr, ${planeColSql(j, dim)}, (x, p) -> CAST(x AS DOUBLE) * p), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _).as("bucket")
+  }
+
+  /** SQL literal array for plane j (used inside expr-built lambdas). */
+  private def planeColSql(j: Int, dim: Int): String =
+    (0 until dim).map(i => planeSign(j, i).toString).mkString("array(", ", ", ")")
+
+  /** LSH ANN: bucket everything, multiprobe each probe into its bucket and
+    * all Hamming-1 neighbors, exact cosine re-rank within candidates.
+    */
+  def knnLsh(emb: DataFrame, nProbes: Int, k: Int, bits: Int = 6): DataFrame = {
+    val dim = 64
+    val withBucket = emb
+      .withColumn("nsq", normSq("embedding"))
+      .withColumn("bucket", lshBucket("embedding", bits, dim))
+
+    val probeBuckets = (0 until bits).map(m => col("bucket").bitwiseXOR(lit(1L << m))) :+ col("bucket")
+    val probes = withBucket.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nsq").as("pnsq"),
+        explode(array(probeBuckets: _*)).as("bucket"))
+
+    val cands = withBucket
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("nsq").as("nnsq"), col("bucket"))
+
+    val scored = cands.join(broadcast(probes), Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(dot("pe", "ne") / sqrt(col("pnsq") * col("nnsq")), 6))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Brute-force cosine top-10 for probes vec_id ∈ [0, 5).
+    GraftQuery.of("sim_knn_brute",
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT probe_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(pe, e.embedding::DOUBLE[]), 6) AS sim
+        |  FROM p, embeddings e WHERE e.vec_id <> probe_id
+        |), ranked AS (
+        |  SELECT probe_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
+        |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      knnBrute(embeddings(s, d), nProbes = 5, k = 10)
+    },
+
+    // LSH-bucketed ANN, same probes — recall is verified against the brute
+    // path in the test suite; no SQL oracle (hyperplane signs live in Scala).
+    GraftQuery.noOracle("sim_knn_lsh") { (s, d) =>
+      knnLsh(embeddings(s, d), nProbes = 5, k = 10)
+    })
+}

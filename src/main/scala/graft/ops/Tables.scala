@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table access for the driver's synthetic testdata
+  * (`/root/testdata/sf*`, see TESTDATA.md). All registered queries read
+  * through here so the scan always carries an explicit schema-pruning
+  * projection from Catalyst (column pruning reaches the parquet reader).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright; read the nanos as long and rebuild a microsecond
+    * timestamp (integer `div` — a double division would lose precision at
+    * 2^53 < ns-epoch).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** One registered engine query: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query
+  * over the same parquet tables. Column names and row ordering must match
+  * between the two — the driver hash-compares values after sorting columns
+  * by name, so every computed column is explicitly aliased and cast to the
+  * same type on both sides, and every query ends in a deterministic
+  * ORDER BY over a unique key.
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object GraftQuery {
+  def of(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, run, Some(oracle))
+  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): GraftQuery =
+    GraftQuery(name, run, None)
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * quality scoring, language identification, and content fingerprinting.
+  *
+  * Everything is per-row scalar work (codegen'd built-ins — split, filter,
+  * regexp_extract_all, md5) followed by at most one bounded aggregation, so
+  * the plans are embarrassingly parallel scans at any scale: no shuffle at
+  * all for the per-document queries.
+  *
+  * Ratios divide two exactly-computed integers per row, so the doubles are
+  * bit-identical across engines; `round(..., 6)` guards the residue.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the frequency-based language scorer. On real
+    * corpora these separate languages sharply; the synthetic testdata shares
+    * one vocabulary across langs, so the scorer mostly exercises plumbing.
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "du", "est"))
+
+  private def inList(vals: Seq[String]): String =
+    vals.map(v => s"x = '$v'").mkString(" OR ")
+
+  /** Spark-side: tokens-in-profile count (codegen'd higher-order filter). */
+  private def profileCountExpr(vals: Seq[String]): String =
+    s"size(filter(split(text, ' '), x -> ${inList(vals)}))"
+
+  private def profileCountSql(vals: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), x -> ${inList(vals)}))"
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Token statistics: counts, distinct counts, mean token length.
+    GraftQuery.of("text_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  round(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"),
+        expr("size(array_distinct(split(text, ' ')))").cast("long").as("n_distinct"),
+        col("n_chars").cast("long").as("n_chars"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+          expr("size(split(text, ' '))"), 6).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: length score, type-token ratio, stopword ratio,
+    // digit/whitespace character ratios, composite quality score.
+    GraftQuery.of("text_quality", {
+      val stops = profileCountSql(Seq("the", "a", "and", "of", "to"))
+      s"""SELECT doc_id,
+         |  round(least(n_chars / 500.0, 1.0), 6) AS len_score,
+         |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / len(string_split(text, ' ')), 6) AS type_token_ratio,
+         |  round(CAST($stops AS DOUBLE)
+         |        / len(string_split(text, ' ')), 6) AS stopword_ratio,
+         |  round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / n_chars, 6)
+         |    AS digit_ratio,
+         |  round(CAST(len(regexp_extract_all(text, ' ')) AS DOUBLE) / n_chars, 6)
+         |    AS space_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val nTokens = expr("size(split(text, ' '))")
+      documents(s, d).select(
+        col("doc_id"),
+        round(least(col("n_chars") / 500.0, lit(1.0)), 6).as("len_score"),
+        round(expr("size(array_distinct(split(text, ' ')))").cast("double") / nTokens, 6)
+          .as("type_token_ratio"),
+        round(expr(profileCountExpr(Seq("the", "a", "and", "of", "to"))).cast("double") /
+          nTokens, 6).as("stopword_ratio"),
+        round(expr("size(regexp_extract_all(text, '[0-9]', 0))").cast("double") /
+          col("n_chars"), 6).as("digit_ratio"),
+        round(expr("size(regexp_extract_all(text, ' ', 0))").cast("double") /
+          col("n_chars"), 6).as("space_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Language identification: CJK character detection, then stopword-profile
+    // argmax with a fixed preference order (en > de > es > fr) on ties.
+    GraftQuery.of("text_langid", {
+      val scores = Profiles.map { case (l, vs) => s"${profileCountSql(vs)} AS s_$l" }
+        .mkString(",\n    ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    len(regexp_extract_all(text, '[^\\x00-\\x7F]')) AS n_nonascii,
+         |    n_chars,
+         |    $scores
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN n_nonascii * 10 > n_chars * 3 THEN 'zh'
+         |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang,
+         |  lang AS actual_lang
+         |FROM scored ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val scored = documents(s, d).select(
+        (Seq(col("doc_id"), col("lang"), col("n_chars"),
+          expr("size(regexp_extract_all(text, '[^\\\\x00-\\\\x7F]', 0))").as("n_nonascii")) ++
+          Profiles.map { case (l, vs) => expr(profileCountExpr(vs)).as(s"s_$l") }): _*)
+      scored.select(
+        col("doc_id"),
+        when(col("n_nonascii") * 10 > col("n_chars") * 3, "zh")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr").as("pred_lang"),
+        col("lang").as("actual_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Document fingerprints: set-hash, multiset-hash, and a 60-bit integer
+    // fingerprint (first 15 md5 hex chars) for compact storage/joins.
+    GraftQuery.of("text_fingerprint",
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    AS fp_set,
+        |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp_multiset,
+        |  CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT) AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        md5(concat_ws(" ", expr("array_sort(array_distinct(split(text, ' ')))")))
+          .as("fp_set"),
+        md5(concat_ws(" ", expr("array_sort(split(text, ' '))"))).as("fp_multiset"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp64"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-language/source corpus histogram (A12-style over documents).
+    GraftQuery.of("text_corpus_summary",
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+      documents(s, d).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .orderBy(col("lang"), col("source"))
+    })
+}

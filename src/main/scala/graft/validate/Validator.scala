@@ -42,42 +42,68 @@ object Validator {
     "temperatureInCelsius", "organismAge", "year", "month", "day",
     "startDayOfYear", "endDayOfYear")
 
-  /** The reference's `validate_numeric_fields` is dead code (it re-checks
-    * already-coerced values — SURVEY.md T1, verified empirically). By default
-    * we implement the *intended* semantics (warn when a present numeric field
-    * holds unparseable non-null values); set `referenceCompatibleNumericWarnings`
-    * to suppress the warnings for byte-parity with the reference.
-    */
-  @volatile var referenceCompatibleNumericWarnings: Boolean = false
+  /** Occurrence vocabulary checks (reference: validate.py:62-70). */
+  val OccurrenceVocabs: Seq[(String, Seq[String])] = Seq(
+    "basisOfRecord" -> Vocabularies.basisOfRecordLower,
+    "geodeticDatum" -> Vocabularies.geodeticDatumLower)
 
-  /** Reference: validate.py:15-84 (`validate_occurrence_dataframe`). */
+  /** Reference: validate.py:15-84 (`validate_occurrence_dataframe`).
+    *
+    * `referenceCompatibleNumericWarnings`: the reference's
+    * `validate_numeric_fields` is dead code (it re-checks already-coerced
+    * values — SURVEY.md T1, verified empirically). By default we implement
+    * the *intended* semantics (warn when a present numeric field holds
+    * unparseable non-null values); pass true to suppress the warnings for
+    * byte-parity with the reference.
+    */
   def validateOccurrence(
       df: DataFrame,
       idFields: Seq[String] = Nil,
-      idTerm: String = ""): DFValidationReport =
+      idTerm: String = "",
+      referenceCompatibleNumericWarnings: Boolean = false): DFValidationReport =
     validateDataFrame(df, "Occurrence", idFields, idTerm,
       includeTaxonomy = true,
-      vocabFields = Seq(
-        "basisOfRecord" -> Vocabularies.basisOfRecordLower,
-        "geodeticDatum" -> Vocabularies.geodeticDatumLower))
+      vocabFields = OccurrenceVocabs,
+      referenceCompatibleNumericWarnings)
 
   /** Reference: validate.py:87-131 (`validate_event_dataframe`). */
-  def validateEvent(df: DataFrame): DFValidationReport =
+  def validateEvent(
+      df: DataFrame,
+      referenceCompatibleNumericWarnings: Boolean = false): DFValidationReport =
     validateDataFrame(df, "Event", Seq("eventID"), "",
       includeTaxonomy = false,
-      vocabFields = Seq("geodeticDatum" -> Vocabularies.geodeticDatumLower))
+      vocabFields = Seq("geodeticDatum" -> Vocabularies.geodeticDatumLower),
+      referenceCompatibleNumericWarnings)
 
   // ---------------------------------------------------------------------
   // fused single-pass implementation
   // ---------------------------------------------------------------------
 
-  private def validateDataFrame(
+  /** The ONE fused aggregation underlying a report, exposed as a DataFrame
+    * (one row; columns `__n`, `cc__<col>`, `grp__<group>`, `lat__valid`,
+    * `lon__valid`, `idnull__<field>`, `iddist__<field>`, `vocab__<field>`,
+    * `numbad__<field>`). `validateDataFrame` collects this single row and
+    * assembles the report driver-side; exposing the plan lets callers
+    * compose it (or hash-compare it against an external oracle) without a
+    * collect.
+    */
+  def fusedAggregation(
       df: DataFrame,
-      recordType: String,
+      idFields: Seq[String] = Nil,
+      idTerm: String = "",
+      includeTaxonomy: Boolean = true,
+      vocabFields: Seq[(String, Seq[String])] = OccurrenceVocabs): DataFrame = {
+    val aggs = buildAggregates(df, idFields, idTerm, includeTaxonomy, vocabFields)
+    val aliased = aggs.map { case (n, c) => c.as(n) }.toSeq
+    df.agg(aliased.head, aliased.tail: _*)
+  }
+
+  private def buildAggregates(
+      df: DataFrame,
       idFields: Seq[String],
       idTerm: String,
       includeTaxonomy: Boolean,
-      vocabFields: Seq[(String, Seq[String])]): DFValidationReport = {
+      vocabFields: Seq[(String, Seq[String])]): mutable.LinkedHashMap[String, Column] = {
 
     val cols = df.columns.toSeq
     val has = cols.toSet
@@ -121,11 +147,28 @@ object Validator {
           count(when(lower(qcol(f).cast("string")).isin(vocabLower: _*), 1))
     }
     // A11 — intended numeric-validity semantics (SURVEY.md T1).
-    val numericPresent = NumericFields.filter(has)
-    numericPresent.foreach { f =>
+    NumericFields.filter(has).foreach { f =>
       aggs.getOrElseUpdate(s"numbad__$f",
         count(when(qcol(f).isNotNull && Lenient.toDouble(qcol(f)).isNull, 1)))
     }
+    aggs
+  }
+
+  private def validateDataFrame(
+      df: DataFrame,
+      recordType: String,
+      idFields: Seq[String],
+      idTerm: String,
+      includeTaxonomy: Boolean,
+      vocabFields: Seq[(String, Seq[String])],
+      referenceCompatibleNumericWarnings: Boolean): DFValidationReport = {
+
+    val cols = df.columns.toSeq
+    val has = cols.toSet
+    val resolvedIds = idFields.map(f => f -> (if (idTerm == f) "id" else f))
+    val numericPresent = NumericFields.filter(has)
+    val hasCoords = has("decimalLatitude") && has("decimalLongitude")
+    val aggs = buildAggregates(df, idFields, idTerm, includeTaxonomy, vocabFields)
 
     // ONE action for the whole report.
     val aliased = aggs.map { case (n, c) => c.as(n) }.toSeq

@@ -136,11 +136,8 @@ class ValidatorSpec extends AnyFunSuite {
     val r = Validator.validateOccurrence(df)
     assert(r.warnings.contains("NON_NUMERIC_VALUES_IN_INDIVIDUALCOUNT"))
     // reference-compatible mode reproduces the dead-code behavior (no warning)
-    Validator.referenceCompatibleNumericWarnings = true
-    try {
-      val r2 = Validator.validateOccurrence(df)
-      assert(!r2.warnings.exists(_.startsWith("NON_NUMERIC_VALUES")))
-    } finally Validator.referenceCompatibleNumericWarnings = false
+    val r2 = Validator.validateOccurrence(df, referenceCompatibleNumericWarnings = true)
+    assert(!r2.warnings.exists(_.startsWith("NON_NUMERIC_VALUES")))
   }
 
   test("event validation: taxonomy hard-coded 0, eventID id check (O2)") {
