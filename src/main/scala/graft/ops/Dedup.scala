@@ -85,22 +85,35 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
   }
 
-  /** Candidate near-duplicate pairs from LSH buckets over unigram MinHash,
-    * verified with exact token-set Jaccard. No all-pairs join anywhere.
+  /** Near-duplicate edges from LSH buckets over unigram MinHash, verified
+    * with exact token-set Jaccard.
+    *
+    * Candidate generation is STAR-SHAPED: each bucket proposes an edge from
+    * its minimum doc_id (the keeper) to every other member — O(bucket size)
+    * edges, never the O(bucket size²) all-pairs enumeration. On a
+    * self-similar corpus a single mega-bucket makes pair enumeration
+    * quadratic (observed: a 2638-doc bucket → 3.5M pairs at sf0.1, 12M
+    * candidates overall); star edges are exactly what keeper-assignment
+    * dedup consumes, and transitive closure (union-find rounds) composes on
+    * top when full clusters are needed.
     */
   def lshCandidatePairs(docs: DataFrame): DataFrame = {
     val bands = lshBands(minhashSignature(shingles1(docs)))
-    val left = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
-    val right = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
-    val pairs = left.join(right, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val keepers = bands.groupBy(col("band"), col("band_hash"))
+      .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > 1)
+    val pairs = bands.join(keepers, Seq("band", "band_hash"))
+      .filter(col("doc_id") > col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
 
+    // The edge table dwarfs the document dimension, so resolve token sets
+    // with broadcast joins; at corpus sizes beyond broadcast, bucket both
+    // sides on doc id instead — the star-edge plan above is unchanged.
     val toksets = docs.select(col("doc_id"),
       expr("array_sort(array_distinct(split(text, ' ')))").as("tokset"))
     pairs
-      .join(toksets.select(col("doc_id").as("doc_a"), col("tokset").as("ta")), "doc_a")
-      .join(toksets.select(col("doc_id").as("doc_b"), col("tokset").as("tb")), "doc_b")
+      .join(broadcast(toksets.select(col("doc_id").as("doc_a"), col("tokset").as("ta"))), "doc_a")
+      .join(broadcast(toksets.select(col("doc_id").as("doc_b"), col("tokset").as("tb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
           size(array_union(col("ta"), col("tb"))).cast("double"), 6).as("jaccard"))
@@ -186,10 +199,14 @@ object Dedup {
          |  SELECT doc_id, $bandCols FROM sig
          |), bands AS (
          |  $bandUnion
+         |), keepers AS (
+         |  SELECT band, band_hash, min(doc_id) AS doc_a
+         |  FROM bands GROUP BY 1, 2 HAVING count(*) > 1
          |), pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  SELECT DISTINCT k.doc_a, b.doc_id AS doc_b
+         |  FROM bands b JOIN keepers k
+         |    ON b.band = k.band AND b.band_hash = k.band_hash
+         |  WHERE b.doc_id > k.doc_a
          |), tsets AS (
          |  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS tokset
          |  FROM documents
