@@ -33,6 +33,25 @@ final class DwcaArchive private (
   def extensionDataFrames: Seq[(TableDescriptor, DataFrame)] =
     descriptor.extensions.map(e => e -> read(e))
 
+  /** Core ⋈ extension left join on the DwCA star-schema link: core `id` =
+    * extension `coreid` (reference meta.xml declares the key —
+    * test/event_archives/dwca-simple/meta.xml:17,25 — but the reference
+    * never joins; SURVEY.md §2.5 names this the natural extension).
+    * Extension columns are prefixed `<extRowTypeLocalName>_` to avoid
+    * collisions with core column names. At scale this is a plain shuffled
+    * equi-join on the id key (or broadcast when the extension is small) —
+    * exactly what Catalyst picks for `core.join(ext, "left")`.
+    */
+  def joined(ext: TableDescriptor): DataFrame = {
+    val core = coreDataFrame
+    val extDf = read(ext)
+    val prefix = ext.rowTypeLocalName.toLowerCase
+    val renamed = extDf.columns.foldLeft(extDf) { (df, c) =>
+      if (c == "coreid") df else df.withColumnRenamed(c, s"${prefix}_$c")
+    }
+    core.join(renamed, core("id") === renamed("coreid"), "left")
+  }
+
   /** Read one table of the archive per its declared dialect, naming columns
     * positionally after the DwC term local names (id/coreid per SURVEY.md T4).
     */

@@ -78,7 +78,7 @@ object Similarity {
   /** LSH ANN: bucket everything, multiprobe each probe into its bucket and
     * all Hamming-1 neighbors, exact cosine re-rank within candidates.
     */
-  def knnLsh(emb: DataFrame, nProbes: Int, k: Int, bits: Int = 6): DataFrame = {
+  def knnLsh(emb: DataFrame, nProbes: Int, k: Int, bits: Int = 4): DataFrame = {
     val dim = 64
     val withBucket = emb
       .withColumn("nsq", normSq("embedding"))

@@ -42,6 +42,11 @@ object Validator {
     "temperatureInCelsius", "organismAge", "year", "month", "day",
     "startDayOfYear", "endDayOfYear")
 
+  /** Aggregates per physical pass: below spark.sql.codegen.maxFields
+    * (default 100) so every pass keeps whole-stage codegen.
+    */
+  val MaxAggsPerPass = 90
+
   /** Occurrence vocabulary checks (reference: validate.py:62-70). */
   val OccurrenceVocabs: Seq[(String, Seq[String])] = Seq(
     "basisOfRecord" -> Vocabularies.basisOfRecordLower,
@@ -170,10 +175,19 @@ object Validator {
     val hasCoords = has("decimalLatitude") && has("decimalLongitude")
     val aggs = buildAggregates(df, idFields, idTerm, includeTaxonomy, vocabFields)
 
-    // ONE action for the whole report.
-    val aliased = aggs.map { case (n, c) => c.as(n) }.toSeq
-    val row: Row = df.agg(aliased.head, aliased.tail: _*).head()
-    def n(name: String): Long = row.getAs[Long](row.fieldIndex(name))
+    // ONE action for the whole report — chunked only when the archive is
+    // wide enough (180+ column real-world archives, DwCA.md:35-219) that a
+    // single aggregate would exceed spark.sql.codegen.maxFields (default
+    // 100) and silently drop out of whole-stage codegen. Each chunk stays
+    // codegen'd; a second scan of a columnar source beats an interpreted
+    // single scan.
+    val aliased = aggs.map { case (name, c) => c.as(name) }.toSeq
+    val collected: Map[String, Long] =
+      aliased.grouped(MaxAggsPerPass).flatMap { chunk =>
+        val row: Row = df.agg(chunk.head, chunk.tail: _*).head()
+        row.schema.fieldNames.map(f => f -> row.getAs[Long](row.fieldIndex(f)))
+      }.toMap
+    def n(name: String): Long = collected(name)
 
     val recordCount = n("__n")
     val columnCounts = ListMap(cols.map(c => c -> n(s"cc__$c")): _*)

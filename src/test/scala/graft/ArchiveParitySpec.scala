@@ -85,4 +85,20 @@ class ArchiveParitySpec extends AnyFunSuite {
     assert(r.breakdowns("year") == Map("2023" -> 5L))
     assert(r.breakdowns("day").size == 5)
   }
+
+  test("core ⋈ extension join on id = coreid (event fixture, 5×5)") {
+    val archive = graft.dwca.DwcaArchive.open(
+      spark, TestSpark.resourcePath("/event_archives/dwca-simple"))
+    val occExt = archive.descriptor.extensions
+      .find(_.rowTypeLocalName == "Occurrence").get
+    val joined = archive.joined(occExt)
+    assert(joined.count() == 5) // 1:1 link in the fixture
+    // every core row found its extension row (left join, no orphans)
+    assert(joined.filter(joined("coreid").isNull).count() == 0)
+    // extension columns arrive prefixed; core columns unprefixed
+    assert(joined.columns.contains("occurrence_basisOfRecord"))
+    assert(joined.columns.contains("eventDate"))
+    val row = joined.filter(joined("id") === "1").head()
+    assert(row.getAs[String]("occurrence_basisOfRecord") == "observation")
+  }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+import graft.ops._
+
+/** Unit tests for the LLM-pipeline operator families (dedup, similarity,
+  * text analysis, multimodal) over crafted in-memory corpora, plus the
+  * small-SF testdata where cross-path comparison (LSH vs brute) needs real
+  * vectors.
+  */
+class OpsSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsDf(rows: (Long, String)*) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    spark.createDataFrame(rows.map { case (i, t) => Row(i, t) }.asJava, schema)
+  }
+
+  test("exact dedup groups byte-identical normalized text") {
+    val docs = docsDf(
+      0L -> "the quick brown fox",
+      1L -> "  THE   quick  Brown fox ", // normalizes to doc 0
+      2L -> "a different document")
+    val out = docs.groupBy(
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+      .orderBy(col("keeper"))
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("keeper") == 0L && out(0).getAs[Long]("n") == 2L)
+  }
+
+  test("simhash is identical for token-multiset-equal docs, differs otherwise") {
+    val docs = docsDf(
+      0L -> "alpha beta gamma delta alpha",
+      1L -> "delta alpha beta alpha gamma", // same multiset, shuffled
+      2L -> "totally unrelated words here now")
+    val out = Dedup.simhash(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(out(0L) == out(1L))
+    assert(out(0L) != out(2L))
+  }
+
+  test("minhash signature: identical token sets share all minima; LSH star edges find planted near-dups") {
+    val near = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    val docs = docsDf(
+      0L -> near,
+      1L -> ("w20 w19 w18 w17 w16 w15 w14 w13 w12 w11 w10 w9 w8 w7 w6 w5 w4 w3 w2 w1"),
+      2L -> "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16 x17 x18 x19 x20")
+    val sig = Dedup.minhashSignature(Dedup.shingles1(docs))
+      .orderBy("doc_id").collect()
+    // docs 0 and 1 have the same token SET → identical unigram signatures
+    assert(sig(0).toSeq.drop(1) == sig(1).toSeq.drop(1))
+    assert(sig(0).toSeq.drop(1) != sig(2).toSeq.drop(1))
+
+    val pairs = Dedup.lshCandidatePairs(docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("LSH ANN recall vs brute-force cosine top-10 is usable") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.knnLsh(emb, nProbes = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // multiprobe(1) over 6-bit buckets on 500 clustered vectors; exact
+    // re-rank inside candidates. Brute remains the exact path; the LSH
+    // path trades recall for bucketed candidate generation.
+    assert(recall >= 0.3, s"recall=$recall")
+    // every LSH similarity must match the brute similarity for that pair
+    val bruteSim = Similarity.knnBrute(emb, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    Similarity.knnLsh(emb, 5, 10).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteSim.get(key).foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+
+  test("language-ID prefers the profile with the most stopword hits; CJK wins on non-ASCII") {
+    val docs = spark.createDataFrame(Seq(
+      Row(0L, "the cat and the dog of the house", "en", 32L),
+      Row(1L, "der hund und die katze ist nicht da", "de", 35L),
+      Row(2L, "中文文本内容", "zh", 6L)).asJava,
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("n_chars", LongType))))
+    val q = SparkEntry.registry.find(_.name == "text_langid").get
+    val tmpDir = java.nio.file.Files.createTempDirectory("langid").toString
+    docs.write.mode("overwrite").parquet(s"$tmpDir/documents.parquet")
+    val out = q.run(spark, tmpDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(0L) == "en")
+    assert(out(1L) == "de")
+    assert(out(2L) == "zh")
+  }
+
+  test("multimodal stub features are deterministic, bounded, and payload-sensitive") {
+    val media = Multimodal.asMedia(docsDf(0L -> "payload one", 1L -> "payload two"))
+    val feats = media.select(col("media_id"),
+      Multimodal.fakeFeatures(col("payload"), 8).as("f")).orderBy("media_id").collect()
+    val f0 = feats(0).getSeq[Double](1)
+    val f1 = feats(1).getSeq[Double](1)
+    assert(f0.size == 8 && f1.size == 8)
+    assert(f0.forall(v => v >= 0.0 && v < 1.0))
+    assert(f0 != f1) // different payloads → different features
+    // determinism: same payload hashes to the same features across runs
+    val again = media.select(Multimodal.fakeFeatures(col("payload"), 8).as("f"))
+      .orderBy(col("f")).collect().map(_.getSeq[Double](0))
+    assert(again.toSet == Set(f0, f1))
+  }
+
+  test("sessionization splits on >30min gaps per user") {
+    val rows = Seq(
+      // user 1: events at t0, +10min, +45min → 2 sessions
+      Row(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      Row(2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L),
+      Row(3L, java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), 1L),
+      // user 2: single event → 1 session
+      Row(4L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 2L))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts",
+        org.apache.spark.sql.types.TimestampType), StructField("user_id", LongType)))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val epoch = unix_timestamp(col("ts"))
+    val out = df.withColumn("new_session",
+        when(epoch - lag(epoch, 1).over(w) > Events.SessionGapSeconds, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg((lit(1) + sum(col("new_session"))).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2L)
+    assert(out(2L) == 1L)
+  }
+}

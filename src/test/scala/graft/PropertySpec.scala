@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+import graft.validate.Validator
+
+/** Property-based invariants over generated occurrence tables
+  * (SURVEY.md §5.2 item 4):
+  *  - vocabulary arithmetic: recognised + unrecognised + nulls == record_count
+  *    (the reference's derivation at validate.py:313);
+  *  - coordinate counts: invalid = populated − valid ≥ 0 and bounded;
+  *  - column_counts never exceed record_count;
+  *  - reports are invariant under row permutation.
+  *
+  * Generators are driven with fixed seeds (no scalatestplus bridge in the
+  * offline dependency set), so failures reproduce exactly.
+  */
+class PropertySpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private val vocabVal = Gen.oneOf(
+    Some("HumanObservation"), Some("PreservedSpecimen"), Some("GIBBERISH"),
+    Some("nonsense"), None)
+  private val coordVal = Gen.oneOf(
+    Some("40.5"), Some("-91.2"), Some("91"), Some("-90"), Some("banana"),
+    None, Some("179.9"), Some("181"))
+
+  private val tableGen: Gen[List[(Option[String], Option[String], Option[String])]] =
+    Gen.listOfN(12, for {
+      b <- vocabVal; lat <- coordVal; lon <- coordVal
+    } yield (b, lat, lon))
+
+  private def sample(seed: Long) =
+    tableGen.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val schema = StructType(Seq(
+    StructField("basisOfRecord", StringType),
+    StructField("decimalLatitude", StringType),
+    StructField("decimalLongitude", StringType)))
+
+  private def validate(rows: Seq[(Option[String], Option[String], Option[String])]) =
+    Validator.validateOccurrence(spark.createDataFrame(
+      rows.map { case (b, la, lo) => Row(b.orNull, la.orNull, lo.orNull) }.asJava,
+      schema))
+
+  test("vocab arithmetic + coordinate bounds + column_counts bounds hold on generated tables") {
+    (1L to 15L).foreach { seed =>
+      val r = validate(sample(seed))
+      val n = r.record_count
+      r.vocab_reports.filter(_.has_field).foreach { v =>
+        val nulls = n - r.column_counts(v.field)
+        assert(v.recognised_count + v.unrecognised_count + nulls == n,
+          s"seed=$seed vocab arithmetic")
+        assert(v.non_matching_values.size <= 10)
+      }
+      val c = r.coordinates_report.get
+      assert(c.invalid_decimal_latitude_count >= 0)
+      assert(c.invalid_decimal_longitude_count >= 0)
+      assert(c.invalid_decimal_latitude_count <= r.column_counts("decimalLatitude"))
+      r.column_counts.values.foreach(v => assert(v >= 0 && v <= n))
+    }
+  }
+
+  test("report is invariant under row permutation") {
+    (1L to 5L).foreach { seed =>
+      val rows = sample(seed)
+      val a = validate(rows)
+      val b = validate(new scala.util.Random(seed).shuffle(rows))
+      assert(a == b, s"seed=$seed")
+    }
+  }
+}
