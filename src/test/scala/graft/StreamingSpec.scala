@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Drives the Structured Streaming twins through a MemoryStream source and
+  * asserts the emitted micro-batch results — same semantics as the batch
+  * events queries.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming hourly window aggregation (watermarked) matches batch semantics") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val source = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = source.toDF().toDF("ts", "user_id", "event_type", "value")
+
+    val query = EventStreams.hourlyAgg(events).writeStream
+      .format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      source.addData(
+        (ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        (ts("2024-01-01 10:55:00"), 2L, "click", 2.0),
+        (ts("2024-01-01 11:05:00"), 1L, "view", 4.0))
+      query.processAllAvailable()
+      val out = spark.table("hourly_out")
+        .orderBy("hour_start", "event_type").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[Timestamp]("hour_start") == ts("2024-01-01 10:00:00"))
+      assert(out(0).getAs[String]("event_type") == "click")
+      assert(out(0).getAs[Long]("n") == 2L)
+      assert(out(0).getAs[Double]("sum_value") == 3.0)
+      assert(out(1).getAs[Long]("n") == 1L)
+    } finally query.stop()
+  }
+
+  test("streaming sessionization carries state across micro-batches") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val source = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = source.toDF().toDF("ts", "user_id", "event_type", "value")
+
+    val query = EventStreams.sessionize(events).writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: two events 10 min apart → 1 session
+      source.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (ts("2024-01-01 10:10:00"), 1L, "click", 1.0))
+      query.processAllAvailable()
+      // batch 2: 45 min after the last event → a second session opens
+      source.addData((ts("2024-01-01 10:55:00"), 1L, "click", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("sessions_out").collect()
+      val last = rows.maxBy(_.getAs[Long]("n_events"))
+      assert(last.getAs[Long]("user_id") == 1L)
+      assert(last.getAs[Long]("n_events") == 3L)
+      assert(last.getAs[Long]("n_sessions") == 2L)
+    } finally query.stop()
+  }
+}
