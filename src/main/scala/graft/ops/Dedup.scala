@@ -42,13 +42,38 @@ object Dedup {
   def h60Expr(e: String, seed: Int): String =
     s"CAST(conv(substr(md5(concat($e, '#$seed')), 1, 15), 16, 10) AS BIGINT)"
 
+  // -------------------------------------------------------------------
+  // MinHash permutation family: ONE md5 per shingle, then K affine maps
+  // h_p = (a_p·h + b_p) mod M. 45M md5+hex+conv string chains collapse to
+  // 2.8M (the rest is integer arithmetic) — the md5 chain dominated the
+  // signature cost. M = 2³¹−1 and a,b < 2³¹ keep every product below 2⁶³,
+  // so DuckDB's overflow-checked BIGINT arithmetic reproduces Spark's
+  // bit-for-bit.
+  // -------------------------------------------------------------------
+
+  val MinhashMod = 2147483647L // 2^31 − 1 (prime)
+
+  /** Deterministic affine coefficients (odd multipliers, all < 2³¹). */
+  def permA(p: Int): Long = ((2L * p + 1) * 2654435761L) % MinhashMod
+  def permB(p: Int): Long = (p * 2246822519L + 3266489917L) % MinhashMod
+
+  /** Base hash of a shingle: 60-bit md5 integer reduced mod M. */
+  def baseHash(c: Column): Column =
+    (conv(substring(md5(c), 1, 15), 16, 10).cast("long") % MinhashMod).as("hb")
+
+  def baseHashSql(e: String): String =
+    s"(CAST(('0x' || substr(md5($e), 1, 15))::UBIGINT AS BIGINT) % $MinhashMod)"
+
   /** Word 3-shingles of `text` (single-space tokenized); docs shorter than
     * 3 tokens fall back to one truncated shingle (both engines slice
-    * past-the-end leniently, so semantics agree).
+    * past-the-end leniently, so semantics agree). The token array is bound
+    * to a column BEFORE the lambda — split() referenced inside the
+    * higher-order function would re-tokenize the document once per shingle
+    * (observed 8× on the signature query).
     */
   private val shinglesExpr =
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
-      "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(toks, i, 3)))"
 
   private val shinglesSqlCte =
     """sh AS (
@@ -58,17 +83,20 @@ object Dedup {
       |)""".stripMargin
 
   /** MinHash signature over a shingle relation (doc_id, shingle): wide form,
-    * one min-aggregate per permutation, single shuffle keyed on doc_id.
+    * one min-aggregate per affine permutation of a single md5 base hash,
+    * single shuffle keyed on doc_id.
     */
   def minhashSignature(shingled: DataFrame): DataFrame = {
+    val hashed = shingled.select(col("doc_id"), baseHash(col("shingle")))
     val mins = (0 until NumPerms).map(p =>
-      min(h60(col("shingle"), p)).as(f"mh$p%02d"))
-    shingled.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      min((col("hb") * permA(p) + permB(p)) % MinhashMod).as(f"mh$p%02d"))
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** 3-shingle relation of the documents table. */
   def shingles3(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
+    docs.select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("shingle"))
 
   /** Unigram (token) shingle relation — token-reordered copies collide. */
   def shingles1(docs: DataFrame): DataFrame =
@@ -165,14 +193,45 @@ object Dedup {
         .orderBy(col("keeper_doc_id"))
     },
 
+    // Exact 3-gram (shingle-set) Jaccard over a deterministic pair sample
+    // (each doc vs its successor) — the ground-truth measure the MinHash
+    // signatures estimate; a fixed linear-size sample, never all-pairs.
+    GraftQuery.of("dedup_ngram_jaccard",
+      s"""WITH $shinglesSqlCte, ssets AS (
+         |  SELECT doc_id, list_sort(list_distinct(list(shingle))) AS sset
+         |  FROM sh GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.sset, b.sset))::DOUBLE /
+         |        (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))::DOUBLE,
+         |        6) AS jaccard
+         |FROM ssets a JOIN ssets b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin) { (s, d) =>
+      val ssets = shingles3(documents(s, d))
+        .groupBy(col("doc_id"))
+        .agg(expr("array_sort(array_distinct(collect_list(shingle)))").as("sset"))
+      val a = ssets.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
+      val b = ssets.select(col("doc_id").as("doc_b"), col("sset").as("sb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            (size(col("sa")) + size(col("sb")) -
+              size(array_intersect(col("sa"), col("sb")))).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("doc_a"))
+    },
+
     // MinHash signature matrix over 3-shingles.
     GraftQuery.of("dedup_minhash_sig", {
       val aggCols = (0 until NumPerms)
-        .map(p => f"min(${h60Sql("shingle", p)}) AS mh$p%02d").mkString(",\n  ")
-      s"""WITH $shinglesSqlCte
+        .map(p => f"min((hb * ${permA(p)} + ${permB(p)}) %% $MinhashMod) AS mh$p%02d")
+        .mkString(",\n  ")
+      s"""WITH $shinglesSqlCte, hashed AS (
+         |  SELECT doc_id, ${baseHashSql("shingle")} AS hb FROM sh
+         |)
          |SELECT doc_id,
          |  $aggCols
-         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM hashed GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       minhashSignature(shingles3(documents(s, d))).orderBy(col("doc_id"))
     },
@@ -180,7 +239,8 @@ object Dedup {
     // LSH candidate pairs + exact Jaccard verification.
     GraftQuery.of("dedup_lsh_pairs", {
       val aggCols = (0 until NumPerms)
-        .map(p => f"min(${h60Sql("tok", p)}) AS mh$p%02d").mkString(",\n  ")
+        .map(p => f"min((hb * ${permA(p)} + ${permB(p)}) %% $MinhashMod) AS mh$p%02d")
+        .mkString(",\n  ")
       val bandCols = (0 until NumBands).map { b =>
         val rows = (b * NumPerms / NumBands until (b + 1) * NumPerms / NumBands)
           .map(p => f"mh$p%02d::VARCHAR").mkString(" || ',' || ")
@@ -191,10 +251,12 @@ object Dedup {
         .mkString("\n  UNION ALL ")
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), hashed AS (
+         |  SELECT doc_id, ${baseHashSql("tok")} AS hb FROM toks
          |), sig AS (
          |  SELECT doc_id,
          |  $aggCols
-         |  FROM toks GROUP BY doc_id
+         |  FROM hashed GROUP BY doc_id
          |), banded AS (
          |  SELECT doc_id, $bandCols FROM sig
          |), bands AS (

@@ -127,5 +127,34 @@ object Similarity {
     // path in the test suite; no SQL oracle (hyperplane signs live in Scala).
     GraftQuery.noOracle("sim_knn_lsh") { (s, d) =>
       knnLsh(embeddings(s, d), nProbes = 5, k = 10)
+    },
+
+    // Embedding-cosine near-dup detection: each vector's nearest neighbor
+    // with a duplicate flag at cosine ≥ 0.95. Exact (all-pairs) at test SF;
+    // the LSH bucketing above is the drop-in candidate generator at corpus
+    // scale (same cosine column, bucket-join instead of crossJoin).
+    GraftQuery.of("dedup_embedding_nn",
+      """WITH pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS nn_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT vec_id, nn_id, cosine,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
+        |  FROM pairs)
+        |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).withColumn("nsq", normSq("embedding"))
+      val a = e.select(col("vec_id"), col("embedding").as("pe"), col("nsq").as("pnsq"))
+      val b = e.select(col("vec_id").as("nn_id"), col("embedding").as("ne"),
+        col("nsq").as("nnsq"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nn_id"))
+      a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("cosine", round(dot("pe", "ne") / sqrt(col("pnsq") * col("nnsq")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nn_id"), col("cosine"),
+          (col("cosine") >= 0.95).as("is_dup"))
+        .orderBy(col("vec_id"))
     })
 }

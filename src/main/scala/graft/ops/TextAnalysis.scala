@@ -144,6 +144,22 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // BPE-ish token counting: letter runs / digit runs / single symbols —
+    // the pre-tokenization regex shape BPE tokenizers apply before merges.
+    GraftQuery.of("text_token_bpe",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
+        |    AS n_bpe_tokens,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+          .cast("long").as("n_bpe_tokens"),
+        expr("size(split(text, ' '))").cast("long").as("n_ws_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-language/source corpus histogram (A12-style over documents).
     GraftQuery.of("text_corpus_summary",
       """SELECT lang, source, count(*) AS n_docs,

@@ -13,8 +13,8 @@ object Profile {
     val sfDir = args(0)
     val what = args(1)
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .master(sys.env.getOrElse("PROFILE_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("PROFILE_SHUFFLE", "8"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,6 +51,13 @@ object Profile {
         time("pairs.distinct.count")(println(dp.count()))
         time("full query.count")(println(Dedup.lshCandidatePairs(docs).count()))
         time("full query again")(println(Dedup.lshCandidatePairs(docs).count()))
+      case "seq" =>
+        // args(2..): query names, run in order in ONE session — reproduces
+        // bench-style shared-JVM behavior.
+        args.drop(2).foreach { name =>
+          val q = graft.SparkEntry.registry.find(_.name == name).get
+          time(name)(println(q.run(spark, sfDir).count()))
+        }
       case name =>
         val q = graft.SparkEntry.registry.find(_.name == name).get
         val df = q.run(spark, sfDir)
