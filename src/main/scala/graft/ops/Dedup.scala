@@ -30,9 +30,11 @@ object Dedup {
   val NumPerms = 16 // MinHash permutations
   val NumBands = 4  // LSH bands → 4 rows per band
 
-  /** 60-bit integer hash of a string column, reproducible in DuckDB. */
+  /** 60-bit integer hash of a string column, reproducible in DuckDB.
+    * Native Catalyst expression — no hex-string round-trip per row.
+    */
   def h60(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(c, lit("#" + seed))), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Hash60.md5hash60(concat(c, lit("#" + seed)))
 
   /** Same hash as [[h60]] in DuckDB SQL, over SQL expression `e`. */
   def h60Sql(e: String, seed: Int): String =
@@ -59,7 +61,7 @@ object Dedup {
 
   /** Base hash of a shingle: 60-bit md5 integer reduced mod M. */
   def baseHash(c: Column): Column =
-    (conv(substring(md5(c), 1, 15), 16, 10).cast("long") % MinhashMod).as("hb")
+    (graft.functions.Md5Hash60.md5hash60(c) % MinhashMod).as("hb")
 
   def baseHashSql(e: String): String =
     s"(CAST(('0x' || substr(md5($e), 1, 15))::UBIGINT AS BIGINT) % $MinhashMod)"
@@ -157,8 +159,9 @@ object Dedup {
     val js = broadcast(docs.sparkSession.range(0, 32)
       .select(col("id").cast("int").as("j")))
     toks.crossJoin(js)
+      .withColumn("h", h60(col("tok"), 0))
       .withColumn("contrib",
-        col("cnt") * (expr(s"shiftright(${h60Expr("tok", 0)}, j) % 2") * 2 - 1))
+        col("cnt") * (expr("shiftright(h, j) % 2") * 2 - 1))
       .groupBy(col("doc_id"), col("j"))
       .agg(sum(col("contrib")).as("s"))
       .withColumn("bitval",

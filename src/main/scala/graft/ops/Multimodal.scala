@@ -29,7 +29,7 @@ object Multimodal {
     require(dim > 0 && dim % 4 == 0, s"dim must be a positive multiple of 4: $dim")
     val words = (0 until dim / 4).flatMap { w =>
       // 4 features per md5: bytes 0-3 of the 60-bit word, scaled to [0,1).
-      val h = conv(substring(md5(concat(blob, lit(s":$w"))), 1, 15), 16, 10).cast("long")
+      val h = graft.functions.Md5Hash60.md5hash60(concat(blob, lit(s":$w")))
       (0 until 4).map(b => (shiftright(h, 8 * b).bitwiseAND(lit(255L))).cast("double") / 255.0)
     }
     array(words: _*)

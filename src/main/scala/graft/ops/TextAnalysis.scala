@@ -140,7 +140,7 @@ object TextAnalysis {
         md5(concat_ws(" ", expr("array_sort(array_distinct(split(text, ' ')))")))
           .as("fp_set"),
         md5(concat_ws(" ", expr("array_sort(split(text, ' '))"))).as("fp_multiset"),
-        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp64"))
+        graft.functions.Md5Hash60.md5hash60(col("text")).as("fp64"))
         .orderBy(col("doc_id"))
     },
 
