@@ -29,24 +29,17 @@ import Tables._
   */
 object Similarity {
 
-  /** Sum of squares of a float-array column, computed in double. */
-  private def normSq(arr: String): Column =
-    expr(s"aggregate($arr, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
-
-  /** Dot product of two float-array columns, computed in double. */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  import graft.functions.CosineSim.cosineSim
 
   /** Brute-force cosine top-k for a probe set (vec_id < nProbes). */
   def knnBrute(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
-    val withNorm = emb.withColumn("nsq", normSq("embedding"))
-    val probes = withNorm.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nsq").as("pnsq"))
-    val cands = withNorm
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("nsq").as("nnsq"))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cands = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val scored = cands.crossJoin(broadcast(probes))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(dot("pe", "ne") / sqrt(col("pnsq") * col("nnsq")), 6))
+      .withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -80,22 +73,19 @@ object Similarity {
     */
   def knnLsh(emb: DataFrame, nProbes: Int, k: Int, bits: Int = 4): DataFrame = {
     val dim = 64
-    val withBucket = emb
-      .withColumn("nsq", normSq("embedding"))
-      .withColumn("bucket", lshBucket("embedding", bits, dim))
+    val withBucket = emb.withColumn("bucket", lshBucket("embedding", bits, dim))
 
     val probeBuckets = (0 until bits).map(m => col("bucket").bitwiseXOR(lit(1L << m))) :+ col("bucket")
     val probes = withBucket.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nsq").as("pnsq"),
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         explode(array(probeBuckets: _*)).as("bucket"))
 
     val cands = withBucket
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
-        col("nsq").as("nnsq"), col("bucket"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
 
     val scored = cands.join(broadcast(probes), Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(dot("pe", "ne") / sqrt(col("pnsq") * col("nnsq")), 6))
+      .withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -144,13 +134,12 @@ object Similarity {
         |  FROM pairs)
         |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
-      val e = embeddings(s, d).withColumn("nsq", normSq("embedding"))
-      val a = e.select(col("vec_id"), col("embedding").as("pe"), col("nsq").as("pnsq"))
-      val b = e.select(col("vec_id").as("nn_id"), col("embedding").as("ne"),
-        col("nsq").as("nnsq"))
+      val e = embeddings(s, d)
+      val a = e.select(col("vec_id"), col("embedding").as("pe"))
+      val b = e.select(col("vec_id").as("nn_id"), col("embedding").as("ne"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nn_id"))
       a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
-        .withColumn("cosine", round(dot("pe", "ne") / sqrt(col("pnsq") * col("nnsq")), 6))
+        .withColumn("cosine", round(cosineSim(col("pe"), col("ne")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("nn_id"), col("cosine"),
