@@ -93,6 +93,46 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** IVF ANN: a deterministic coarse quantizer — `nlist` centroids are
+    * md5-order-sampled from the corpus itself (no RNG, no k-means
+    * iterations; a trained codebook drops in by swapping the centroid
+    * frame). Every vector joins its nearest centroid's inverted list once
+    * (broadcast centroids — they are tiny by construction); probes search
+    * the `nprobe` nearest lists and re-rank exactly. All shuffles are keyed
+    * on the centroid id, candidates ≈ corpus × nprobe / nlist per probe.
+    */
+  def knnIvf(emb: DataFrame, nProbes: Int, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import graft.functions.Md5Hash60.md5hash60
+    val centroids = broadcast(
+      emb.orderBy(md5hash60(col("vec_id").cast("string")), col("vec_id"))
+        .limit(nlist)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+
+    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+      df.crossJoin(centroids)
+        .withColumn("csim", cosineSim(col("embedding"), col("ce")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("ce", "csim", "crn")
+    }
+
+    val lists = assign(emb, "vec_id", 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
+    val probes = assign(emb.filter(col("vec_id") < nProbes), "vec_id", nprobe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cid"))
+
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("sim"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Brute-force cosine top-10 for probes vec_id ∈ [0, 5).
@@ -117,6 +157,11 @@ object Similarity {
     // path in the test suite; no SQL oracle (hyperplane signs live in Scala).
     GraftQuery.noOracle("sim_knn_lsh") { (s, d) =>
       knnLsh(embeddings(s, d), nProbes = 5, k = 10)
+    },
+
+    // IVF-bucketed ANN, same probes — recall-tested against brute force.
+    GraftQuery.noOracle("sim_knn_ivf") { (s, d) =>
+      knnIvf(embeddings(s, d), nProbes = 5, k = 10)
     },
 
     // Embedding-cosine near-dup detection: each vector's nearest neighbor

@@ -67,6 +67,16 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("IVF ANN recall vs brute-force cosine top-10 is usable") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(emb, nProbes = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("LSH ANN recall vs brute-force cosine top-10 is usable") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()
