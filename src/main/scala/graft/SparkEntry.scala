@@ -16,9 +16,9 @@ object SparkEntry {
     * (dedup, similarity search, text analysis, events, multimodal).
     */
   val registry: Seq[GraftQuery] =
-    Relational.queries ++ DwcQueries.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries ++ Events.queries ++
-      Multimodal.queries
+    Relational.queries ++ DwcQueries.queries ++ ArchiveQueries.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Events.queries ++ Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

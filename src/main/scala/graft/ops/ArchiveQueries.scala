@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.dwca.DwcaArchive
+
+/** DwC-Archive source operators (SURVEY §2.1 S1/S2/S5) registered against
+  * the driver's oracle: the engine reads the reference's own fixture
+  * archives (meta.xml-described CSV, positional term naming, id/coreid
+  * convention) and DuckDB re-reads the same files via `read_csv` — so the
+  * whole ingestion path (dialect options, header skip, all-string typing,
+  * column naming) is hash-compared, not just unit-tested.
+  *
+  * The fixtures are part of the repo (copies of the reference's test
+  * archives), so these queries ignore the sfDir parameter.
+  */
+object ArchiveQueries {
+
+  private val occSimple =
+    "/root/repo/src/test/resources/occurrence_archives/dwca-simple"
+  private val eventSimple =
+    "/root/repo/src/test/resources/event_archives/dwca-simple"
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // S1 + S5 — core read with meta.xml dialect: all columns arrive as
+    // strings named by DwC term local names; row order pinned by id.
+    GraftQuery.of("q_s1_archive_core_read",
+      s"""SELECT id, occurrenceID, scientificName, decimalLatitude,
+         |  decimalLongitude, eventDate, recordedBy, geodeticDatum, basisOfRecord
+         |FROM read_csv('$occSimple/occurrence.txt', header = true, all_varchar = true)
+         |ORDER BY CAST(id AS BIGINT)""".stripMargin) { (s, _) =>
+      DwcaArchive.open(s, occSimple).coreDataFrame
+        .orderBy(col("id").cast("long"))
+    },
+
+    // S2 — extension read + the core ⋈ extension star join on id = coreid
+    // (extension columns arrive prefixed with the extension row type).
+    GraftQuery.of("q_s2_archive_join",
+      s"""SELECT c.id, c.eventID, c.eventDate, e.coreid,
+         |  e.occurrenceStatus AS occurrence_occurrenceStatus,
+         |  e.basisOfRecord AS occurrence_basisOfRecord
+         |FROM read_csv('$eventSimple/event.txt', header = true, all_varchar = true) c
+         |LEFT JOIN (
+         |  SELECT column0 AS coreid, column1 AS occurrenceStatus, column2 AS basisOfRecord
+         |  FROM read_csv('$eventSimple/occurrence.txt', header = false, skip = 1,
+         |                all_varchar = true)
+         |) e ON c.id = e.coreid
+         |ORDER BY CAST(c.id AS BIGINT)""".stripMargin) { (s, _) =>
+      val archive = DwcaArchive.open(s, eventSimple)
+      val occExt = archive.descriptor.extensions
+        .find(_.rowTypeLocalName == "Occurrence").get
+      archive.joined(occExt)
+        .select(col("id"), col("eventID"), col("eventDate"), col("coreid"),
+          col("occurrence_occurrenceStatus"), col("occurrence_basisOfRecord"))
+        .orderBy(col("id").cast("long"))
+    })
+}
