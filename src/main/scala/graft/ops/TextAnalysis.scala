@@ -144,6 +144,16 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Rabin rolling-hash document fingerprint (order-sensitive, unlike the
+    // bag fingerprints above); native codegen'd expression, no SQL oracle
+    // (locked instead by the exact BigInt-reference unit test).
+    GraftQuery.noOracle("text_rolling_fp") { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        graft.functions.RollingHash61.rollingHash61(col("text")).as("rolling_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // BPE-ish token counting: letter runs / digit runs / single symbols —
     // the pre-tokenization regex shape BPE tokenizers apply before merges.
     GraftQuery.of("text_token_bpe",
