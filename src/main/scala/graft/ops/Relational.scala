@@ -204,6 +204,24 @@ object Relational {
         .orderBy(col("y"), col("dom"))
     },
 
+    // Ordered statistics — exact interpolated percentiles per group. Exact
+    // percentile sorts within each group (fine for bounded groups); at
+    // 100 TB swap in approx_percentile (t-digest) for the same shape
+    // without the per-group sort.
+    GraftQuery.of("q_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS price_p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("price_p75"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // ------------------------------------------------------------------
     // TPC-H-style headline queries (bench workload).
     // ------------------------------------------------------------------
