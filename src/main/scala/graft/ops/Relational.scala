@@ -145,6 +145,21 @@ object Relational {
         .limit(10)
     },
 
+    // A13 at unbounded cardinality — single-pass Space-Saving top-k
+    // (custom TypedImperativeAggregate, constant memory per partition; no
+    // per-distinct-value shuffle row). Capacity exceeds the column's
+    // distinct count here, so the sketch is exact and the oracle is the
+    // plain top-k SQL.
+    GraftQuery.of("q_a13_topk_sketch",
+      """SELECT p_brand AS value, count(*) AS cnt FROM part GROUP BY p_brand
+        |ORDER BY cnt DESC, value LIMIT 10""".stripMargin) { (s, d) =>
+      part(s, d)
+        .agg(graft.functions.SpaceSavingTopK.topKFreq(col("p_brand"), 10, 64).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.value").as("value"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("value"))
+    },
+
     // A14 + E5 — date-part derived histograms (breakdown.py:77-102).
     GraftQuery.of("q_a14_date_histogram",
       """SELECT CAST(date_part('year', ts) AS BIGINT) AS y,

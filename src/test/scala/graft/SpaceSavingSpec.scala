@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SpaceSavingTopK.topKFreq
+
+/** Space-Saving top-k aggregate: exact when capacity ≥ distinct values,
+  * error-bounded in the constrained regime, correct across partition
+  * merges.
+  */
+class SpaceSavingSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  test("exact regime: matches groupBy top-k when capacity covers all values") {
+    val s = spark
+    import s.implicits._
+    // zipf-ish: value i appears (20 - i) times
+    val rows = (0 until 20).flatMap(i => Seq.fill(20 - i)(s"v$i"))
+    val df = s.sparkContext.parallelize(rows, 8).toDF("v") // 8 partitions → merges
+    val sketch = df.agg(topKFreq(col("v"), 5, 64).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.value"), col("e.count"), col("e.error"))
+      .collect()
+    val exact = df.groupBy("v").count().orderBy(col("count").desc, col("v"))
+      .limit(5).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sketch.map(r => (r.getString(0), r.getLong(1))).toSeq == exact.toSeq)
+    assert(sketch.forall(_.getLong(2) == 0L)) // exact ⇒ zero error bounds
+  }
+
+  test("constrained regime: heavy hitter survives and counts respect error bounds") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq.fill(500)("heavy") ++ (0 until 200).map(i => s"light$i")
+    val df = s.sparkContext.parallelize(scala.util.Random.shuffle(rows), 4).toDF("v")
+    val sketch = df.agg(topKFreq(col("v"), 3, 16).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.value"), col("e.count"), col("e.error"))
+      .collect()
+    val top = sketch.head
+    assert(top.getString(0) == "heavy")
+    // space-saving overestimates: true ≤ count ≤ true + error
+    assert(top.getLong(1) >= 500L)
+    assert(top.getLong(1) - top.getLong(2) <= 500L)
+  }
+}
