@@ -10,6 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixed single-thread calibration loop: ~2s on an unthrottled core.
+    // Lets a reader normalize per-query times when the host throttles the
+    // container mid-run (observed: identical workloads 52s vs 630s).
+    val calib = {
+      val t0 = System.nanoTime()
+      var h = 0L
+      var i = 0L
+      while (i < 300000000L) { h = h * 6364136223846793005L + i; i += 1 }
+      if (h == 42L) println(h) // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -18,7 +29,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib}"""
     println(json)
     // Belt-and-braces: sbt may prefix stdout lines, so also drop the JSON
     // where the driver (or a human) can read it unmangled.

@@ -151,6 +151,40 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Transitive closure of near-dup edges into clusters: iterative min-id
+    * label propagation (each node adopts the smallest label among itself
+    * and its neighbors) until fixpoint. Star edges from one LSH round
+    * converge in 2-3 iterations; every iteration is two shuffles keyed on
+    * node/label — the standard large-graph connected-components shape (no
+    * driver materialization; `maxIter` bounds the work).
+    *
+    * Input: (doc_a, doc_b) edges. Output: (doc_id, cluster_id) for every
+    * doc appearing in an edge, cluster_id = min doc_id of its component.
+    */
+  def clusters(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true) // truncate the growing iterative lineage
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 32-bit SimHash over the token bag (order-insensitive near-dup hash). */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs
@@ -169,6 +203,58 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(col("bitval")).cast("long").as("simhash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Shared DuckDB CTE chain ending in `verified(doc_a, doc_b, jaccard)` —
+    * the jaccard-verified LSH star edges (used by the pair and cluster
+    * oracles).
+    */
+  private lazy val lshEdgesSqlCtes: String = {
+    val aggCols = (0 until NumPerms)
+      .map(p => f"min((hb * ${permA(p)} + ${permB(p)}) %% $MinhashMod) AS mh$p%02d")
+      .mkString(",\n  ")
+    val bandCols = (0 until NumBands).map { b =>
+      val rows = (b * NumPerms / NumBands until (b + 1) * NumPerms / NumBands)
+        .map(p => f"mh$p%02d::VARCHAR").mkString(" || ',' || ")
+      s"md5($rows) AS bh$b"
+    }.mkString(",\n  ")
+    val bandUnion = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS band, bh$b AS band_hash FROM banded")
+      .mkString("\n  UNION ALL ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), hashed AS (
+       |  SELECT doc_id, ${baseHashSql("tok")} AS hb FROM toks
+       |), sig AS (
+       |  SELECT doc_id,
+       |  $aggCols
+       |  FROM hashed GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, $bandCols FROM sig
+       |), bands AS (
+       |  $bandUnion
+       |), keepers AS (
+       |  SELECT band, band_hash, min(doc_id) AS doc_a
+       |  FROM bands GROUP BY 1, 2 HAVING count(*) > 1
+       |), pairs AS (
+       |  SELECT DISTINCT k.doc_a, b.doc_id AS doc_b
+       |  FROM bands b JOIN keepers k
+       |    ON b.band = k.band AND b.band_hash = k.band_hash
+       |  WHERE b.doc_id > k.doc_a
+       |), tsets AS (
+       |  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS tokset
+       |  FROM documents
+       |), verified AS (
+       |  SELECT * FROM (
+       |    SELECT doc_a, doc_b,
+       |      round(len(list_intersect(ta.tokset, tb.tokset))::DOUBLE /
+       |            (len(ta.tokset) + len(tb.tokset)
+       |             - len(list_intersect(ta.tokset, tb.tokset)))::DOUBLE, 6) AS jaccard
+       |    FROM pairs
+       |    JOIN tsets ta ON ta.doc_id = doc_a
+       |    JOIN tsets tb ON tb.doc_id = doc_b)
+       |  WHERE jaccard >= 0.9
+       |)""".stripMargin
   }
 
   def queries: Seq[GraftQuery] = Seq(
@@ -240,54 +326,28 @@ object Dedup {
     },
 
     // LSH candidate pairs + exact Jaccard verification.
-    GraftQuery.of("dedup_lsh_pairs", {
-      val aggCols = (0 until NumPerms)
-        .map(p => f"min((hb * ${permA(p)} + ${permB(p)}) %% $MinhashMod) AS mh$p%02d")
-        .mkString(",\n  ")
-      val bandCols = (0 until NumBands).map { b =>
-        val rows = (b * NumPerms / NumBands until (b + 1) * NumPerms / NumBands)
-          .map(p => f"mh$p%02d::VARCHAR").mkString(" || ',' || ")
-        s"md5($rows) AS bh$b"
-      }.mkString(",\n  ")
-      val bandUnion = (0 until NumBands)
-        .map(b => s"SELECT doc_id, $b AS band, bh$b AS band_hash FROM banded")
-        .mkString("\n  UNION ALL ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-         |), hashed AS (
-         |  SELECT doc_id, ${baseHashSql("tok")} AS hb FROM toks
-         |), sig AS (
-         |  SELECT doc_id,
-         |  $aggCols
-         |  FROM hashed GROUP BY doc_id
-         |), banded AS (
-         |  SELECT doc_id, $bandCols FROM sig
-         |), bands AS (
-         |  $bandUnion
-         |), keepers AS (
-         |  SELECT band, band_hash, min(doc_id) AS doc_a
-         |  FROM bands GROUP BY 1, 2 HAVING count(*) > 1
-         |), pairs AS (
-         |  SELECT DISTINCT k.doc_a, b.doc_id AS doc_b
-         |  FROM bands b JOIN keepers k
-         |    ON b.band = k.band AND b.band_hash = k.band_hash
-         |  WHERE b.doc_id > k.doc_a
-         |), tsets AS (
-         |  SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS tokset
-         |  FROM documents
-         |)
-         |SELECT * FROM (
-         |  SELECT doc_a, doc_b,
-         |    round(len(list_intersect(ta.tokset, tb.tokset))::DOUBLE /
-         |          (len(ta.tokset) + len(tb.tokset)
-         |           - len(list_intersect(ta.tokset, tb.tokset)))::DOUBLE, 6) AS jaccard
-         |  FROM pairs
-         |  JOIN tsets ta ON ta.doc_id = doc_a
-         |  JOIN tsets tb ON tb.doc_id = doc_b)
-         |WHERE jaccard >= 0.9
-         |ORDER BY doc_a, doc_b""".stripMargin
-    }) { (s, d) =>
+    GraftQuery.of("dedup_lsh_pairs",
+      s"""WITH $lshEdgesSqlCtes
+         |SELECT doc_a, doc_b, jaccard FROM verified
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       lshCandidatePairs(documents(s, d))
+    },
+
+    // Near-dup cluster assembly: transitive closure of the verified LSH
+    // edges via min-id label propagation; the DuckDB oracle computes the
+    // same components with a recursive reachability CTE.
+    GraftQuery.of("dedup_clusters",
+      s"""WITH RECURSIVE $lshEdgesSqlCtes, sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM verified
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM verified
+         |), reach AS (
+         |  SELECT src AS node, src AS m FROM (SELECT DISTINCT src FROM sym)
+         |  UNION
+         |  SELECT s.src, r.m FROM sym s JOIN reach r ON r.node = s.dst
+         |)
+         |SELECT node AS doc_id, min(m) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+      clusters(lshCandidatePairs(documents(s, d))).orderBy(col("doc_id"))
     },
 
     // 32-bit SimHash.

@@ -67,6 +67,16 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("cluster closure: chained near-dup edges collapse to one min-id cluster") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; {20} absent (no edges)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("IVF ANN recall vs brute-force cosine top-10 is usable") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()
