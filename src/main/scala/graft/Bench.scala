@@ -10,10 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Fixed single-thread calibration loop: ~2s on an unthrottled core.
-    // Lets a reader normalize per-query times when the host throttles the
-    // container mid-run (observed: identical workloads 52s vs 630s).
-    val calib = {
+    // Fixed single-thread calibration loop, run before AND after the
+    // queries: ~0.3s on an unthrottled core. Lets a reader spot host
+    // throttling of the container (observed: identical workloads 52s vs
+    // 630s wall-clock, with throttling sometimes starting mid-run).
+    def calibrate(): Double = {
       val t0 = System.nanoTime()
       var h = 0L
       var i = 0L
@@ -21,6 +22,7 @@ object Bench {
       if (h == 42L) println(h) // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
+    val calib = calibrate()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -29,7 +31,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib}"""
+    val calibEnd = calibrate()
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_sec":$calib,"calib_end_sec":$calibEnd}"""
     println(json)
     // Belt-and-braces: sbt may prefix stdout lines, so also drop the JSON
     // where the driver (or a human) can read it unmangled.
