@@ -219,6 +219,67 @@ object Relational {
         .orderBy(col("y"), col("dom"))
     },
 
+    // Grouping sets — ROLLUP totals/subtotals in one pass (the same
+    // grouping-sets machinery Breakdowns fuses histograms with). Rollup
+    // NULL markers are coalesced to a sentinel so both engines order rows
+    // identically (Spark sorts NULLS FIRST, DuckDB NULLS LAST).
+    GraftQuery.of("q_rollup",
+      """SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+        |  coalesce(l_linestatus, '<all>') AS linestatus,
+        |  count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    },
+
+    // Semi join — customers who placed at least one urgent order; plans as
+    // LeftSemi (broadcast or shuffled-hash, never materializing orders
+    // columns).
+    GraftQuery.of("q_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).join(
+          orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Anti join — customers with no orders at all (LeftAnti).
+    GraftQuery.of("q_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).join(orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Set operations — INTERSECT and EXCEPT over projected key sets.
+    GraftQuery.of("q_set_ops",
+      """SELECT 'both' AS side, CAST(k AS BIGINT) AS k FROM (
+        |  SELECT o_custkey AS k FROM orders
+        |  INTERSECT SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'customer_only' AS side, CAST(k AS BIGINT) AS k FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY side, k""".stripMargin) { (s, d) =>
+      val orderKeys = orders(s, d).select(col("o_custkey").cast("long").as("k"))
+      val custKeys = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      orderKeys.intersect(custKeys).select(lit("both").as("side"), col("k"))
+        .union(custKeys.except(orderKeys).select(lit("customer_only").as("side"), col("k")))
+        .orderBy(col("side"), col("k"))
+    },
+
     // Ordered statistics — exact interpolated percentiles per group. Exact
     // percentile sorts within each group (fine for bounded groups); at
     // 100 TB swap in approx_percentile (t-digest) for the same shape
