@@ -298,6 +298,35 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // SQL entry path (S3): the engine's spark.sql front-end running a
+    // correlated scalar subquery — Catalyst decorrelates it to an
+    // aggregate + left join; the identical SQL text is the oracle.
+    GraftQuery.of("q_scalar_subquery",
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).createOrReplaceTempView("customer")
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+          |FROM customer ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Date arithmetic — shipping-delay distribution (datediff + bucketed
+    // group-by; exact integer arithmetic on both engines).
+    GraftQuery.of("q_date_arith",
+      """SELECT CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS delay_days,
+        |  count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      lineitem(s, d).join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("delay_days"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("delay_days"))
+    },
+
     // ------------------------------------------------------------------
     // TPC-H-style headline queries (bench workload).
     // ------------------------------------------------------------------
