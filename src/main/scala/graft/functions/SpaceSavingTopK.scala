@@ -97,12 +97,18 @@ case class SpaceSavingTopK(
     new GenericArrayData(top.toArray[Any])
   }
 
+  // Values are length-prefixed raw UTF-8 (writeInt(len) + bytes), NOT
+  // writeUTF: writeUTF throws UTFDataFormatException past 65535 encoded
+  // bytes, and the aggregate accepts arbitrary STRING input — a long
+  // tracked value must not crash shuffle serialization of partial buffers.
   override def serialize(buf: mutable.HashMap[String, (Long, Long)]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
     buf.foreach { case (v, (c, e)) =>
-      out.writeUTF(v); out.writeLong(c); out.writeLong(e)
+      val vb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(vb.length); out.write(vb)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush()
     bytes.toByteArray
@@ -113,7 +119,10 @@ case class SpaceSavingTopK(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, (Long, Long)]
     (0 until n).foreach { _ =>
-      val v = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val vb = new Array[Byte](in.readInt())
+      in.readFully(vb)
+      val v = new String(vb, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
       buf.update(v, (c, e))
     }
     buf

@@ -16,10 +16,26 @@ import graft.dwca.DwcaArchive
   */
 object ArchiveQueries {
 
-  private val occSimple =
-    "/root/repo/src/test/resources/occurrence_archives/dwca-simple"
-  private val eventSimple =
-    "/root/repo/src/test/resources/event_archives/dwca-simple"
+  /** Fixture base directory, resolved at first use rather than hard-coded:
+    * `GRAFT_FIXTURES_DIR` env override first (packaged-jar deployments),
+    * then the conventional repo-relative location from the process working
+    * directory, then the canonical checkout path. Absolute-ized so the
+    * same string works for both the Spark reader and the DuckDB oracle SQL
+    * (which may run in a different working directory).
+    */
+  private lazy val fixturesBase: String = {
+    val candidates = sys.env.get("GRAFT_FIXTURES_DIR").toSeq ++
+      Seq("src/test/resources", "/root/repo/src/test/resources")
+    val base = candidates
+      .find(p => new java.io.File(p, "occurrence_archives/dwca-simple").isDirectory)
+      .getOrElse(throw new IllegalStateException(
+        s"DwC fixture archives not found under any of ${candidates.mkString(", ")}; " +
+          "set GRAFT_FIXTURES_DIR to the directory containing occurrence_archives/"))
+    new java.io.File(base).getAbsolutePath
+  }
+
+  private lazy val occSimple = s"$fixturesBase/occurrence_archives/dwca-simple"
+  private lazy val eventSimple = s"$fixturesBase/event_archives/dwca-simple"
 
   def queries: Seq[GraftQuery] = Seq(
 

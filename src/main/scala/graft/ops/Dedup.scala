@@ -156,16 +156,30 @@ object Dedup {
     * and its neighbors) until fixpoint. Star edges from one LSH round
     * converge in 2-3 iterations; every iteration is two shuffles keyed on
     * node/label — the standard large-graph connected-components shape (no
-    * driver materialization; `maxIter` bounds the work).
+    * driver materialization).
+    *
+    * The edge relation is materialized ONCE up front (localCheckpoint):
+    * without it, every iteration AND the convergence probe would re-run
+    * the whole upstream pipeline (for LSH edges: shingle → MinHash → band
+    * → bucket-join — observed 6× the edge-generation cost for one closure
+    * at sf0.1). Labels are checkpointed per iteration to truncate the
+    * iterative lineage.
+    *
+    * Runs to FIXPOINT. `maxIter` is a safety rail only — min-id
+    * propagation needs O(component diameter) rounds, and chained LSH star
+    * edges can form long paths at scale, so hitting the rail throws
+    * instead of silently returning partially-propagated (wrong) labels.
     *
     * Input: (doc_a, doc_b) edges. Output: (doc_id, cluster_id) for every
     * doc appearing in an edge, cluster_id = min doc_id of its component.
     */
-  def clusters(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(edges: DataFrame, maxIter: Int = 64): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // materialize edges once; iterations only re-scan
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -182,26 +196,36 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters(): label propagation not at fixpoint after $maxIter iterations " +
+          "(component diameter exceeds the rail); raise maxIter — results would be wrong")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** 32-bit SimHash over the token bag (order-insensitive near-dup hash). */
+  /** 32-bit SimHash over the token bag (order-insensitive near-dup hash).
+    *
+    * All 32 bit-plane sums are FUSED into one groupBy(doc_id) aggregation
+    * (32 sum columns) instead of crossJoining a 32-row bit index — that
+    * shape multiplied every (doc, token) row by 32 through a shuffle and
+    * needed a second shuffle to reassemble the hash. Here the token hash
+    * is computed once per (doc, token) row, the 32 signed contributions
+    * are map-side partial-aggregated, and the final hash assembly is a
+    * scalar projection — one shuffle total after the token-count pass.
+    */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-    val js = broadcast(docs.sparkSession.range(0, 32)
-      .select(col("id").cast("int").as("j")))
-    toks.crossJoin(js)
       .withColumn("h", h60(col("tok"), 0))
-      .withColumn("contrib",
-        col("cnt") * (expr("shiftright(h, j) % 2") * 2 - 1))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("s"))
-      .withColumn("bitval",
-        when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bitval")).cast("long").as("simhash"))
+    val bitSums = (0 until 32).map(j =>
+      sum(col("cnt") * (shiftright(col("h"), j) % 2 * 2 - 1)).as(s"s$j"))
+    val hash = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), hash.cast("long").as("simhash"))
       .orderBy(col("doc_id"))
   }
 

@@ -38,22 +38,27 @@ object Events {
     },
 
     // Sessionization: a session break is a >30 min gap between consecutive
-    // events of one user; emits per-user session and event counts.
+    // events of one user; emits per-user session and event counts. The gap
+    // compares INTEGER MICROSECONDS on both engines (unix_micros ≡
+    // epoch_us) — full sub-second precision, no float rounding, and no
+    // whole-second truncation that could flip a gap in (1800s, 1801s)
+    // between engines.
     GraftQuery.of("events_sessionize",
       s"""WITH gaps AS (
          |  SELECT user_id,
-         |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
-         |        PARTITION BY user_id ORDER BY ts, event_id) > $SessionGapSeconds
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |        PARTITION BY user_id ORDER BY ts, event_id) > ${SessionGapSeconds}000000
          |      THEN 1 ELSE 0 END AS new_session
          |  FROM events)
          |SELECT user_id, count(*) AS n_events,
          |  CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
          |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val epoch = unix_timestamp(col("ts").cast("timestamp"))
+      val micros = unix_micros(col("ts"))
       events(s, d)
         .withColumn("new_session",
-          when(epoch - lag(epoch, 1).over(w) > SessionGapSeconds, 1).otherwise(0))
+          when(micros - lag(micros, 1).over(w) > SessionGapSeconds * 1000000L, 1)
+            .otherwise(0))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           (lit(1) + sum(col("new_session"))).cast("long").as("n_sessions"))

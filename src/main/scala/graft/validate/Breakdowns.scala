@@ -100,11 +100,19 @@ object Breakdowns {
   private def groupingSetHistograms(
       df: DataFrame, fields: Seq[(String, Column)]): Map[String, Seq[(String, Long)]] = {
     val projected = df.select(fields.map { case (n, c) => c.as(n) }: _*)
+    // Collect cap+1 rows so overflow is DETECTED: a bare limit(cap) would
+    // silently keep an arbitrary, nondeterministic subset of groups and
+    // return a wrong histogram with no error.
     val grouped = projected
       .groupingSets(fields.map(f => Seq(col(f._1))), fields.map(f => col(f._1)): _*)
       .agg(count(lit(1)).as("cnt"))
-      .limit(HistogramMaxGroups)
+      .limit(HistogramMaxGroups + 1)
       .collect()
+    if (grouped.length > HistogramMaxGroups)
+      throw new IllegalStateException(
+        s"histogram group cardinality exceeds HistogramMaxGroups=$HistogramMaxGroups " +
+          s"for fields ${fields.map(_._1).mkString(",")}; a truncated histogram would " +
+          "be silently wrong — use topValues() for high-cardinality columns")
     fields.map { case (name, _) =>
       val idx = fields.indexWhere(_._1 == name)
       // In a grouping-sets row, exactly one grouping column is non-null
