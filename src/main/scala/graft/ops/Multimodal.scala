@@ -66,15 +66,27 @@ object Multimodal {
     },
 
     // Full stub feature extraction (array column, the shape a model-feature
-    // pipeline materializes). Hash of the feature array keeps the output
-    // scalar; no SQL oracle — covered by the deterministic unit test.
-    GraftQuery.noOracle("mm_feature_extract") { (s, d) =>
+    // pipeline materializes). The digest is md5 over the features recovered
+    // to their exact integer byte values (round(f·255) is exact for
+    // f = k/255.0, k ≤ 255) — float-free, so DuckDB reproduces it by
+    // rebuilding the same 16 bytes from the md5 words directly.
+    GraftQuery.of("mm_feature_extract", {
+      val byteExprs = (0 until 4).flatMap { w =>
+        val h = s"(('0x' || substr(md5(text || ':$w'), 1, 15))::UBIGINT)"
+        (0 until 4).map(b => s"(($h >> ${8 * b}) & 255)::VARCHAR")
+      }
+      s"""SELECT doc_id AS media_id,
+         |  md5(${byteExprs.mkString(" || ',' || ")}) AS features_digest
+         |FROM documents ORDER BY media_id""".stripMargin
+    }) { (s, d) =>
       val media = asMedia(documents(s, d))
       media.select(
         col("media_id"),
         fakeFeatures(col("payload"), 16).as("features"))
         .select(col("media_id"),
-          md5(to_json(struct(col("features")))).as("features_digest"))
+          md5(expr(
+            "array_join(transform(features, f -> cast(cast(round(f * 255) as int) as string)), ',')"))
+            .as("features_digest"))
         .orderBy(col("media_id"))
     })
 }

@@ -112,7 +112,9 @@ object Similarity {
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
       df.crossJoin(centroids)
-        .withColumn("csim", cosineSim(col("embedding"), col("ce")))
+        // round to 6dp before ranking: the assignment is then reproducible
+        // across engines (ties broken by cid on both sides)
+        .withColumn("csim", round(cosineSim(col("embedding"), col("ce")), 6))
         .withColumn("crn", row_number().over(w))
         .filter(col("crn") <= keep)
         .drop("ce", "csim", "crn")
@@ -153,14 +155,70 @@ object Similarity {
       knnBrute(embeddings(s, d), nProbes = 5, k = 10)
     },
 
-    // LSH-bucketed ANN, same probes — recall is verified against the brute
-    // path in the test suite; no SQL oracle (hyperplane signs live in Scala).
-    GraftQuery.noOracle("sim_knn_lsh") { (s, d) =>
+    // LSH-bucketed ANN, same probes. The hyperplane signs are deterministic
+    // md5 derivations, so the oracle embeds the SAME ±1 plane vectors as
+    // SQL array literals and replays bucket assignment + Hamming-1
+    // multiprobe + exact re-rank in DuckDB. (Recall vs brute force is
+    // additionally verified in the test suite.)
+    GraftQuery.of("sim_knn_lsh", {
+      val bits = 4
+      val planes = (0 until bits).map(j => planeColSql(j, 64).replace("array(", "[").replace(")", "]"))
+      val bucketExpr = (0 until bits).map { j =>
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planes(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val probeBuckets = (0 until bits).map(m => s"xor(bucket, ${1L << m})") :+ "bucket"
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    CAST($bucketExpr AS BIGINT) AS bucket
+         |  FROM embeddings
+         |), probes AS (
+         |  SELECT vec_id AS probe_id, e AS pe,
+         |    unnest([${probeBuckets.mkString(", ")}]) AS bucket
+         |  FROM wb WHERE vec_id < 5
+         |), scored AS (
+         |  SELECT probe_id, w.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(pe, w.e), 6) AS sim
+         |  FROM probes p JOIN wb w USING (bucket) WHERE w.vec_id <> p.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
+         |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin
+    }) { (s, d) =>
       knnLsh(embeddings(s, d), nProbes = 5, k = 10)
     },
 
-    // IVF-bucketed ANN, same probes — recall-tested against brute force.
-    GraftQuery.noOracle("sim_knn_ivf") { (s, d) =>
+    // IVF-bucketed ANN, same probes. Centroids are the md5-order sample —
+    // fully reproducible in SQL — so the oracle replays coarse assignment
+    // (6dp-rounded cosine, cid tiebreak), nprobe list selection, and the
+    // exact within-list re-rank.
+    GraftQuery.of("sim_knn_ivf", {
+      val h60 = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT"
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |  FROM embeddings ORDER BY $h60, vec_id LIMIT 16
+         |), asg AS (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS ne, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+         |               c.cid) AS crn
+         |  FROM embeddings e, cents c
+         |), lists AS (
+         |  SELECT vec_id AS neighbor_id, ne, cid FROM asg WHERE crn = 1
+         |), probes AS (
+         |  SELECT vec_id AS probe_id, ne AS pe, cid FROM asg WHERE crn <= 4 AND vec_id < 5
+         |), scored AS (
+         |  SELECT probe_id, neighbor_id,
+         |    round(list_cosine_similarity(pe, l.ne), 6) AS sim
+         |  FROM probes p JOIN lists l USING (cid) WHERE l.neighbor_id <> p.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
+         |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin
+    }) { (s, d) =>
       knnIvf(embeddings(s, d), nProbes = 5, k = 10)
     },
 

@@ -145,9 +145,20 @@ object TextAnalysis {
     },
 
     // Rabin rolling-hash document fingerprint (order-sensitive, unlike the
-    // bag fingerprints above); native codegen'd expression, no SQL oracle
-    // (locked instead by the exact BigInt-reference unit test).
-    GraftQuery.noOracle("text_rolling_fp") { (s, d) =>
+    // bag fingerprints above); native codegen'd expression. The DuckDB
+    // oracle replays the exact recurrence h ← (h·B mod M) + byte (mod M)
+    // as a list_reduce fold with a HUGEINT intermediate product (the
+    // corpus is printable-ASCII, so ord(char) == UTF-8 byte; Spark hashes
+    // the cast-to-binary UTF-8 bytes).
+    GraftQuery.of("text_rolling_fp", {
+      val M = graft.functions.RollingHash61.Mod
+      val B = graft.functions.RollingHash61.Base
+      s"""SELECT doc_id,
+         |  CASE WHEN len(text) = 0 THEN 0 ELSE list_reduce(
+         |    list_transform(range(1, len(text) + 1), i -> ord(substr(text, i, 1))::BIGINT),
+         |    (a, b) -> ((a::HUGEINT * $B % $M + b) % $M)::BIGINT) END AS rolling_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
       documents(s, d).select(
         col("doc_id"),
         graft.functions.RollingHash61.rollingHash61(col("text")).as("rolling_fp"))
