@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSim, Md5Hash60, RollingHash61, SpaceSavingTopK}
+
+/** SQL registration of the engine's native Catalyst expressions, so
+  * `spark.sql("SELECT md5hash60(text) ...")` works like a built-in:
+  *
+  *  - at session BUILD time via `spark.sql.extensions=graft.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)`) — the deployment path;
+  *  - on a LIVE session via [[GraftExtensions.register]] — the path the
+  *    registered queries use, since the driver hands them an already-built
+  *    session.
+  *
+  * All four are native expressions (codegen'd scalar ops, a
+  * TypedImperativeAggregate for the sketch) — registering them does not
+  * introduce any UDF boundary into the plan.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an INT literal, got $other")
+  }
+
+  /** name → builder for every SQL-exposed native function. */
+  val functions: Seq[(String, FunctionBuilder)] = Seq(
+    "md5hash60" -> { args =>
+      require(args.size == 1, "md5hash60(expr)")
+      Md5Hash60(args.head)
+    },
+    "rolling_hash61" -> { args =>
+      require(args.size == 1, "rolling_hash61(expr)")
+      RollingHash61(args.head)
+    },
+    "cosine_sim" -> { args =>
+      require(args.size == 2, "cosine_sim(a, b)")
+      CosineSim(args(0), args(1))
+    },
+    "space_saving_topk" -> { args =>
+      require(args.size == 3, "space_saving_topk(expr, k, capacity)")
+      SpaceSavingTopK(args.head, intLit(args(1), "k"), intLit(args(2), "capacity"))
+    })
+
+  /** Register every function on a live session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }
+}

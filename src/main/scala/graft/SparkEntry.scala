@@ -18,7 +18,8 @@ object SparkEntry {
   val registry: Seq[GraftQuery] =
     Relational.queries ++ DwcQueries.queries ++ ArchiveQueries.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Events.queries ++ Multimodal.queries
+      Events.queries ++ Multimodal.queries ++ ScaleOps.queries ++
+      SqlSurface.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

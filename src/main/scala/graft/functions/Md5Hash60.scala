@@ -3,8 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
@@ -19,15 +18,16 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * justifies a custom Catalyst `Expression` with `doGenCode` over the
   * built-in composition (SURVEY.md §4.4 escalation rule).
   */
-case class Md5Hash60(child: Expression) extends UnaryExpression {
+case class Md5Hash60(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "md5hash60"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+  // STRING (or anything castable) coerces to BINARY like the built-in
+  // hash functions — `md5hash60(text)` works from SQL without an explicit
+  // CAST.
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
   override protected def nullSafeEval(input: Any): Any =
     Md5Hash60.hash60(input.asInstanceOf[Array[Byte]])

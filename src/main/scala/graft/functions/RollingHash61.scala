@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
@@ -18,15 +17,14 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * window (subtract `byte_out · B^(w−1)`, multiply, add `byte_in`) reuses
   * [[RollingHash61.mulmod]] unchanged.
   */
-case class RollingHash61(child: Expression) extends UnaryExpression {
+case class RollingHash61(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash61"
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires BINARY input, got ${child.dataType.catalogString}")
+  // STRING coerces to BINARY (UTF-8 bytes) like the built-in hashes.
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
 
   override protected def nullSafeEval(input: Any): Any =
     RollingHash61.hash(input.asInstanceOf[Array[Byte]])

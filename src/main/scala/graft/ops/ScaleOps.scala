@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Scale-pattern operators: as-of (point-in-time) join and skew-salted
+  * shuffle join. Both are *shapes* — the registered queries demonstrate
+  * them over the testdata, and the helpers take arbitrary frames.
+  */
+object ScaleOps {
+
+  /** Backward as-of join: for every left row, the latest right row of the
+    * same key with `right.time <= left.time` (ties on `time` see the right
+    * row — inclusive semantics; right-side order at equal time is broken
+    * by `tieBreak`, latest wins).
+    *
+    * Spark has no native as-of join, and the naive formulations both break
+    * at scale: an inequality theta-join degenerates to
+    * BroadcastNestedLoopJoin, and a per-left-row MAX subquery is a second
+    * shuffle plus a re-join. This is the scalable shape: UNION both sides
+    * (right payload carried in side-tagged columns), ONE shuffle on the
+    * key, one in-partition sort by (time, side, tieBreak), and a running
+    * `last(ignoreNulls)` window fills each left row with the most recent
+    * right payload. Cost = one shuffle + one sort regardless of match
+    * fan-out; skew handling (salting, AQE) composes on the key column
+    * unchanged.
+    *
+    * `rightVals` are emitted as `asof_<name>`, null where no right row
+    * precedes the left row.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+      time: String, tieBreak: String, rightVals: Seq[String]): DataFrame = {
+    val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftCols = left.columns.toSeq
+    val lSide = left.withColumn("__side", lit(1))
+    val rSide = right.select(
+      ((key :+ time :+ tieBreak).distinct.map(col) ++
+        rightVals.map(v => col(v).as(s"__r_$v"))): _*)
+      .withColumn("__side", lit(0))
+    val un = lSide.unionByName(rSide, allowMissingColumns = true)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(time), col("__side"), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(un)((df, v) =>
+      df.withColumn(s"asof_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ rightVals.map(v => col(s"asof_$v"))): _*)
+      .drop("__side")
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Point-in-time enrichment: every event carries the id/value of the
+    // user's most recent purchase at-or-before it. The oracle replays the
+    // identical union+window formulation (same ordering, same tie rules).
+    GraftQuery.of("events_asof_purchase",
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_id AS r_eid, value AS r_val
+        |  FROM events WHERE event_type = 'purchase'
+        |), un AS (
+        |  SELECT user_id, ts, event_id, event_type, 1 AS side,
+        |    NULL::BIGINT AS r_eid, NULL::DOUBLE AS r_val
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, NULL, 0, r_eid, r_val FROM r
+        |), filled AS (
+        |  SELECT *,
+        |    last_value(r_eid IGNORE NULLS) OVER w AS last_purchase_id,
+        |    last_value(r_val IGNORE NULLS) OVER w AS last_purchase_value
+        |  FROM un
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, event_type,
+        |  last_purchase_id, last_purchase_value
+        |FROM filled WHERE side = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      asofJoin(ev, purchases, key = Seq("user_id"), time = "ts",
+        tieBreak = "event_id", rightVals = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("asof_event_id").as("last_purchase_id"),
+          col("asof_value").as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Skew-salted shuffle join: the fact side gets a deterministic salt,
+    // the other side is replicated once per salt value, and the join key
+    // becomes (key, salt) — a hot key's rows spread over R partitions
+    // instead of one straggler. The result is provably identical to the
+    // unsalted join (the oracle IS the plain join), which is the point:
+    // salting is a physical rewrite, not a semantic one.
+    GraftQuery.of("q_salted_join",
+      """SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val R = 8
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+        .withColumn("__salt", pmod(col("l_linenumber"), lit(R)))
+      val ord = orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("__salt", explode(array((0 until R).map(lit(_)): _*)))
+      li.join(ord,
+          li("l_orderkey") === ord("o_orderkey") && li("__salt") === ord("__salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    })
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** The engine's SQL text surface: every native expression is reachable
+  * from `spark.sql(...)` via [[graft.GraftExtensions]] (session-build
+  * injection or live-session registration — these queries use the latter,
+  * since the driver hands them an already-built session).
+  */
+object SqlSurface {
+
+  private val rollingFoldSql = {
+    val M = graft.functions.RollingHash61.Mod
+    val B = graft.functions.RollingHash61.Base
+    s"""CASE WHEN len(text) = 0 THEN 0 ELSE list_reduce(
+       |    list_transform(range(1, len(text) + 1), i -> ord(substr(text, i, 1))::BIGINT),
+       |    (a, b) -> ((a::HUGEINT * $B % $M + b) % $M)::BIGINT) END""".stripMargin
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Scalar native functions through SQL text: 60-bit md5 fingerprint and
+    // the Rabin rolling hash, exactly as a SQL-only user would call them.
+    GraftQuery.of("q_ext_sql_scalar",
+      s"""SELECT doc_id,
+         |  CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT) AS fp64,
+         |  $rollingFoldSql AS rolling_fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.GraftExtensions.register(s)
+      documents(s, d).createOrReplaceTempView("documents_ext")
+      s.sql("""SELECT doc_id, md5hash60(text) AS fp64, rolling_hash61(text) AS rolling_fp
+              |FROM documents_ext ORDER BY doc_id""".stripMargin)
+    },
+
+    // Native cosine through SQL text over consecutive embedding pairs.
+    GraftQuery.of("q_ext_sql_cosine",
+      """SELECT a.vec_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+        |    AS cos_next
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
+      graft.GraftExtensions.register(s)
+      embeddings(s, d).createOrReplaceTempView("embeddings_ext")
+      s.sql("""SELECT a.vec_id, round(cosine_sim(a.embedding, b.embedding), 6) AS cos_next
+              |FROM embeddings_ext a JOIN embeddings_ext b ON b.vec_id = a.vec_id + 1
+              |ORDER BY a.vec_id""".stripMargin)
+    },
+
+    // The Space-Saving sketch as a SQL aggregate; capacity (64) exceeds the
+    // distinct count so counts are exact and errors 0 — the oracle is the
+    // exact groupBy top-k.
+    GraftQuery.of("q_ext_sql_topk",
+      """SELECT event_type AS value, count(*) AS cnt, 0::BIGINT AS max_err
+        |FROM events GROUP BY event_type
+        |ORDER BY cnt DESC, value LIMIT 3""".stripMargin) { (s, d) =>
+      graft.GraftExtensions.register(s)
+      events(s, d).createOrReplaceTempView("events_ext")
+      s.sql("""SELECT x.value AS value, x.count AS cnt, x.error AS max_err
+              |FROM (SELECT explode(space_saving_topk(event_type, 3, 64)) AS x
+              |      FROM events_ext)
+              |ORDER BY cnt DESC, value""".stripMargin)
+    })
+}

@@ -16,4 +16,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder on a LIVE session's registry (the
+    * post-construction counterpart of `SparkSessionExtensions
+    * .injectFunction`, which only applies while a session is being built).
+    * `sessionState` is `private[sql]`, hence this lives in the bridge.
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ScaleOps
+
+class ScaleOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: inclusive backward match, latest right row wins, null before first") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // before any right row
+      (1L, ts("2024-01-01 12:00:00"), 101L), // exactly at r1 -> inclusive match
+      (1L, ts("2024-01-01 15:00:00"), 102L), // after r1 and r2 -> r2 (latest)
+      (2L, ts("2024-01-01 09:00:00"), 200L)  // other key, no right rows
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 900L, 12.5),
+      (1L, ts("2024-01-01 13:00:00"), 901L, 99.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+
+    val out = ScaleOps.asofJoin(left, right, key = Seq("user_id"), time = "ts",
+      tieBreak = "event_id", rightVals = Seq("value"))
+      .orderBy(col("event_id")).collect()
+
+    assert(out.map(r => Option(r.getAs[Any]("asof_value"))).toSeq ==
+      Seq(None, Some(12.5), Some(99.0), None))
+  }
+
+  test("extension-registered SQL functions match the native column API") {
+    GraftExtensions.register(spark)
+    Seq((1L, "hello world"), (2L, "")).toDF("id", "text")
+      .createOrReplaceTempView("ext_spec_docs")
+    val viaSql = spark.sql(
+      "SELECT id, md5hash60(text) AS h, rolling_hash61(text) AS r FROM ext_spec_docs ORDER BY id")
+      .collect()
+    val viaApi = Seq((1L, "hello world"), (2L, "")).toDF("id", "text")
+      .select(col("id"), graft.functions.Md5Hash60.md5hash60(col("text")).as("h"),
+        graft.functions.RollingHash61.rollingHash61(col("text")).as("r"))
+      .orderBy(col("id")).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaApi.map(_.toSeq).toSeq)
+
+    Seq((1L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)), (2L, Array(1.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("id", "a", "b").createOrReplaceTempView("ext_spec_vecs")
+    val cos = spark.sql(
+      "SELECT round(cosine_sim(a, b), 6) AS c FROM ext_spec_vecs ORDER BY id")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(cos == Seq(0.0, 1.0))
+
+    Seq("x", "x", "x", "y", "y", "z").toDF("v").createOrReplaceTempView("ext_spec_vals")
+    val tk = spark.sql(
+      """SELECT e.value, e.count FROM (
+        |  SELECT explode(space_saving_topk(v, 2, 16)) AS e FROM ext_spec_vals)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tk == Seq(("x", 3L), ("y", 2L)))
+  }
+
+  test("GraftExtensions injects all functions at session-build time") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must register without throwing
+    assert(GraftExtensions.functions.map(_._1).sorted ==
+      Seq("cosine_sim", "md5hash60", "rolling_hash61", "space_saving_topk"))
+  }
+
+  test("salted join equals the plain join") {
+    val plain = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .join(graft.ops.Tables.orders(spark, "/root/testdata/sf0.001"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = SparkEntry.queries("q_salted_join")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n_items"))).toSeq
+    assert(salted == plain)
+  }
+}
