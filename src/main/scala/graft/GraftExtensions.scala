@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSim, Md5Hash60, RollingHash61, SpaceSavingTopK}
+import graft.functions.{CdcBoundaries, CosineSim, Md5Hash60, RollingHash61, SpaceSavingTopK}
 
 /** SQL registration of the engine's native Catalyst expressions, so
   * `spark.sql("SELECT md5hash60(text) ...")` works like a built-in:
@@ -55,6 +55,10 @@ object GraftExtensions {
     "space_saving_topk" -> { args =>
       require(args.size == 3, "space_saving_topk(expr, k, capacity)")
       SpaceSavingTopK(args.head, intLit(args(1), "k"), intLit(args(2), "capacity"))
+    },
+    "cdc_boundaries" -> { args =>
+      require(args.size == 3, "cdc_boundaries(expr, window, mask)")
+      CdcBoundaries(args.head, intLit(args(1), "window"), intLit(args(2), "mask").toLong)
     })
 
   /** Register every function on a live session (idempotent). */

@@ -27,23 +27,35 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
   private def isFloatArray(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+    if (isVec(left.dataType) && isVec(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two ARRAY<FLOAT> inputs, got " +
+      s"$prettyName requires ARRAY<FLOAT>/ARRAY<DOUBLE> inputs, got " +
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
 
+  // Element accessors are resolved once from the static input types
+  // (constants in the generated code), so the hot loop has no per-element
+  // type branch after JIT.
+  private lazy val leftIsFloat = isFloatArray(left.dataType)
+  private lazy val rightIsFloat = isFloatArray(right.dataType)
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    CosineSim.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSim.cosine($a, $b)")
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.CosineSim.cosine($a, $b, $leftIsFloat, $rightIsFloat)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -52,16 +64,16 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
 object CosineSim {
 
-  /** One-pass cosine over float ArrayData, accumulating in double. */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  /** One-pass cosine over float/double ArrayData, accumulating in double. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
       na += x * x
       nb += y * y

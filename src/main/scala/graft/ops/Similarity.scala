@@ -135,7 +135,97 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Lloyd-trained IVF codebook: start from the deterministic md5-order
+    * sample (same init as [[knnIvf]]), then `iters` rounds of
+    * assign-to-nearest (broadcast centroids — one scan of the corpus, no
+    * shuffle for assignment) + elementwise mean (posexplode → ONE shuffle
+    * keyed on (cid, dim), partial aggregation collapses each partition to
+    * ≤ nlist·dim rows before it). Empty clusters carry their previous
+    * centroid forward. Centroid components are rounded to 6dp each round
+    * so the trajectory is reproducible across engines.
+    *
+    * Returns (centroids (cid, ce: array<double>), sizes of the final
+    * assignment (cid, n_members)). The centroid frame drops into
+    * [[knnIvf]]'s inverted-list build unchanged.
+    */
+  def trainCentroids(emb: DataFrame, nlist: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
+    import graft.functions.Md5Hash60.md5hash60
+    var cents = emb.orderBy(md5hash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nlist)
+      .select(col("vec_id").as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("ce"))
+    var lastSizes: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+      val asg = emb.crossJoin(broadcast(cents))
+        .withColumn("csim", round(cosineSim(col("embedding"), col("ce")), 6))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("cid"), col("vec_id"), col("embedding"))
+      lastSizes = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      val newC = asg
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ce_new"))
+      cents = cents.join(newC, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ce_new"), col("ce")).as("ce"))
+    }
+    (cents, lastSizes)
+  }
+
+  /** DuckDB replay of [[trainCentroids]]: one CTE pair per unrolled Lloyd
+    * iteration (6dp-rounded assignment, elementwise mean via zipped
+    * unnest, empty-cluster carry-forward).
+    */
+  private def kmeansSql(nlist: Int, iters: Int): String = {
+    val h60 = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT"
+    val init =
+      s"cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY $h60, vec_id LIMIT $nlist)"
+    val iterCtes = (1 to iters).map { it =>
+      s"""asg$it AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+         |                 c.cid) AS crn
+         |    FROM embeddings e, cents${it - 1} c)
+         |  WHERE crn = 1
+         |), newc$it AS (
+         |  SELECT cid, pos, round(avg(x), 6) AS m FROM (
+         |    SELECT cid, unnest(embedding::DOUBLE[]) AS x,
+         |           unnest(range(0, len(embedding))) AS pos
+         |    FROM asg$it)
+         |  GROUP BY cid, pos
+         |), cents$it AS (
+         |  SELECT c.cid, coalesce(n.ce, c.ce) AS ce
+         |  FROM cents${it - 1} c LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY pos) AS ce FROM newc$it GROUP BY cid) n USING (cid)
+         |)""".stripMargin
+    }
+    s"""WITH $init,
+       |${iterCtes.mkString(",\n")},
+       |sizes AS (SELECT cid, count(*) AS n_members FROM asg$iters GROUP BY cid)
+       |SELECT c.cid, pos AS dim, m AS c_val, coalesce(s.n_members, 0) AS n_members
+       |FROM (SELECT cid, unnest(range(0, len(ce))) AS pos, unnest(ce) AS m FROM cents$iters) c
+       |LEFT JOIN sizes s USING (cid)
+       |ORDER BY cid, dim""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+
+    // Trained IVF codebook: 2 Lloyd iterations from the deterministic
+    // seed; output is the full (cid, dim, component) centroid matrix plus
+    // final cluster sizes, oracle-replayed iteration by iteration.
+    GraftQuery.of("sim_ivf_kmeans", kmeansSql(nlist = 16, iters = 2)) { (s, d) =>
+      val (cents, sizes) = trainCentroids(embeddings(s, d), nlist = 16, iters = 2)
+      cents.select(col("cid"), posexplode(col("ce")).as(Seq("dim", "c_val")))
+        .join(sizes, Seq("cid"), "left")
+        .select(col("cid"), col("dim").cast("long").as("dim"), col("c_val"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"))
+        .orderBy(col("cid"), col("dim"))
+    },
 
     // Brute-force cosine top-10 for probes vec_id ∈ [0, 5).
     GraftQuery.of("sim_knn_brute",

@@ -165,6 +165,36 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Content-defined chunking cut points (CDC dedup primitive): positions
+    // where the 16-byte windowed Rabin hash lands on the mask. The Spark
+    // side is the O(n) rolling native expression; the oracle hashes every
+    // window independently (O(n·w)) — two independent derivations of the
+    // same cut set.
+    GraftQuery.of("text_cdc_chunks", {
+      val M = graft.functions.RollingHash61.Mod
+      val B = graft.functions.RollingHash61.Base
+      val (w, mask) = (16, 63)
+      s"""SELECT doc_id,
+         |  CAST(len(cuts) AS BIGINT) AS n_cuts,
+         |  coalesce(array_to_string(cuts, ','), '') AS cuts_str
+         |FROM (
+         |  SELECT doc_id, list_filter(list_transform(range($w, len(text) + 1),
+         |    i -> CASE WHEN list_reduce(
+         |           list_transform(range(i - ${w - 1}, i + 1), j -> ord(substr(text, j, 1))::BIGINT),
+         |           (a, b) -> ((a::HUGEINT * $B % $M + b) % $M)::BIGINT) & $mask = 0
+         |         THEN i END), x -> x IS NOT NULL) AS cuts
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        graft.functions.CdcBoundaries.cdcBoundaries(col("text"), 16, 63).as("cuts"))
+        .select(col("doc_id"),
+          size(col("cuts")).cast("long").as("n_cuts"),
+          expr("array_join(transform(cuts, x -> cast(x as string)), ',')").as("cuts_str"))
+        .orderBy(col("doc_id"))
+    },
+
     // BPE-ish token counting: letter runs / digit runs / single symbols —
     // the pre-tokenization regex shape BPE tokenizers apply before merges.
     GraftQuery.of("text_token_bpe",

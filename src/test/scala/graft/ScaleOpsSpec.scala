@@ -66,7 +66,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must register without throwing
     assert(GraftExtensions.functions.map(_._1).sorted ==
-      Seq("cosine_sim", "md5hash60", "rolling_hash61", "space_saving_topk"))
+      Seq("cdc_boundaries", "cosine_sim", "md5hash60", "rolling_hash61", "space_saving_topk"))
+  }
+
+  test("cdc boundaries match a brute-force BigInt window hash; insertions shift, not rewrite") {
+    val W = 8
+    val mask = 15L
+    def brute(s: String): Seq[Int] = {
+      val M = BigInt(2).pow(61) - 1
+      val bytes = s.getBytes("UTF-8")
+      (W to bytes.length).filter { i =>
+        val h = bytes.slice(i - W, i).foldLeft(BigInt(0))((a, b) => (a * 1000003 + (b & 0xff)) mod M)
+        (h & mask) == 0
+      }
+    }
+    val base = "the quick brown fox jumps over the lazy dog again and again until dusk"
+    val edited = "XY " + base // local edit at the front
+    val df = Seq((1L, base), (2L, edited)).toDF("id", "text")
+      .select(col("id"),
+        graft.functions.CdcBoundaries.cdcBoundaries(col("text"), W, mask).as("cuts"))
+      .orderBy("id").collect()
+    val got = df.map(_.getAs[scala.collection.Seq[Int]]("cuts").toSeq)
+    assert(got(0) == brute(base))
+    assert(got(1) == brute(edited))
+    // content-defined: every cut after the edit region is the old cut + 3
+    val shifted = got(0).filter(_ > W + 3).map(_ + 3)
+    assert(shifted.forall(got(1).contains), s"base=${got(0)} edited=${got(1)}")
+  }
+
+  test("trained IVF codebook: every centroid 64-dim, sizes cover the corpus") {
+    val emb = graft.ops.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (cents, sizes) = graft.ops.Similarity.trainCentroids(emb, nlist = 16, iters = 2)
+    val c = cents.collect()
+    assert(c.length == 16)
+    assert(c.forall(_.getAs[scala.collection.Seq[Double]]("ce").length == 64))
+    val total = sizes.agg(sum(col("n_members"))).collect()(0).getLong(0)
+    assert(total == emb.count())
   }
 
   test("salted join equals the plain join") {
