@@ -51,6 +51,38 @@ object Profile {
         time("pairs.distinct.count")(println(dp.count()))
         time("full query.count")(println(Dedup.lshCandidatePairs(docs).count()))
         time("full query again")(println(Dedup.lshCandidatePairs(docs).count()))
+      case "clusters_stages" =>
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(spark, sfDir)
+        val edges = time("edges (lshCandidatePairs)")(Dedup.lshCandidatePairs(docs))
+        val sym = time("sym checkpoint") {
+          edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+            .localCheckpoint(true)
+        }
+        println(s"edge rows: ${sym.count()}")
+        var labels = time("labels init") {
+          sym.select(col("src").as("doc_id")).distinct()
+            .withColumn("label", col("doc_id")).localCheckpoint(true)
+        }
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 64) {
+          time(s"iteration $iter") {
+            val neighborMin = sym
+              .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+              .groupBy(col("src").as("doc_id"))
+              .agg(min(col("label")).as("nlabel"))
+            val next = labels.join(neighborMin, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("label").as("old"),
+                least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+              .localCheckpoint(true)
+            converged = next.filter(col("label") =!= col("old")).isEmpty
+            labels = next.select(col("doc_id"), col("label"))
+          }
+          iter += 1
+        }
+        println(s"iterations: $iter")
       case "seq" =>
         // args(2..): query names, run in order in ONE session — reproduces
         // bench-style shared-JVM behavior.
