@@ -87,6 +87,22 @@ object ScaleOps {
         .orderBy(col("event_id"))
     },
 
+    // Partitioned parquet sink round-trip: write documents partitioned by
+    // lang (the layout a 100 TB corpus store uses for partition pruning),
+    // read the partitioned tree back, aggregate. The oracle aggregates the
+    // source directly — green iff the sink wrote every row into the right
+    // partition and the partition column survived the round-trip.
+    GraftQuery.of("sink_partitioned_roundtrip",
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/documents_by_lang"
+      documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    },
+
     // Skew-salted shuffle join: the fact side gets a deterministic salt,
     // the other side is replicated once per salt value, and the join key
     // becomes (key, salt) — a hot key's rows spread over R partitions

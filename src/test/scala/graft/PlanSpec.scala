@@ -1,0 +1,113 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the *shape* of the plan is part of the
+  * contract (broadcast where a side is small, pushdown reaching the
+  * parquet scan, no nested-loop joins on scale paths, whole-stage
+  * codegen in scalar pipelines). These lock the properties that make the
+  * operators hold up at 100× the test data.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString("UTF-8")
+  }
+
+  test("q3: dimension joins broadcast at small SF (no shuffle join of customer)") {
+    val p = planOf("q3_top_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("filter + projection reach the parquet scan (pushdown + pruning)") {
+    val p = planOf("q_p3_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+    // projection pruning: the scan must not read the wide remainder of
+    // lineitem (16 columns) — ReadSchema mentions only what the query uses
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("l_comment"), read)
+  }
+
+  test("exact dedup is one data shuffle (single hash Exchange for the groupBy)") {
+    val p = planOf("dedup_exact")
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    // exactly one hash Exchange (the fingerprint groupBy); the only other
+    // allowed Exchange is the rangepartitioning for deterministic output
+    // order
+    assert(hashExchanges == 1, s"hashExchanges=$hashExchanges\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), p.take(500))
+  }
+
+  test("as-of join is window-based: no nested-loop range join anywhere") {
+    val p = planOf("events_asof_purchase")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Window"), p.take(500))
+  }
+
+  test("brute-force knn broadcasts the probe side, not the corpus") {
+    val p = planOf("sim_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+  }
+
+  test("scalar text pipeline stays inside whole-stage codegen") {
+    // codegen ids are only annotated once AQE has finalized the plan, so
+    // execute THIS Dataset's plan (collect, not a derived count) and then
+    // explain the same object
+    val df = SparkEntry.queries("text_quality")(spark, sf)
+    df.collect()
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    val p = out.toString("UTF-8")
+    assert(p.contains("codegen id"), p.take(2000))
+    assert(!p.contains("CodegenFallback"), p.take(2000))
+  }
+
+  test("bucketed tables co-locate the join: no Exchange in the joined plan") {
+    import org.apache.spark.sql.functions.col
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory persists — clear both or saveAsTable refuses the location
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+    }
+    graft.ops.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice").write.mode("overwrite")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    graft.ops.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority").write.mode("overwrite")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle path
+      val j = spark.table("li_bucketed").join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      val out = new ByteArrayOutputStream()
+      Console.withOut(out) { j.explain("formatted") }
+      val p = out.toString("UTF-8")
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n${p.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("LSH bucket join is an equi-join on the bucket key (hash join, no cartesian)") {
+    val p = planOf("sim_knn_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+}
