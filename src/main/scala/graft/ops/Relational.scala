@@ -408,5 +408,54 @@ object Relational {
         .filter(col("rn") === 1)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"))
+    },
+
+    // FULL OUTER join: customers without orders and orders with unknown
+    // customers both survive; null-side counting is where outer-join
+    // semantics actually bite.
+    GraftQuery.of("q_full_outer",
+      """SELECT
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS customers_without_orders,
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS orders_without_customer
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin) { (s, d) =>
+      customer(s, d).join(orders(s, d), col("c_custkey") === col("o_custkey"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).cast("long")
+            .as("customers_without_orders"),
+          sum(when(col("c_custkey").isNull, 1).otherwise(0)).cast("long")
+            .as("orders_without_customer"))
+    },
+
+    // Running/frame windows: cumulative sum, 3-row moving average, lag
+    // delta, and quartile bucket per customer order history — the full
+    // window-frame surface in one deterministic pass (unique (custkey,
+    // orderkey) ordering).
+    GraftQuery.of("q_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_total,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+        |    AS moving_avg3,
+        |  round(coalesce(o_totalprice - lag(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey), 0.0), 2) AS delta_prev,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT)
+        |    AS quartile
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val byKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mv3 = byKey.rowsBetween(-2, Window.currentRow)
+      orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(cum), 2).as("running_total"),
+        round(avg(col("o_totalprice")).over(mv3), 6).as("moving_avg3"),
+        round(coalesce(col("o_totalprice") - lag(col("o_totalprice"), 1).over(byKey),
+          lit(0.0)), 2).as("delta_prev"),
+        ntile(4).over(byKey).cast("long").as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
 }
