@@ -67,6 +67,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("cluster closure equals in-memory union-find on random edge sets") {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    val edgeGen = Gen.listOfN(40, for {
+      a <- Gen.choose(0L, 24L); b <- Gen.choose(0L, 24L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    (1L to 5L).foreach { seed =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(seed)).get.distinct
+      // reference: classic union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = graft.ops.Dedup.clusters(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("asofJoin equals the per-row latest-preceding reference on random event sets") {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    val evGen = Gen.listOfN(60, for {
+      user <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 50L)
+      purchase <- Gen.oneOf(true, false)
+    } yield (user, t, purchase))
+    (1L to 3L).foreach { seed =>
+      val raw = evGen.apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case ((u, t, p), i) => (i.toLong, u, t, p, i * 1.5) }
+      val df = raw.toDF("event_id", "user_id", "t", "is_purchase", "value")
+      val right = df.filter(org.apache.spark.sql.functions.col("is_purchase"))
+      val got = graft.ops.ScaleOps.asofJoin(df, right, key = Seq("user_id"),
+        time = "t", tieBreak = "event_id", rightVals = Seq("value"))
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("asof_value"))).toMap
+      // reference: latest purchase with pt <= t (right rows at equal time
+      // sort before every left row of that time — inclusive semantics),
+      // ties at equal pt broken by max event_id
+      val expected = raw.map { case (id, u, t, _, _) =>
+        val prior = raw.filter { case (_, pu, pt, pp, _) => pp && pu == u && pt <= t }
+        id -> prior.sortBy(p => (p._3, p._1)).lastOption.map(_._5)
+      }.toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("report is invariant under row permutation") {
     (1L to 5L).foreach { seed =>
       val rows = sample(seed)
