@@ -44,6 +44,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("file-source stream over the real events table equals the batch aggregation") {
+    val s = spark
+    // same nanos handling as graft.ops.Tables.events, streaming flavor
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val query = EventStreams.hourlyAgg(stream).writeStream
+      .format("memory").queryName("hourly_file_out")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("hourly_file_out")
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("hour_start", "event_type").collect().map(_.toSeq)
+      val batch = SparkEntry.queries("events_hourly_agg")(s, dir)
+        .select(col("hour_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_start", "event_type").collect().map(_.toSeq)
+      assert(streamed.length == batch.length && streamed.length > 0)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally query.stop()
+  }
+
   test("streaming sessionization carries state across micro-batches") {
     val s = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
