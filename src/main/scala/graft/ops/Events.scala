@@ -67,6 +67,26 @@ object Events {
 
     // Tumbling 1-hour window aggregation (batch twin of a streaming
     // window(ts, "1 hour") aggregate; date_trunc ≡ tumbling window start).
+    // PIVOT: one column per event type (explicit value list keeps the
+    // output schema static — the scalable form; dynamic pivot needs a
+    // driver-side distinct pass first). Oracle uses FILTER aggregation,
+    // the ANSI spelling of the same rotation.
+    GraftQuery.of("events_pivot",
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click')    AS click,
+        |  count(*) FILTER (WHERE event_type = 'error')    AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+
     GraftQuery.of("events_hourly_agg",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, count(*) AS n,
