@@ -87,6 +87,43 @@ object ScaleOps {
         .orderBy(col("event_id"))
     },
 
+    // End-to-end corpus-cleaning pipeline, composed entirely from the
+    // registered operator families: quality gate (length + type-token
+    // ratio) → exact-dedup keeper selection → per-language survivor
+    // stats. One scan + one fingerprint shuffle + one bounded groupBy —
+    // the composition adds no new shuffle beyond its parts.
+    GraftQuery.of("pipeline_clean_corpus",
+      """WITH scored AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' ')) AS ttr
+        |  FROM documents
+        |), gated AS (
+        |  SELECT * FROM scored WHERE n_chars >= 100 AND ttr >= 0.3
+        |), keepers AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM gated
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM gated JOIN keepers USING (doc_id)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val scored = documents(s, d).select(
+        col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        (expr("size(array_distinct(split(text, ' ')))").cast("double") /
+          expr("size(split(text, ' '))")).as("ttr"))
+      val gated = scored.filter(col("n_chars") >= 100 && col("ttr") >= 0.3)
+      val keepers = gated
+        .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      gated.join(keepers, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    },
+
     // Partitioned parquet sink round-trip: write documents partitioned by
     // lang (the layout a 100 TB corpus store uses for partition pruning),
     // read the partitioned tree back, aggregate. The oracle aggregates the

@@ -102,12 +102,15 @@ object Similarity {
     * on the centroid id, candidates ≈ corpus × nprobe / nlist per probe.
     */
   def knnIvf(emb: DataFrame, nProbes: Int, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4,
+      codebook: Option[DataFrame] = None): DataFrame = {
     import graft.functions.Md5Hash60.md5hash60
-    val centroids = broadcast(
+    // default quantizer: deterministic md5-order sample; a trained
+    // codebook ((cid, ce) frame, e.g. from trainCentroids) drops in
+    val centroids = broadcast(codebook.getOrElse(
       emb.orderBy(md5hash60(col("vec_id").cast("string")), col("vec_id"))
         .limit(nlist)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))))
 
     def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))

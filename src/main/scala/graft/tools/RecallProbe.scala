@@ -25,6 +25,11 @@ object RecallProbe {
       val ivf = pairs(Similarity.knnIvf(emb, nProbes, 10, nlist, nprobe))
       println(f"[recall] ivf nlist=$nlist nprobe=$nprobe recall@10=${(brute & ivf).size.toDouble / brute.size}%.3f")
     }
+    for (iters <- Seq(2, 5); nprobe <- Seq(4, 8)) {
+      val (cents, _) = Similarity.trainCentroids(emb, nlist = 16, iters = iters)
+      val ivf = pairs(Similarity.knnIvf(emb, nProbes, 10, 16, nprobe, Some(cents)))
+      println(f"[recall] ivf-kmeans iters=$iters nprobe=$nprobe recall@10=${(brute & ivf).size.toDouble / brute.size}%.3f")
+    }
     spark.stop()
   }
 }
