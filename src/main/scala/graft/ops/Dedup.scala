@@ -391,6 +391,67 @@ object Dedup {
       clusters(lshCandidatePairs(documents(s, d))).orderBy(col("doc_id"))
     },
 
+    // CDC shared-chunk near-dup detection: split every document at its
+    // content-defined cut points (16-byte windowed Rabin hash, mask 63),
+    // hash each chunk, and emit star edges between documents sharing at
+    // least one chunk hash — the storage-dedup primitive that catches
+    // partial containment (a copied paragraph) that whole-doc
+    // fingerprints miss. Same star-edge discipline as LSH banding:
+    // O(bucket) edges per shared chunk, never O(bucket²).
+    GraftQuery.of("dedup_cdc_chunks", {
+      val M = graft.functions.RollingHash61.Mod
+      val B = graft.functions.RollingHash61.Base
+      s"""WITH cuts AS (
+         |  SELECT doc_id, text, list_filter(list_transform(range(16, len(text) + 1),
+         |    i -> CASE WHEN list_reduce(
+         |           list_transform(range(i - 15, i + 1), j -> ord(substr(text, j, 1))::BIGINT),
+         |           (a, b) -> ((a::HUGEINT * $B % $M + b) % $M)::BIGINT) & 63 = 0
+         |         THEN i END), x -> x IS NOT NULL) AS cut
+         |  FROM documents
+         |), bounds AS (
+         |  SELECT doc_id, text,
+         |    list_concat(list_concat([0], cut), [len(text)]) AS b
+         |  FROM cuts
+         |), chunks AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${h60Sql("chunk", 0)} AS ch
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(2, len(b) + 1),
+         |      i -> substring(text, b[i-1] + 1, b[i] - b[i-1]))) AS chunk
+         |    FROM bounds)
+         |  WHERE len(chunk) > 0
+         |), keepers AS (
+         |  SELECT ch, min(doc_id) AS doc_a FROM chunks
+         |  GROUP BY ch HAVING count(*) > 1
+         |)
+         |SELECT k.doc_a, c.doc_id AS doc_b,
+         |  count(DISTINCT c.ch) AS n_shared_chunks
+         |FROM chunks c JOIN keepers k ON c.ch = k.ch AND c.doc_id > k.doc_a
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+      val withBounds = documents(s, d).select(col("doc_id"), col("text"),
+        concat(array(lit(0)),
+          graft.functions.CdcBoundaries.cdcBoundaries(col("text"), 16, 63),
+          array(length(col("text")))).as("b"))
+      val chunks = withBounds
+        .select(col("doc_id"), explode(expr(
+          """filter(transform(sequence(1, size(b) - 1),
+            |  i -> substring(text, element_at(b, i) + 1,
+            |                 element_at(b, i + 1) - element_at(b, i))),
+            |  c -> length(c) > 0)""".stripMargin)).as("chunk"))
+        .select(col("doc_id"), h60(col("chunk"), 0).as("ch"))
+        .distinct()
+      val keepers = chunks.groupBy(col("ch"))
+        .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(col("ch"), col("doc_a"))
+      chunks.join(keepers, Seq("ch"))
+        .filter(col("doc_id") > col("doc_a"))
+        .groupBy(col("doc_a"), col("doc_id").as("doc_b"))
+        .agg(countDistinct(col("ch")).as("n_shared_chunks"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // 32-bit SimHash.
     GraftQuery.of("dedup_simhash", {
       val hTok = h60Sql("tok", 0)
