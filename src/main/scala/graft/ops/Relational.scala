@@ -280,6 +280,71 @@ object Relational {
         .orderBy(col("side"), col("k"))
     },
 
+    // Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (a customer with 3 orders appears 3 times), which
+    // distinct-set ops silently collapse.
+    GraftQuery.of("q_set_ops_all",
+      """SELECT side, CAST(k AS BIGINT) AS k, count(*) AS n FROM (
+        |  SELECT 'both' AS side, k FROM (
+        |    SELECT o_custkey AS k FROM orders
+        |    INTERSECT ALL SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'orders_surplus' AS side, k FROM (
+        |    SELECT o_custkey AS k FROM orders
+        |    EXCEPT ALL SELECT c_custkey FROM customer))
+        |GROUP BY side, k ORDER BY side, k""".stripMargin) { (s, d) =>
+      val orderKeys = orders(s, d).select(col("o_custkey").cast("long").as("k"))
+      val custKeys = customer(s, d).select(col("c_custkey").cast("long").as("k"))
+      orderKeys.intersectAll(custKeys).select(lit("both").as("side"), col("k"))
+        .union(orderKeys.exceptAll(custKeys).select(lit("orders_surplus").as("side"), col("k")))
+        .groupBy(col("side"), col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("side"), col("k"))
+    },
+
+    // UNPIVOT/melt: rotate lineitem's three measure columns into
+    // (measure, value) rows — the wide→long reshape, via the native
+    // unpivot operator (one Expand, no join). Oracle spells the same
+    // rotation as UNION ALL.
+    GraftQuery.of("q_unpivot",
+      """SELECT measure, round(sum(v), 2) AS total, count(*) AS n FROM (
+        |  SELECT 'qty' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'disc', l_discount FROM lineitem)
+        |GROUP BY measure ORDER BY measure""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .select(col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+          col("l_discount").as("disc"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column], Array(col("qty"), col("price"), col("disc")),
+          "measure", "v")
+        .groupBy(col("measure"))
+        .agg(round(sum(col("v")), 2).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("measure"))
+    },
+
+    // LATERAL correlated subquery: per region, the top-2 nations by
+    // customer count — the "top-N per group via lateral" idiom (Spark
+    // plans the correlated limit as a ranked window under the hood).
+    GraftQuery.of("q_lateral_topn",
+      """SELECT r_name, n_name, n_customers FROM region r,
+        |  LATERAL (
+        |    SELECT n_name, count(*) AS n_customers
+        |    FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |    WHERE n_regionkey = r.r_regionkey
+        |    GROUP BY n_name ORDER BY n_customers DESC, n_name LIMIT 2)
+        |ORDER BY r_name, n_customers DESC, n_name""".stripMargin) { (s, d) =>
+      region(s, d).createOrReplaceTempView("region_l")
+      nation(s, d).createOrReplaceTempView("nation_l")
+      customer(s, d).createOrReplaceTempView("customer_l")
+      s.sql(
+        """SELECT r_name, n_name, n_customers FROM region_l r,
+          |  LATERAL (
+          |    SELECT n_name, count(*) AS n_customers
+          |    FROM nation_l JOIN customer_l ON c_nationkey = n_nationkey
+          |    WHERE n_regionkey = r.r_regionkey
+          |    GROUP BY n_name ORDER BY n_customers DESC, n_name LIMIT 2)
+          |ORDER BY r_name, n_customers DESC, n_name""".stripMargin)
+    },
+
     // Ordered statistics — exact interpolated percentiles per group. Exact
     // percentile sorts within each group (fine for bounded groups); at
     // 100 TB swap in approx_percentile (t-digest) for the same shape
