@@ -237,6 +237,25 @@ object Relational {
         .orderBy(col("returnflag"), col("linestatus"))
     },
 
+    // CUBE with grouping_id: all four grouping-set combinations in one
+    // Expand pass; grouping_id disambiguates a real NULL group key from a
+    // rolled-up one (the reason the sentinel trick alone is not enough in
+    // general).
+    GraftQuery.of("q_cube",
+      """SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+        |  coalesce(l_linestatus, '<all>') AS linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+          col("gid"), col("cnt"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+    },
+
     // Semi join — customers who placed at least one urgent order; plans as
     // LeftSemi (broadcast or shuffled-hash, never materializing orders
     // columns).
