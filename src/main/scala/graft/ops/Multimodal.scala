@@ -42,6 +42,41 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       lit("text/plain").as("mime_type"))
 
+  final case class MediaFeatures(media_id: Long, features: Array[Double])
+
+  /** Partition-batch extraction path — the shape a REAL codec takes when
+    * it cannot be a Catalyst expression (native library handles, model
+    * sessions, GPU contexts): `mapPartitions` amortizes per-partition
+    * setup over every row in the batch, state never crosses partitions,
+    * and the output is a typed Dataset that drops back into relational
+    * plans. The extractor function is pluggable; the default is the same
+    * deterministic stub as [[fakeFeatures]] (verified equal in the test
+    * suite), so swapping in a codec-backed closure changes no plumbing.
+    *
+    * This is deliberately the LAST-resort tier of SURVEY §2.6's escalation
+    * order — everything that can stay an expression (metadata, digests,
+    * the stub itself) does, in [[fakeFeatures]].
+    */
+  def batchExtract(media: DataFrame, dim: Int)(
+      extract: Array[Byte] => Array[Double] = defaultExtractor(dim)): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition setup would open the codec/model session here
+        rows.map { case (id, payload) => MediaFeatures(id, extract(payload)) }
+      }
+  }
+
+  /** Stub extractor matching [[fakeFeatures]] byte-for-byte. */
+  def defaultExtractor(dim: Int): Array[Byte] => Array[Double] = { payload =>
+    (0 until dim / 4).toArray.flatMap { w =>
+      val h = graft.functions.Md5Hash60.hash60(
+        payload ++ s":$w".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (0 until 4).map(b => ((h >> (8 * b)) & 255L).toDouble / 255.0)
+    }
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Typed metadata over opaque binary payloads: byte length + digest +

@@ -237,6 +237,25 @@ object Relational {
         .orderBy(col("returnflag"), col("linestatus"))
     },
 
+    // Ordered statistics, sketch path: percentile_approx (Greenwald-Khanna)
+    // is the 100 TB replacement for exact per-group sorts — single pass,
+    // bounded memory, mergeable partials. With accuracy ≥ the row count the
+    // sketch never compresses and the answer is EXACT (nearest-rank), which
+    // is how it earns a quantile_disc oracle at test SF.
+    GraftQuery.of("q_percentiles_approx",
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS q25,
+        |  quantile_disc(l_quantity, 0.5)  AS q50,
+        |  quantile_disc(l_quantity, 0.9)  AS q90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_approx(l_quantity, 0.25D, 1000000)").as("q25"),
+          expr("percentile_approx(l_quantity, 0.5D, 1000000)").as("q50"),
+          expr("percentile_approx(l_quantity, 0.9D, 1000000)").as("q90"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // CUBE with grouping_id: all four grouping-set combinations in one
     // Expand pass; grouping_id disambiguates a real NULL group key from a
     // rolled-up one (the reason the sentinel trick alone is not enough in

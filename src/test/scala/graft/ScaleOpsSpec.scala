@@ -104,6 +104,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(total == emb.count())
   }
 
+  test("mapPartitions batch extractor equals the expression-based stub features") {
+    val media = graft.ops.Multimodal.asMedia(
+      graft.ops.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val viaBatch = graft.ops.Multimodal.batchExtract(media, 16)()
+      .collect().map(m => m.media_id -> m.features.toSeq).toMap
+    val viaExpr = media.select(col("media_id"),
+      graft.ops.Multimodal.fakeFeatures(col("payload"), 16).as("f"))
+      .collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[scala.collection.Seq[Double]]("f").toSeq)
+      .toMap
+    assert(viaBatch == viaExpr)
+  }
+
   test("salted join equals the plain join") {
     val plain = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .join(graft.ops.Tables.orders(spark, "/root/testdata/sf0.001"),
