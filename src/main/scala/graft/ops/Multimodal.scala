@@ -100,6 +100,25 @@ object Multimodal {
         .orderBy(col("media_id"))
     },
 
+    // Cross-modal join: documents ⋈ embeddings on id, per-language mean
+    // vector norm — the text-metadata × vector-store join every multimodal
+    // corpus runs; norms are exact per row (fixed-order sum), the
+    // per-group mean is rounded.
+    GraftQuery.of("mm_doc_embedding_join",
+      """SELECT lang, count(*) AS n,
+        |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6)
+        |    AS avg_norm
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      documents(s, d).join(embeddings(s, d), col("vec_id") === col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(sqrt(expr(
+            "aggregate(transform(embedding, x -> cast(x AS double) * x), 0D, (a, b) -> a + b)"))),
+            6).as("avg_norm"))
+        .orderBy(col("lang"))
+    },
+
     // Full stub feature extraction (array column, the shape a model-feature
     // pipeline materializes). The digest is md5 over the features recovered
     // to their exact integer byte values (round(f·255) is exact for
