@@ -330,16 +330,21 @@ object Similarity {
         |  FROM pairs)
         |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup
         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // argmax as max_by instead of a ranked window: the window shape
+      // shuffles and sorts every scored pair (|corpus|² rows); max_by is a
+      // partial-aggregating groupBy — each partition collapses to one row
+      // per vec_id BEFORE the shuffle. Ordering (cosine desc, nn_id asc)
+      // is encoded as max of struct(cosine, -nn_id).
       val e = embeddings(s, d)
       val a = e.select(col("vec_id"), col("embedding").as("pe"))
       val b = e.select(col("vec_id").as("nn_id"), col("embedding").as("ne"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nn_id"))
       a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
         .withColumn("cosine", round(cosineSim(col("pe"), col("ne")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("nn_id"), col("cosine"),
-          (col("cosine") >= 0.95).as("is_dup"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("nn_id"), col("cosine")),
+          struct(col("cosine"), -col("nn_id"))).as("nn"))
+        .select(col("vec_id"), col("nn.nn_id").as("nn_id"), col("nn.cosine").as("cosine"),
+          (col("nn.cosine") >= 0.95).as("is_dup"))
         .orderBy(col("vec_id"))
     })
 }
