@@ -11,7 +11,7 @@ import Tables._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
-  * Two paths:
+  * Candidate-generation paths, in increasing corpus-scale order:
   *  - brute-force cosine top-k: broadcast the (small) probe set against the
   *    full table — one scan of the big side, no shuffle until the tiny
   *    top-k window. The scale path for "few probes × huge corpus".
@@ -21,6 +21,15 @@ import Tables._
   *    join is keyed on the bucket id — candidate count per probe is
   *    ~corpus/2^bits × (bits+1), independent of an all-pairs blowup. The
   *    scale path for "huge probe set × huge corpus".
+  *  - multi-table LSH (OR-amplification): L independent plane sets, a
+  *    candidate survives if it collides in ANY table — recall rises with L
+  *    at a linear (not quadratic) candidate-count cost.
+  *  - IVF: a coarse quantizer routes vectors to inverted lists; probes
+  *    search the nprobe nearest lists.
+  *
+  * Every kNN entry point has an external-probe overload (`probes` frame
+  * with columns `(probe_id, embedding)`) — the `nProbes: Int` forms are
+  * self-probe conveniences that select `vec_id < nProbes` from the corpus.
   *
   * Hyperplanes are ±1-component vectors derived deterministically from md5
   * (no RNG — plans are reproducible across sessions and engines).
@@ -31,15 +40,20 @@ object Similarity {
 
   import graft.functions.CosineSim.cosineSim
 
-  /** Brute-force cosine top-k for a probe set (vec_id < nProbes). */
-  def knnBrute(emb: DataFrame, nProbes: Int, k: Int): DataFrame = {
-    val probes = emb.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    val cands = emb
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-    val scored = cands.crossJoin(broadcast(probes))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6))
+  private val Dim = 64
+
+  /** Self-probe convenience: the first `n` corpus vectors as a probe frame. */
+  private def selfProbes(emb: DataFrame, n: Int): DataFrame =
+    emb.filter(col("vec_id") < n)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+
+  /** Exact top-k re-rank of scored (probe_id, neighbor_id, sim) rows.
+    * The window partitions on probe_id — fine as long as per-probe
+    * candidate counts are bounded (they are, by construction, in every
+    * caller: brute force bounds them by |corpus| with a broadcast probe
+    * side; the ANN paths bound them by bucket/list size).
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -47,63 +61,173 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
-  /** Deterministic ±1 hyperplane component: plane j, dimension i. */
-  private def planeSign(j: Int, i: Int): Double = {
+  /** Brute-force cosine top-k for an external probe frame (probe_id, embedding). */
+  def knnBrute(emb: DataFrame, probes: DataFrame, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val p = probes.select(col("probe_id"), col("embedding").as("pe"))
+    val cands = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val joined = cands.crossJoin(broadcast(p))
+    val kept = if (excludeSelf) joined.filter(col("probe_id") =!= col("neighbor_id")) else joined
+    topK(kept.withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6)), k)
+  }
+
+  /** Brute-force cosine top-k for self-probes (vec_id < nProbes). */
+  def knnBrute(emb: DataFrame, nProbes: Int, k: Int): DataFrame =
+    knnBrute(emb, selfProbes(emb, nProbes), k, excludeSelf = true)
+
+  /** Deterministic ±1 hyperplane component from an md5-seeded family. */
+  private def seedSign(seed: String): Double = {
     val digest = MessageDigest.getInstance("MD5")
-      .digest(s"plane:$j:$i".getBytes(StandardCharsets.UTF_8))
+      .digest(seed.getBytes(StandardCharsets.UTF_8))
     if ((digest(0) & 1) == 1) 1.0 else -1.0
   }
 
-  /** Bucket id column: `bits` sign-bits of hyperplane projections. */
-  def lshBucket(arr: String, bits: Int, dim: Int): Column = {
-    val bitCols = (0 until bits).map { j =>
-      val proj = expr(
-        s"aggregate(zip_with($arr, ${planeColSql(j, dim)}, (x, p) -> CAST(x AS DOUBLE) * p), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _).as("bucket")
+  /** Plane family for the single-table LSH paths: plane j, dimension i. */
+  private def planeSign(j: Int, i: Int): Double = seedSign(s"plane:$j:$i")
+
+  /** Independent plane family for multi-table LSH: table t, plane j, dim i. */
+  private def mplaneSign(t: Int, j: Int, i: Int): Double = seedSign(s"mplane:$t:$j:$i")
+
+  /** Spark array-literal column for one ±1 plane. */
+  private def planeArray(sign: Int => Double): Column =
+    array((0 until Dim).map(i => lit(sign(i))): _*)
+
+  /** DuckDB list literal for one ±1 plane, built directly from the sign
+    * values (never by string-rewriting the Spark form).
+    */
+  private def planeListSql(sign: Int => Double): String =
+    (0 until Dim).map(i => sign(i).toString).mkString("[", ", ", "]")
+
+  /** Bucket id column: `bits` sign-bits of hyperplane projections.
+    * sign(cosine) == sign(dot) (the norms are positive), so the codegen'd
+    * [[graft.functions.CosineSim]] kernel computes each bit in one fused
+    * pass — no interpreted higher-order-function lambda per plane.
+    */
+  private def bucketCol(arr: String, bits: Int, sign: (Int, Int) => Double): Column =
+    (0 until bits).map { j =>
+      when(cosineSim(col(arr), planeArray(i => sign(j, i))) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Single-table bucket id (the `plane:` family). */
+  def lshBucket(arr: String, bits: Int, dim: Int = Dim): Column = {
+    require(dim == Dim, s"plane family is fixed at $Dim dims")
+    bucketCol(arr, bits, planeSign).as("bucket")
   }
 
-  /** SQL literal array for plane j (used inside expr-built lambdas). */
-  private def planeColSql(j: Int, dim: Int): String =
-    (0 until dim).map(i => planeSign(j, i).toString).mkString("array(", ", ", ")")
+  /** DuckDB bucket expression replaying [[bucketCol]] over `e` (DOUBLE[]). */
+  private def bucketSql(bits: Int, sign: (Int, Int) => Double, arr: String = "e"): String =
+    (0 until bits).map { j =>
+      s"(CASE WHEN list_dot_product($arr, ${planeListSql(i => sign(j, i))}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** LSH ANN: bucket everything, multiprobe each probe into its bucket and
     * all Hamming-1 neighbors, exact cosine re-rank within candidates.
     */
-  def knnLsh(emb: DataFrame, nProbes: Int, k: Int, bits: Int = 4): DataFrame = {
-    val dim = 64
-    val withBucket = emb.withColumn("bucket", lshBucket("embedding", bits, dim))
-
+  def knnLsh(emb: DataFrame, probes: DataFrame, k: Int, bits: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+    val withBucket = emb.withColumn("bucket", lshBucket("embedding", bits))
     val probeBuckets = (0 until bits).map(m => col("bucket").bitwiseXOR(lit(1L << m))) :+ col("bucket")
-    val probes = withBucket.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+    val p = probes
+      .withColumn("bucket", lshBucket("embedding", bits))
+      .select(col("probe_id"), col("embedding").as("pe"),
         explode(array(probeBuckets: _*)).as("bucket"))
-
     val cands = withBucket
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
+    val joined = cands.join(broadcast(p), Seq("bucket"))
+    val kept = if (excludeSelf) joined.filter(col("probe_id") =!= col("neighbor_id")) else joined
+    topK(kept.withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6)), k)
+  }
 
-    val scored = cands.join(broadcast(probes), Seq("bucket"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy(col("probe_id"), col("rnk"))
+  def knnLsh(emb: DataFrame, nProbes: Int, k: Int, bits: Int): DataFrame =
+    knnLsh(emb, selfProbes(emb, nProbes), k, bits, excludeSelf = true)
+
+  def knnLsh(emb: DataFrame, nProbes: Int, k: Int): DataFrame =
+    knnLsh(emb, nProbes, k, 4)
+
+  /** Multi-table LSH ANN (OR-amplification): `tables` independent plane
+    * sets; a candidate pair survives if probe and neighbor collide in ANY
+    * table (after Hamming-1 multiprobe within each). Union-of-tables
+    * candidates are deduplicated per (probe, neighbor) before the exact
+    * re-rank, so the extra tables cost candidate generation only — the
+    * re-rank never scores a pair twice. Everything is keyed on
+    * (table, bucket): one equi-join, no pair blowup.
+    */
+  def knnLshMulti(emb: DataFrame, probes: DataFrame, k: Int, bits: Int = 4,
+      tables: Int = 3, excludeSelf: Boolean = false): DataFrame = {
+    val bucketCols = (0 until tables).map(t =>
+      bucketCol("embedding", bits, mplaneSign(t, _, _)).as(s"__b$t"))
+
+    val wb = emb.select(col("vec_id") +: col("embedding") +: bucketCols: _*)
+    val cands = wb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), col(s"__b$t").as("bucket"))): _*)).as("tb"))
+      .select(col("neighbor_id"), col("ne"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+
+    val pwb = probes.select(col("probe_id") +: col("embedding").as("pe") +:
+      (0 until tables).map(t => bucketCol("embedding", bits, mplaneSign(t, _, _)).as(s"__b$t")): _*)
+    val probeEntries = (0 until tables).flatMap { t =>
+      val base = col(s"__b$t")
+      ((0 until bits).map(m => base.bitwiseXOR(lit(1L << m))) :+ base)
+        .map(b => struct(lit(t).as("t"), b.as("bucket")))
+    }
+    val p = pwb.select(col("probe_id"), col("pe"),
+        explode(array(probeEntries: _*)).as("tb"))
+      .select(col("probe_id"), col("pe"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+
+    val joined = cands.join(broadcast(p), Seq("t", "bucket"))
+    val kept = if (excludeSelf) joined.filter(col("probe_id") =!= col("neighbor_id")) else joined
+    // OR-combine the tables: a pair that collides in several tables scores once
+    val uniq = kept.select(col("probe_id"), col("pe"), col("neighbor_id"), col("ne"))
+      .dropDuplicates("probe_id", "neighbor_id")
+    topK(uniq.withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6)), k)
+  }
+
+  def knnLshMulti(emb: DataFrame, nProbes: Int, k: Int): DataFrame =
+    knnLshMulti(emb, selfProbes(emb, nProbes), k, excludeSelf = true)
+
+  /** Nearest-centroid assignment as a partial-aggregating argmax: each
+    * input partition collapses to one row per id BEFORE the shuffle
+    * (`max_by` of a struct), instead of shuffling and sorting the full
+    * id×centroid product through a ranked window. Ordering (csim desc,
+    * cid asc) is encoded as max of struct(csim, -cid).
+    */
+  private def assignNearest(df: DataFrame, idCol: String, centroids: DataFrame): DataFrame =
+    df.crossJoin(centroids)
+      .withColumn("csim", round(cosineSim(col("embedding"), col("ce")), 6))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(col("csim"), -col("cid"))).as("__a"))
+      .select(col(idCol), col("__a.embedding").as("embedding"), col("__a.cid").as("cid"))
+
+  /** Top-`keep` centroid assignment via a ranked window — reserved for the
+    * PROBE side (tiny by construction); the corpus side always goes
+    * through [[assignNearest]].
+    */
+  private def assignTopN(df: DataFrame, idCol: String, centroids: DataFrame,
+      keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+    df.crossJoin(centroids)
+      .withColumn("csim", round(cosineSim(col("embedding"), col("ce")), 6))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= keep)
+      .drop("ce", "csim", "crn")
   }
 
   /** IVF ANN: a deterministic coarse quantizer — `nlist` centroids are
     * md5-order-sampled from the corpus itself (no RNG, no k-means
     * iterations; a trained codebook drops in by swapping the centroid
     * frame). Every vector joins its nearest centroid's inverted list once
-    * (broadcast centroids — they are tiny by construction); probes search
-    * the `nprobe` nearest lists and re-rank exactly. All shuffles are keyed
-    * on the centroid id, candidates ≈ corpus × nprobe / nlist per probe.
+    * (broadcast centroids — they are tiny by construction; the assignment
+    * is a map-side partial-agg argmax, no corpus-wide window sort); probes
+    * search the `nprobe` nearest lists and re-rank exactly. All shuffles
+    * are keyed on the centroid id, candidates ≈ corpus × nprobe / nlist
+    * per probe.
     */
-  def knnIvf(emb: DataFrame, nProbes: Int, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
-      codebook: Option[DataFrame] = None): DataFrame = {
+  def knnIvf(emb: DataFrame, probes: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, codebook: Option[DataFrame] = None,
+      excludeSelf: Boolean = false): DataFrame = {
     import graft.functions.Md5Hash60.md5hash60
     // default quantizer: deterministic md5-order sample; a trained
     // codebook ((cid, ce) frame, e.g. from trainCentroids) drops in
@@ -112,40 +236,35 @@ object Similarity {
         .limit(nlist)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))))
 
-    def assign(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
-      df.crossJoin(centroids)
-        // round to 6dp before ranking: the assignment is then reproducible
-        // across engines (ties broken by cid on both sides)
-        .withColumn("csim", round(cosineSim(col("embedding"), col("ce")), 6))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("ce", "csim", "crn")
-    }
-
-    val lists = assign(emb, "vec_id", 1)
+    val lists = assignNearest(emb, "vec_id", centroids)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
-    val probes = assign(emb.filter(col("vec_id") < nProbes), "vec_id", nprobe)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cid"))
+    val p = assignTopN(probes, "probe_id", centroids, nprobe)
+      .select(col("probe_id"), col("embedding").as("pe"), col("cid"))
 
-    val scored = lists.join(broadcast(probes), Seq("cid"))
-      .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy(col("probe_id"), col("rnk"))
+    val joined = lists.join(broadcast(p), Seq("cid"))
+    val kept = if (excludeSelf) joined.filter(col("probe_id") =!= col("neighbor_id")) else joined
+    topK(kept.withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6)), k)
   }
+
+  def knnIvf(emb: DataFrame, nProbes: Int, k: Int): DataFrame =
+    knnIvf(emb, selfProbes(emb, nProbes), k, excludeSelf = true)
+
+  def knnIvf(emb: DataFrame, nProbes: Int, k: Int, nlist: Int, nprobe: Int): DataFrame =
+    knnIvf(emb, selfProbes(emb, nProbes), k, nlist, nprobe, excludeSelf = true)
+
+  def knnIvf(emb: DataFrame, nProbes: Int, k: Int, nlist: Int, nprobe: Int,
+      codebook: Option[DataFrame]): DataFrame =
+    knnIvf(emb, selfProbes(emb, nProbes), k, nlist, nprobe, codebook, excludeSelf = true)
 
   /** Lloyd-trained IVF codebook: start from the deterministic md5-order
     * sample (same init as [[knnIvf]]), then `iters` rounds of
-    * assign-to-nearest (broadcast centroids — one scan of the corpus, no
-    * shuffle for assignment) + elementwise mean (posexplode → ONE shuffle
-    * keyed on (cid, dim), partial aggregation collapses each partition to
-    * ≤ nlist·dim rows before it). Empty clusters carry their previous
-    * centroid forward. Centroid components are rounded to 6dp each round
-    * so the trajectory is reproducible across engines.
+    * assign-to-nearest (broadcast centroids, partial-agg `max_by` argmax —
+    * each partition collapses to one row per vector before any shuffle)
+    * + elementwise mean (posexplode → ONE shuffle keyed on (cid, dim),
+    * partial aggregation collapses each partition to ≤ nlist·dim rows
+    * before it). Empty clusters carry their previous centroid forward.
+    * Centroid components are rounded to 6dp each round so the trajectory
+    * is reproducible across engines.
     *
     * Returns (centroids (cid, ce: array<double>), sizes of the final
     * assignment (cid, n_members)). The centroid frame drops into
@@ -159,12 +278,7 @@ object Similarity {
         expr("transform(embedding, x -> cast(x as double))").as("ce"))
     var lastSizes: DataFrame = null
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      val asg = emb.crossJoin(broadcast(cents))
-        .withColumn("csim", round(cosineSim(col("embedding"), col("ce")), 6))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
-        .select(col("cid"), col("vec_id"), col("embedding"))
+      val asg = assignNearest(emb, "vec_id", broadcast(cents))
       lastSizes = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
       val newC = asg
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -216,6 +330,63 @@ object Similarity {
        |ORDER BY cid, dim""".stripMargin
   }
 
+  /** Embedding near-dup NN with LSH-bucketed candidate generation — the
+    * 100 TB shape: every vector probes its own bucket plus all Hamming-1
+    * neighbors, candidates meet in a (bucket)-keyed equi-join (each
+    * candidate lives in exactly ONE bucket, so no pair is scored twice),
+    * exact cosine re-rank, partial-agg `max_by` argmax per vector.
+    * Candidates per vector ≈ (bits+1) · corpus / 2^bits — linear in the
+    * corpus, never the all-pairs |corpus|².
+    *
+    * A vector whose probed buckets contain no other vector yields no row —
+    * deterministic, and replayed identically by the oracle. Recall vs the
+    * exact NN on the dup band (cosine ≥ threshold, where random-hyperplane
+    * LSH concentrates) is asserted in the test suite.
+    */
+  def nnDedupLsh(emb: DataFrame, bits: Int = 4, dupThreshold: Double = 0.95): DataFrame = {
+    val withBucket = emb.withColumn("bucket", lshBucket("embedding", bits))
+    val probeBuckets = (0 until bits).map(m => col("bucket").bitwiseXOR(lit(1L << m))) :+ col("bucket")
+    val probes = withBucket.select(col("vec_id"), col("embedding").as("pe"),
+      explode(array(probeBuckets: _*)).as("bucket"))
+    val cands = withBucket
+      .select(col("vec_id").as("nn_id"), col("embedding").as("ne"), col("bucket"))
+    probes.join(cands, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cosine", round(cosineSim(col("pe"), col("ne")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("nn_id"), col("cosine")),
+        struct(col("cosine"), -col("nn_id"))).as("nn"))
+      .select(col("vec_id"), col("nn.nn_id").as("nn_id"), col("nn.cosine").as("cosine"),
+        (col("nn.cosine") >= dupThreshold).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact all-pairs near-dup NN — the correctness baseline the recall
+    * tests measure [[nnDedupLsh]] against. Not registered as a query: the
+    * all-pairs crossJoin is O(|corpus|²) and exists only to ground the
+    * bucketed path at test SF.
+    */
+  def nnDedupExact(emb: DataFrame, dupThreshold: Double = 0.95): DataFrame = {
+    val a = emb.select(col("vec_id"), col("embedding").as("pe"))
+    val b = emb.select(col("vec_id").as("nn_id"), col("embedding").as("ne"))
+    a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cosine", round(cosineSim(col("pe"), col("ne")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("nn_id"), col("cosine")),
+        struct(col("cosine"), -col("nn_id"))).as("nn"))
+      .select(col("vec_id"), col("nn.nn_id").as("nn_id"), col("nn.cosine").as("cosine"),
+        (col("nn.cosine") >= dupThreshold).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Deterministic literal probe vector p (a ±1 pattern over the dims) for
+    * the external-probe query — generated identically on the oracle side.
+    */
+  private def probeVec(p: Int): Seq[Double] =
+    (0 until Dim).map(i => if ((i * (p + 3) + p) % 7 < 4) 1.0 else -1.0)
+
+  private val externalProbeIds = 0 until 3
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Trained IVF codebook: 2 Lloyd iterations from the deterministic
@@ -248,6 +419,32 @@ object Similarity {
       knnBrute(embeddings(s, d), nProbes = 5, k = 10)
     },
 
+    // Brute-force top-5 for EXTERNAL probe vectors (a user-supplied probe
+    // frame, not corpus members — no self-exclusion). The probe vectors
+    // are deterministic literals, embedded as VALUES on the oracle side.
+    GraftQuery.of("sim_knn_probes", {
+      val rows = externalProbeIds
+        .map(p => s"($p, ${probeVec(p).mkString("[", ", ", "]")}::DOUBLE[])")
+        .mkString(", ")
+      s"""WITH p(probe_id, pe) AS (VALUES $rows),
+         |scored AS (
+         |  SELECT probe_id, e.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(pe, e.embedding::DOUBLE[]), 6) AS sim
+         |  FROM p, embeddings e
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT CAST(probe_id AS BIGINT) AS probe_id, neighbor_id,
+         |  CAST(rn AS BIGINT) AS rnk, sim
+         |FROM ranked WHERE rn <= 5 ORDER BY probe_id, rnk""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val probes = externalProbeIds.map(p => (p.toLong, probeVec(p)))
+        .toDF("probe_id", "embedding")
+      knnBrute(embeddings(s, d), probes, k = 5)
+    },
+
     // LSH-bucketed ANN, same probes. The hyperplane signs are deterministic
     // md5 derivations, so the oracle embeds the SAME ±1 plane vectors as
     // SQL array literals and replays bucket assignment + Hamming-1
@@ -255,14 +452,10 @@ object Similarity {
     // additionally verified in the test suite.)
     GraftQuery.of("sim_knn_lsh", {
       val bits = 4
-      val planes = (0 until bits).map(j => planeColSql(j, 64).replace("array(", "[").replace(")", "]"))
-      val bucketExpr = (0 until bits).map { j =>
-        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planes(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
       val probeBuckets = (0 until bits).map(m => s"xor(bucket, ${1L << m})") :+ "bucket"
       s"""WITH wb AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS e,
-         |    CAST($bucketExpr AS BIGINT) AS bucket
+         |    CAST(${bucketSql(bits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS bucket
          |  FROM embeddings
          |), probes AS (
          |  SELECT vec_id AS probe_id, e AS pe,
@@ -280,6 +473,55 @@ object Similarity {
          |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin
     }) { (s, d) =>
       knnLsh(embeddings(s, d), nProbes = 5, k = 10)
+    },
+
+    // Multi-table LSH ANN (OR-amplification): 3 independent plane sets,
+    // Hamming-1 multiprobe within each, candidates deduplicated across
+    // tables, exact re-rank. The oracle replays all 3 plane sets and the
+    // per-pair dedup (DISTINCT before scoring).
+    GraftQuery.of("sim_knn_lsh_multi", {
+      val bits = 4
+      val tables = 3
+      val bucketDefs = (0 until tables)
+        .map(t => s"CAST(${bucketSql(bits, mplaneSign(t, _, _))} AS BIGINT) AS b$t")
+        .mkString(",\n    ")
+      val tList = (0 until tables).mkString("[", ", ", "]")
+      val bList = (0 until tables).map(t => s"b$t").mkString("[", ", ", "]")
+      val flipLists = (0 until tables).map { t =>
+        ((0 until bits).map(m => s"xor(b$t, ${1L << m})") :+ s"b$t").mkString("[", ", ", "]")
+      }.mkString("[", ", ", "]")
+      s"""WITH wb0 AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |), wb AS (
+         |  SELECT vec_id, e,
+         |    $bucketDefs
+         |  FROM wb0
+         |), cands AS (
+         |  SELECT vec_id AS neighbor_id, e AS ne,
+         |    unnest($tList) AS t, unnest($bList) AS bucket
+         |  FROM wb
+         |), pb AS (
+         |  SELECT vec_id AS probe_id, e AS pe,
+         |    unnest($tList) AS t, unnest($flipLists) AS bl
+         |  FROM wb WHERE vec_id < 5
+         |), probes AS (
+         |  SELECT probe_id, pe, t, unnest(bl) AS bucket FROM pb
+         |), pairs AS (
+         |  SELECT DISTINCT probe_id, pe, neighbor_id, ne
+         |  FROM probes p JOIN cands c USING (t, bucket)
+         |  WHERE c.neighbor_id <> p.probe_id
+         |), scored AS (
+         |  SELECT probe_id, neighbor_id,
+         |    round(list_cosine_similarity(pe, ne), 6) AS sim
+         |  FROM pairs
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
+         |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin
+    }) { (s, d) =>
+      knnLshMulti(embeddings(s, d), nProbes = 5, k = 10)
     },
 
     // IVF-bucketed ANN, same probes. Centroids are the md5-order sample —
@@ -316,35 +558,31 @@ object Similarity {
     },
 
     // Embedding-cosine near-dup detection: each vector's nearest neighbor
-    // with a duplicate flag at cosine ≥ 0.95. Exact (all-pairs) at test SF;
-    // the LSH bucketing above is the drop-in candidate generator at corpus
-    // scale (same cosine column, bucket-join instead of crossJoin).
-    GraftQuery.of("dedup_embedding_nn",
-      """WITH pairs AS (
-        |  SELECT a.vec_id, b.vec_id AS nn_id,
-        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id
-        |), ranked AS (
-        |  SELECT vec_id, nn_id, cosine,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
-        |  FROM pairs)
-        |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup
-        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
-      // argmax as max_by instead of a ranked window: the window shape
-      // shuffles and sorts every scored pair (|corpus|² rows); max_by is a
-      // partial-aggregating groupBy — each partition collapses to one row
-      // per vec_id BEFORE the shuffle. Ordering (cosine desc, nn_id asc)
-      // is encoded as max of struct(cosine, -nn_id).
-      val e = embeddings(s, d)
-      val a = e.select(col("vec_id"), col("embedding").as("pe"))
-      val b = e.select(col("vec_id").as("nn_id"), col("embedding").as("ne"))
-      a.crossJoin(b).filter(col("vec_id") =!= col("nn_id"))
-        .withColumn("cosine", round(cosineSim(col("pe"), col("ne")), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("nn_id"), col("cosine")),
-          struct(col("cosine"), -col("nn_id"))).as("nn"))
-        .select(col("vec_id"), col("nn.nn_id").as("nn_id"), col("nn.cosine").as("cosine"),
-          (col("nn.cosine") >= 0.95).as("is_dup"))
-        .orderBy(col("vec_id"))
+    // (within LSH-bucketed candidates) with a duplicate flag at
+    // cosine ≥ 0.95. The oracle replays the identical plane literals,
+    // Hamming-1 multiprobe, and argmax (row_number = 1 ≡ max_by).
+    GraftQuery.of("dedup_embedding_nn", {
+      val bits = 4
+      val probeBuckets = (0 until bits).map(m => s"xor(bucket, ${1L << m})") :+ "bucket"
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    CAST(${bucketSql(bits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS bucket
+         |  FROM embeddings
+         |), probes AS (
+         |  SELECT vec_id, e AS pe,
+         |    unnest([${probeBuckets.mkString(", ")}]) AS bucket
+         |  FROM wb
+         |), scored AS (
+         |  SELECT p.vec_id, w.vec_id AS nn_id,
+         |    round(list_cosine_similarity(pe, w.e), 6) AS cosine
+         |  FROM probes p JOIN wb w USING (bucket) WHERE w.vec_id <> p.vec_id
+         |), ranked AS (
+         |  SELECT vec_id, nn_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
+         |  FROM scored)
+         |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      nnDedupLsh(embeddings(s, d))
     })
 }

@@ -21,6 +21,14 @@ object RecallProbe {
       val lsh = pairs(Similarity.knnLsh(emb, nProbes, 10, bits))
       println(f"[recall] lsh bits=$bits recall@10=${(brute & lsh).size.toDouble / brute.size}%.3f")
     }
+    for (tables <- Seq(2, 3, 4)) {
+      val multi = pairs(Similarity.knnLshMulti(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < nProbes)
+          .select(org.apache.spark.sql.functions.col("vec_id").as("probe_id"),
+            org.apache.spark.sql.functions.col("embedding")),
+        10, bits = 4, tables = tables, excludeSelf = true))
+      println(f"[recall] lsh-multi tables=$tables recall@10=${(brute & multi).size.toDouble / brute.size}%.3f")
+    }
     for ((nlist, nprobe) <- Seq((16, 4), (16, 8), (32, 8))) {
       val ivf = pairs(Similarity.knnIvf(emb, nProbes, 10, nlist, nprobe))
       println(f"[recall] ivf nlist=$nlist nprobe=$nprobe recall@10=${(brute & ivf).size.toDouble / brute.size}%.3f")

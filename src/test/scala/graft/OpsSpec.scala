@@ -107,6 +107,63 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table LSH OR-amplification: recall >= single-table, sims exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.knnLsh(emb, nProbes = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.knnLshMulti(emb, nProbes = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rSingle = (brute & single).size.toDouble / brute.size
+    val rMulti = (brute & multi).size.toDouble / brute.size
+    // OR-combining 3 independent tables can only add candidates relative
+    // to one table of the same width — recall must not be worse than the
+    // usability floor and should beat/meet a fresh single table's.
+    assert(rMulti >= 0.3, s"multi recall=$rMulti")
+    assert(rMulti >= rSingle - 0.2, s"multi=$rMulti single=$rSingle")
+  }
+
+  test("external-probe kNN: k rows per probe, no self-exclusion, exact sims") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(s, sf)
+    // probe 0 IS corpus vector 0 — without self-exclusion its top hit must
+    // be itself at sim 1.0
+    val v0 = emb.filter(col("vec_id") === 0L).select("embedding")
+      .collect()(0).getSeq[Float](0).map(_.toDouble)
+    val probes = Seq((0L, v0)).toDF("probe_id", "embedding")
+    val out = Similarity.knnBrute(emb, probes, k = 5).collect()
+    assert(out.length == 5)
+    assert(out(0).getLong(1) == 0L && out(0).getDouble(3) == 1.0, out(0).toString)
+  }
+
+  test("LSH near-dup NN finds >= 90% of planted dup pairs (cosine >= 0.95 band)") {
+    // the testdata embeddings are near-random (max NN cosine ~0.51), so
+    // plant the dup band explicitly: a slightly perturbed copy of every
+    // vector (cosine vs original ~0.9999 — exactly where random-hyperplane
+    // LSH concentrates collisions)
+    val emb = Tables.embeddings(spark, sf)
+    val planted = emb.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x * (1.0 + 0.002 * (i % 3 - 1)) as float))")
+        .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val lsh = Similarity.nnDedupLsh(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    val n = emb.count()
+    // recall: planted copy's NN is its original (and flagged as dup)
+    val hits = (0L until n).count(v => lsh.get(v + 10000L).exists {
+      case (nn, dup) => nn == v && dup
+    })
+    val recall = hits.toDouble / n
+    assert(recall >= 0.9, s"planted-dup recall=$recall ($hits/$n)")
+    // and the exact path agrees on those pairs (ground truth)
+    val exact = Similarity.nnDedupExact(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactHits = (0L until n).count(v => exact.get(v + 10000L).contains(v))
+    assert(exactHits == n, s"exact path should always find the planted pair ($exactHits/$n)")
+  }
+
   test("language-ID prefers the profile with the most stopword hits; CJK wins on non-ASCII") {
     val docs = spark.createDataFrame(Seq(
       Row(0L, "the cat and the dog of the house", "en", 32L),

@@ -110,4 +110,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"), p.take(2000))
   }
+
+  test("embedding near-dup NN is bucket-joined, never all-pairs") {
+    val p = planOf("dedup_embedding_nn")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // argmax is the partial-aggregating max_by, not a ranked window sort
+    assert(p.contains("max_by"), p.take(2000))
+    assert(!p.contains("row_number"), p.take(2000))
+  }
+
+  test("IVF corpus assignment is a partial-agg argmax (no corpus-wide window sort)") {
+    val p = planOf("sim_knn_ivf")
+    // the only row_number window allowed is the probe-side top-n and the
+    // final top-k re-rank; the corpus inverted-list build must be max_by
+    assert(p.contains("max_by"), p.take(2000))
+  }
+
+  test("multi-table LSH is an equi-join on (table, bucket), no cartesian") {
+    val p = planOf("sim_knn_lsh_multi")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
