@@ -60,7 +60,11 @@ object Bench {
     val total = results.map(_._2).sum
     val calibEnd = calibrate()
     val calibParEnd = calibratePar()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par8_end_sec":$calibParEnd}"""
+    // value = sum of per-query minima over the two passes (documented in
+    // BASELINE.md); value_single_pass = the plain first-pass total, for
+    // consumers comparing against single-pass baselines without reading
+    // the agg/passes fields.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","value_single_pass":${pass1.map(_._2).sum},"pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par8_end_sec":$calibParEnd}"""
     println(json)
     // Belt-and-braces: sbt may prefix stdout lines, so also drop the JSON
     // where the driver (or a human) can read it unmangled.

@@ -88,4 +88,19 @@ object CdcBoundaries {
   /** Column form over a string/binary column. */
   def cdcBoundaries(c: Column, window: Int, mask: Long): Column =
     Bridge.toColumn(CdcBoundaries(Bridge.toExpression(c.cast("binary")), window, mask))
+
+  /** CDC cut points are BYTE offsets; the registered queries apply them
+    * with character-indexed `substring`, which is only valid while the
+    * text is pure ASCII (1 byte = 1 char). This guard makes the
+    * precondition loud: any multi-byte character fails the query with a
+    * clear error instead of silently misaligning chunks (and silently
+    * diverging from the char-indexed oracle).
+    */
+  def asciiOnly(text: Column, ctx: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, length, lit, octet_length, raise_error, when}
+    when(length(text) === octet_length(text), text)
+      .otherwise(raise_error(concat(
+        lit("CDC requires ASCII text (byte == char offsets); multi-byte text at "),
+        ctx.cast("string"))))
+  }
 }

@@ -429,7 +429,10 @@ object Dedup {
          |FROM chunks c JOIN keepers k ON c.ch = k.ch AND c.doc_id > k.doc_a
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
-      val withBounds = documents(s, d).select(col("doc_id"), col("text"),
+      val withBounds = documents(s, d)
+        .withColumn("text",
+          graft.functions.CdcBoundaries.asciiOnly(col("text"), col("doc_id")))
+        .select(col("doc_id"), col("text"),
         concat(array(lit(0)),
           graft.functions.CdcBoundaries.cdcBoundaries(col("text"), 16, 63),
           array(length(col("text")))).as("b"))

@@ -243,11 +243,21 @@ object Relational {
     // sketch never compresses and the answer is EXACT (nearest-rank), which
     // is how it earns a quantile_disc oracle at test SF.
     GraftQuery.of("q_percentiles_approx",
-      """SELECT l_returnflag,
-        |  quantile_disc(l_quantity, 0.25) AS q25,
-        |  quantile_disc(l_quantity, 0.5)  AS q50,
-        |  quantile_disc(l_quantity, 0.9)  AS q90
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Rank definition pinned EXPLICITLY to Spark's exact-mode rule
+      // (value at rank ceil(p*n), verified in PercentilePinSpec):
+      // quantile_disc's floor(p*(n-1))+1 rank can differ by one when p*n
+      // falls between distinct values, so the oracle replays the ceil
+      // rule with a window instead of relying on tie-heavy data.
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  min(l_quantity) FILTER (WHERE rn >= ceil(0.25 * n)) AS q25,
+        |  min(l_quantity) FILTER (WHERE rn >= ceil(0.5 * n)) AS q50,
+        |  min(l_quantity) FILTER (WHERE rn >= ceil(0.9 * n)) AS q90
+        |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(
           expr("percentile_approx(l_quantity, 0.25D, 1000000)").as("q25"),
@@ -370,17 +380,18 @@ object Relational {
         |    WHERE n_regionkey = r.r_regionkey
         |    GROUP BY n_name ORDER BY n_customers DESC, n_name LIMIT 2)
         |ORDER BY r_name, n_customers DESC, n_name""".stripMargin) { (s, d) =>
-      region(s, d).createOrReplaceTempView("region_l")
-      nation(s, d).createOrReplaceTempView("nation_l")
-      customer(s, d).createOrReplaceTempView("customer_l")
+      val sfx = viewSuffix(d)
+      region(s, d).createOrReplaceTempView(s"region_l_$sfx")
+      nation(s, d).createOrReplaceTempView(s"nation_l_$sfx")
+      customer(s, d).createOrReplaceTempView(s"customer_l_$sfx")
       s.sql(
-        """SELECT r_name, n_name, n_customers FROM region_l r,
-          |  LATERAL (
-          |    SELECT n_name, count(*) AS n_customers
-          |    FROM nation_l JOIN customer_l ON c_nationkey = n_nationkey
-          |    WHERE n_regionkey = r.r_regionkey
-          |    GROUP BY n_name ORDER BY n_customers DESC, n_name LIMIT 2)
-          |ORDER BY r_name, n_customers DESC, n_name""".stripMargin)
+        s"""SELECT r_name, n_name, n_customers FROM region_l_$sfx r,
+           |  LATERAL (
+           |    SELECT n_name, count(*) AS n_customers
+           |    FROM nation_l_$sfx JOIN customer_l_$sfx ON c_nationkey = n_nationkey
+           |    WHERE n_regionkey = r.r_regionkey
+           |    GROUP BY n_name ORDER BY n_customers DESC, n_name LIMIT 2)
+           |ORDER BY r_name, n_customers DESC, n_name""".stripMargin)
     },
 
     // Ordered statistics — exact interpolated percentiles per group. Exact
@@ -408,12 +419,13 @@ object Relational {
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      customer(s, d).createOrReplaceTempView("customer")
-      orders(s, d).createOrReplaceTempView("orders")
+      val sfx = viewSuffix(d)
+      customer(s, d).createOrReplaceTempView(s"customer_$sfx")
+      orders(s, d).createOrReplaceTempView(s"orders_$sfx")
       s.sql(
-        """SELECT c_custkey,
-          |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
-          |FROM customer ORDER BY c_custkey""".stripMargin)
+        s"""SELECT c_custkey,
+           |  (SELECT count(*) FROM orders_$sfx WHERE o_custkey = c_custkey) AS n_orders
+           |FROM customer_$sfx ORDER BY c_custkey""".stripMargin)
     },
 
     // Date arithmetic — shipping-delay distribution (datediff + bucketed

@@ -154,7 +154,10 @@ object ScaleOps {
       val R = 8
       val li = lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
-        .withColumn("__salt", pmod(col("l_linenumber"), lit(R)))
+        // hash-derived salt: uniform over [0, R) regardless of the source
+        // column's range (l_linenumber alone spans only [1,7], which would
+        // leave salt buckets uneven)
+        .withColumn("__salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(R)))
       val ord = orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"))
         .withColumn("__salt", explode(array((0 until R).map(lit(_)): _*)))

@@ -29,9 +29,10 @@ object SqlSurface {
          |  $rollingFoldSql AS rolling_fp
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.GraftExtensions.register(s)
-      documents(s, d).createOrReplaceTempView("documents_ext")
-      s.sql("""SELECT doc_id, md5hash60(text) AS fp64, rolling_hash61(text) AS rolling_fp
-              |FROM documents_ext ORDER BY doc_id""".stripMargin)
+      val v = s"documents_ext_${viewSuffix(d)}"
+      documents(s, d).createOrReplaceTempView(v)
+      s.sql(s"""SELECT doc_id, md5hash60(text) AS fp64, rolling_hash61(text) AS rolling_fp
+               |FROM $v ORDER BY doc_id""".stripMargin)
     },
 
     // Native cosine through SQL text over consecutive embedding pairs.
@@ -42,10 +43,11 @@ object SqlSurface {
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY a.vec_id""".stripMargin) { (s, d) =>
       graft.GraftExtensions.register(s)
-      embeddings(s, d).createOrReplaceTempView("embeddings_ext")
-      s.sql("""SELECT a.vec_id, round(cosine_sim(a.embedding, b.embedding), 6) AS cos_next
-              |FROM embeddings_ext a JOIN embeddings_ext b ON b.vec_id = a.vec_id + 1
-              |ORDER BY a.vec_id""".stripMargin)
+      val v = s"embeddings_ext_${viewSuffix(d)}"
+      embeddings(s, d).createOrReplaceTempView(v)
+      s.sql(s"""SELECT a.vec_id, round(cosine_sim(a.embedding, b.embedding), 6) AS cos_next
+               |FROM $v a JOIN $v b ON b.vec_id = a.vec_id + 1
+               |ORDER BY a.vec_id""".stripMargin)
     },
 
     // The Space-Saving sketch as a SQL aggregate; capacity (64) exceeds the
@@ -56,10 +58,11 @@ object SqlSurface {
         |FROM events GROUP BY event_type
         |ORDER BY cnt DESC, value LIMIT 3""".stripMargin) { (s, d) =>
       graft.GraftExtensions.register(s)
-      events(s, d).createOrReplaceTempView("events_ext")
-      s.sql("""SELECT x.value AS value, x.count AS cnt, x.error AS max_err
-              |FROM (SELECT explode(space_saving_topk(event_type, 3, 64)) AS x
-              |      FROM events_ext)
-              |ORDER BY cnt DESC, value""".stripMargin)
+      val v = s"events_ext_${viewSuffix(d)}"
+      events(s, d).createOrReplaceTempView(v)
+      s.sql(s"""SELECT x.value AS value, x.count AS cnt, x.error AS max_err
+               |FROM (SELECT explode(space_saving_topk(event_type, 3, 64)) AS x
+               |      FROM $v)
+               |ORDER BY cnt DESC, value""".stripMargin)
     })
 }

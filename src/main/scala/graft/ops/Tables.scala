@@ -31,6 +31,12 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Dataset-dir token for temp-view names: view-registering queries stay
+    * pure functions of (spark, sfDir) even when several run concurrently
+    * on one session against different dirs.
+    */
+  def viewSuffix(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
 }
 
 /** One registered engine query: a Spark implementation plus (when the

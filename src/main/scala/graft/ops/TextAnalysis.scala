@@ -188,7 +188,9 @@ object TextAnalysis {
     }) { (s, d) =>
       documents(s, d).select(
         col("doc_id"),
-        graft.functions.CdcBoundaries.cdcBoundaries(col("text"), 16, 63).as("cuts"))
+        graft.functions.CdcBoundaries.cdcBoundaries(
+          graft.functions.CdcBoundaries.asciiOnly(col("text"), col("doc_id")), 16, 63)
+          .as("cuts"))
         .select(col("doc_id"),
           size(col("cuts")).cast("long").as("n_cuts"),
           expr("array_join(transform(cuts, x -> cast(x as string)), ',')").as("cuts_str"))

@@ -4,7 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.ops.GraftQuery
 
 /** Structured Streaming twins of the batch `graft.ops.Events` operators.
   *
@@ -63,4 +65,37 @@ object EventStreams {
           UserSessions(userId, n, sessions)
       }
   }
+
+  /** Stream-batch equivalence under the driver's oracle hash: a genuine
+    * streaming read of the events parquet (file-stream source, one
+    * AvailableNow pass) through the SAME windowed aggregation as
+    * [[hourlyAgg]], materialized by a complete-mode memory sink and
+    * compared against the batch SQL oracle. The memory sink collects to
+    * the driver — a test-harness sink only; production would
+    * `writeStream.format("parquet")` with a checkpoint, same plan.
+    */
+  def queries: Seq[GraftQuery] = Seq(
+    GraftQuery.of("stream_hourly_agg",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n,
+        |  round(sum("value"), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // same nanos handling as graft.ops.Tables.events, on the stream path
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      // the file-stream source requires a directory or glob (a bare file
+      // path fails basePath validation) — narrow the SF dir with a glob
+      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sink = s"stream_hourly_${graft.ops.Tables.viewSuffix(d)}"
+      val q = hourlyAgg(raw).writeStream
+        .format("memory").queryName(sink).outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    })
 }

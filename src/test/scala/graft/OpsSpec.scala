@@ -164,6 +164,21 @@ class OpsSpec extends AnyFunSuite {
     assert(exactHits == n, s"exact path should always find the planted pair ($exactHits/$n)")
   }
 
+  test("CDC ascii guard: multi-byte text fails loudly instead of misaligning chunks") {
+    import graft.functions.CdcBoundaries
+    val docs = docsDf(0L -> "plain ascii text", 1L -> "café au lait")
+    val guarded = docs.select(
+      CdcBoundaries.cdcBoundaries(
+        CdcBoundaries.asciiOnly(col("text"), col("doc_id")), 16, 63).as("cuts"))
+    val e = intercept[Exception](guarded.collect())
+    assert(e.getMessage != null && e.getMessage.contains("ASCII"),
+      Option(e.getMessage).getOrElse(e.toString))
+    // pure-ASCII rows pass through the guard unchanged
+    val ok = docs.filter(col("doc_id") === 0L).select(
+      CdcBoundaries.asciiOnly(col("text"), col("doc_id")).as("t")).collect()
+    assert(ok(0).getString(0) == "plain ascii text")
+  }
+
   test("language-ID prefers the profile with the most stopword hits; CJK wins on non-ASCII") {
     val docs = spark.createDataFrame(Seq(
       Row(0L, "the cat and the dog of the house", "en", 32L),

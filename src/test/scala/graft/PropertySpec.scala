@@ -67,6 +67,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("histogram driver collects stay bounded: high-cardinality year throws, topValues caps") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val n = 100000
+    val wide = spark.range(n).select(col("id").cast("string").as("year"))
+    // generate() must refuse, not silently truncate or OOM the driver
+    val e = intercept[IllegalStateException](graft.validate.Breakdowns.generate(wide))
+    assert(e.getMessage.contains("HistogramMaxGroups"), e.getMessage)
+    // topValues is the documented scale path: bounded output regardless of
+    // input cardinality
+    val topDf = spark.range(n)
+      .select(concat(lit("sp_"), col("id").cast("string")).as("scientificName"))
+    val top = graft.validate.Breakdowns.topValues(topDf, "scientificName", 20)
+    assert(top.size == 20)
+  }
+
   test("cluster closure equals in-memory union-find on random edge sets") {
     val ss = TestSpark.spark
     import ss.implicits._
