@@ -45,6 +45,10 @@ object Bench {
       }
     val calib = calibrate()
     val calibPar = calibratePar()
+    // 32-way variant: a quota between 8 and 32 cores is invisible to the
+    // 8-thread canary but halves+ the 32-thread bench throughput — this
+    // one makes that case attributable too.
+    val calibPar32 = calibratePar(32)
     // TWO passes, report the per-query MINIMUM: host throttling comes and
     // goes mid-run (observed: the same query 2.3s and 63.7s in back-to-back
     // runs with clean start/end calibrations), and min-over-repetitions is
@@ -64,7 +68,7 @@ object Bench {
     // BASELINE.md); value_single_pass = the plain first-pass total, for
     // consumers comparing against single-pass baselines without reading
     // the agg/passes fields.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","value_single_pass":${pass1.map(_._2).sum},"pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par8_end_sec":$calibParEnd}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","value_single_pass":${pass1.map(_._2).sum},"pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par32_sec":$calibPar32,"calib_par8_end_sec":$calibParEnd}"""
     println(json)
     // Belt-and-braces: sbt may prefix stdout lines, so also drop the JSON
     // where the driver (or a human) can read it unmangled.

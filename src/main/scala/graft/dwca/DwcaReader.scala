@@ -100,10 +100,21 @@ object DwcaArchive {
     new DwcaArchive(spark, MetaXml.parse(meta), dir)
   }
 
+  /** Ceiling on driver-side extraction (bytes). Zip archives are unpacked
+    * on the driver — the one deliberately non-distributed step (matches
+    * the reference, which also reads the archive in-process). The cap
+    * turns a would-be disk-filling extraction into a clear error; for an
+    * archive beyond it, pre-extract to a directory (or distributed store)
+    * and pass the directory path — every read after `open` is a normal
+    * distributed Spark scan either way.
+    */
+  val MaxExtractBytes: Long = 8L << 30
+
   private def extractZip(zip: File): File = {
     val tmp = Files.createTempDirectory("dwca-").toFile
     tmp.deleteOnExit()
     val zf = new ZipFile(zip)
+    var extracted = 0L
     try {
       zf.entries().asScala.foreach { e =>
         val target: Path = tmp.toPath.resolve(e.getName).normalize()
@@ -113,8 +124,12 @@ object DwcaArchive {
         else {
           Files.createDirectories(target.getParent)
           val in = zf.getInputStream(e)
-          try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
+          try extracted += Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
           finally in.close()
+          if (extracted > MaxExtractBytes)
+            throw new IllegalArgumentException(
+              s"archive expands past ${MaxExtractBytes} bytes on the driver; " +
+                "pre-extract it to a directory and pass the directory path")
         }
       }
     } finally zf.close()

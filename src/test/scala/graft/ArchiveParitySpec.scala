@@ -86,6 +86,26 @@ class ArchiveParitySpec extends AnyFunSuite {
     assert(r.breakdowns("day").size == 5)
   }
 
+  test("multi-file zip archive extracts and reads like the directory form") {
+    // zip the 4-file event fixture (meta.xml + core + 2 extensions) and
+    // open the zip — must behave exactly like opening the directory
+    val srcDir = new java.io.File(TestSpark.resourcePath("/event_archives/dwca-simple"))
+    val zipFile = java.io.File.createTempFile("dwca-multi", ".zip")
+    zipFile.deleteOnExit()
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipFile))
+    try srcDir.listFiles().sortBy(_.getName).foreach { f =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(f.getName))
+      java.nio.file.Files.copy(f.toPath, zos)
+      zos.closeEntry()
+    } finally zos.close()
+    val archive = graft.dwca.DwcaArchive.open(spark, zipFile.getAbsolutePath)
+    assert(archive.descriptor.extensions.size == 2)
+    assert(archive.coreDataFrame.count() == 5)
+    val occExt = archive.descriptor.extensions
+      .find(_.rowTypeLocalName == "Occurrence").get
+    assert(archive.joined(occExt).count() == 5)
+  }
+
   test("core ⋈ extension join on id = coreid (event fixture, 5×5)") {
     val archive = graft.dwca.DwcaArchive.open(
       spark, TestSpark.resourcePath("/event_archives/dwca-simple"))
