@@ -19,7 +19,8 @@ object SparkEntry {
     Relational.queries ++ DwcQueries.queries ++ ArchiveQueries.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Events.queries ++ Multimodal.queries ++ ScaleOps.queries ++
-      SqlSurface.queries ++ graft.streaming.EventStreams.queries
+      SqlSurface.queries ++ Pipeline.queries ++
+      graft.streaming.EventStreams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * after cleaning/dedup: deterministic splitting, stratified subsampling,
+  * token-budget shard packing, and benchmark decontamination. Every one
+  * is a single-shuffle shape keyed on a bounded column, and every one is
+  * hash-derived (md5) rather than RNG-seeded, so results replay
+  * identically across engines, sessions, and cluster sizes.
+  */
+object Pipeline {
+
+  import graft.functions.Md5Hash60.md5hash60
+
+  private val h60Sql = (e: String) => s"('0x' || substr(md5($e), 1, 15))::UBIGINT"
+
+  /** Deterministic train/val/test assignment: hash-bucket the stable doc
+    * id into [0, 100) and band it 80/10/10. Hash-derived splits are the
+    * production pattern (a row's split never depends on partitioning,
+    * ordering, or corpus growth — only on its own id), and they need no
+    * shuffle at all until the verifying aggregation.
+    */
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs.withColumn("__bucket", pmod(md5hash60(col("doc_id").cast("string")), lit(100)))
+      .withColumn("split",
+        when(col("__bucket") < 80, "train")
+          .when(col("__bucket") < 90, "val")
+          .otherwise("test"))
+
+  /** Per-stratum deterministic sample: the `perStratum` docs with the
+    * smallest md5-order rank within each stratum. One shuffle keyed on
+    * the stratum; the rank window sorts only within strata (bounded by
+    * stratum size, and a TopK-per-key aggregation at extreme skew).
+    */
+  def stratifiedSample(docs: DataFrame, stratum: String, perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(md5hash60(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= perStratum)
+  }
+
+  /** Token-budget shard packing: within each language, docs are laid out
+    * in stable doc_id order and cut into contiguous shards of ~`budget`
+    * tokens (a shard holds the docs whose running token count falls in
+    * the same budget window — the deterministic approximation of
+    * sequence packing). The running sum is a lang-partitioned window:
+    * one shuffle on lang; at extreme per-key volume the same shape runs
+    * as a range-partitioned parallel prefix sum.
+    */
+  def packByTokenBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("__run", sum(col("n_tokens")).over(w))
+      .withColumn("shard", floor((col("__run") - col("n_tokens")) / budget))
+  }
+
+  /** Benchmark decontamination: a document is contaminated if it shares
+    * ANY `n`-token shingle with the benchmark set. Shingles are hashed to
+    * 60-bit ints; the benchmark shingle set is tiny by construction
+    * (benchmarks are small), so the probe is a broadcast LEFT SEMI join —
+    * one corpus scan, no shuffle of the corpus. Documents shorter than
+    * `n` tokens carry no shingles and cannot be contaminated.
+    */
+  def contaminatedDocIds(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    // sequence(1, 0) would DESCEND in Spark, so short docs need the
+    // explicit empty-array branch (explode then drops the row)
+    def shingles(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(split(text, ' ')) < $n THEN array()
+           |ELSE transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+           |  i -> concat_ws(' ', slice(split(text, ' '), i, $n))) END""".stripMargin)).as("sh"))
+        .select(col("doc_id"), md5hash60(col("sh")).as("shash"))
+    shingles(docs)
+      .join(broadcast(shingles(benchmark).select(col("shash")).distinct()), Seq("shash"),
+        "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // 80/10/10 hash split with per-split stats — green iff every row
+    // lands in the same band on both engines.
+    GraftQuery.of("pipeline_hash_split", {
+      val h = h60Sql("doc_id::VARCHAR")
+      s"""SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM (
+         |  SELECT n_chars,
+         |    CASE WHEN $h % 100 < 80 THEN 'train'
+         |         WHEN $h % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |GROUP BY split ORDER BY split""".stripMargin
+    }) { (s, d) =>
+      hashSplit(documents(s, d))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("split"))
+    },
+
+    // Stratified 20-per-language sample, emitted row-by-row so the oracle
+    // verifies the exact sample membership and order, not just counts.
+    GraftQuery.of("pipeline_stratified_sample", {
+      val h = h60Sql("doc_id::VARCHAR")
+      s"""SELECT lang, rnk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS BIGINT) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin
+    }) { (s, d) =>
+      stratifiedSample(documents(s, d), "lang", 20)
+        .select(col("lang"), col("rnk"), col("doc_id"))
+        .orderBy(col("lang"), col("rnk"))
+    },
+
+    // 2000-token contiguous shards per language with shard-level stats —
+    // the packing layout a pretraining data loader consumes.
+    GraftQuery.of("pipeline_pack_shards",
+      """SELECT lang, shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM (
+        |  SELECT lang, n_tokens,
+        |    CAST(floor((run - n_tokens) / 2000.0) AS BIGINT) AS shard
+        |  FROM (
+        |    SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |      CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        |    FROM documents))
+        |GROUP BY lang, shard ORDER BY lang, shard""".stripMargin) { (s, d) =>
+      packByTokenBudget(documents(s, d), budget = 2000L)
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("shard_tokens"))
+        .orderBy(col("lang"), col("shard"))
+    },
+
+    // Decontamination against a stand-in benchmark (docs 0..9): per-lang
+    // survivor counts after dropping any document sharing an 8-token
+    // shingle with it. The benchmark members themselves are excluded from
+    // the corpus side first (they trivially self-overlap).
+    GraftQuery.of("pipeline_decontaminate", {
+      val h = h60Sql("sh")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents
+         |), sh AS (
+         |  SELECT doc_id, $h AS shash FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(1, greatest(len(t) - 6, 1)),
+         |      i -> array_to_string(t[i:i+7], ' '))) AS sh
+         |    FROM toks)
+         |), bench AS (
+         |  SELECT DISTINCT shash FROM sh WHERE doc_id < 10
+         |), contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shash)
+         |  WHERE s.doc_id >= 10
+         |)
+         |SELECT t.lang, count(*) AS n_docs, count(c.doc_id) AS n_contaminated
+         |FROM toks t LEFT JOIN contaminated c USING (doc_id)
+         |WHERE t.doc_id >= 10
+         |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val bench = docs.filter(col("doc_id") < 10)
+      val corpus = docs.filter(col("doc_id") >= 10)
+      val bad = contaminatedDocIds(corpus, bench, n = 8)
+        .withColumn("__bad", lit(1))
+      corpus.join(broadcast(bad), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("__bad")).as("n_contaminated"))
+        .orderBy(col("lang"))
+    })
+}

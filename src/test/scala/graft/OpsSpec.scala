@@ -164,6 +164,40 @@ class OpsSpec extends AnyFunSuite {
     assert(exactHits == n, s"exact path should always find the planted pair ($exactHits/$n)")
   }
 
+  test("decontamination flags exactly the docs sharing an 8-token shingle; short docs safe") {
+    val bench = docsDf(0L -> "alpha beta gamma delta epsilon zeta eta theta iota")
+    val corpus = docsDf(
+      10L -> "prefix words alpha beta gamma delta epsilon zeta eta theta suffix", // shares 8-gram
+      11L -> "completely different content with no overlap at all whatsoever here",
+      12L -> "too short for shingles") // 4 tokens < 8: no shingles, no crash
+    val bad = Pipeline.contaminatedDocIds(corpus, bench, n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(bad == Set(10L), bad.toString)
+  }
+
+  test("token-budget packing: contiguous shards, bounded size, starts at zero") {
+    val docs = Tables.documents(spark, sf)
+    val packed = Pipeline.packByTokenBudget(docs, budget = 500L)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("shard"))
+      .collect()
+    val byLang = packed.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(3) == 0L, s"$lang first shard nonzero")
+      // shard ids never decrease in doc order (contiguous layout)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) <= b.getLong(3), s"$lang shard order")
+        case _ =>
+      }
+      // every shard's token total < budget + its largest member (greedy bound)
+      rows.groupBy(_.getLong(3)).foreach { case (shard, members) =>
+        val tokens = members.map(_.getLong(2)).sum
+        val maxDoc = members.map(_.getLong(2)).max
+        assert(tokens < 500L + maxDoc, s"$lang shard $shard tokens=$tokens")
+      }
+    }
+  }
+
   test("CDC ascii guard: multi-byte text fails loudly instead of misaligning chunks") {
     import graft.functions.CdcBoundaries
     val docs = docsDf(0L -> "plain ascii text", 1L -> "café au lait")
