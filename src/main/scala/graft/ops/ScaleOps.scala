@@ -140,6 +140,41 @@ object ScaleOps {
         .orderBy(col("lang"))
     },
 
+    // Interval (range) join without a nested loop: events within ±5 min
+    // of each purchase by the same user. Naive formulations degenerate to
+    // BroadcastNestedLoopJoin (inequality-only condition); the scalable
+    // shape buckets time into 5-min cells, probes each purchase into its
+    // cell ± 1 (any |Δt| ≤ 300 s pair shares one of those cells), joins as
+    // a plain (user, cell) equi-join, and applies the exact Δt predicate
+    // inside. Each event lives in ONE cell, so no pair matches twice.
+    // The oracle runs the direct inequality join — independent derivation.
+    GraftQuery.of("events_interval_join",
+      """SELECT p.event_id, p.user_id, count(e.event_id) AS n_nearby
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN events e
+        |  ON e.user_id = p.user_id AND e.event_id <> p.event_id
+        |  AND abs(epoch_us(e.ts::TIMESTAMP) - epoch_us(p.ts::TIMESTAMP)) <= 300000000
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val cellUs = 300000000L // 5 min in microseconds
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("cell", expr(s"us div $cellUs"))
+      val purchases = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          unix_micros(col("ts")).as("p_us"))
+        .withColumn("cell", explode(array(
+          expr(s"p_us div $cellUs - 1"), expr(s"p_us div $cellUs"),
+          expr(s"p_us div $cellUs + 1"))))
+      purchases.join(ev,
+          purchases("user_id") === ev("user_id") && purchases("cell") === ev("cell") &&
+            purchases("p_event_id") =!= ev("event_id") &&
+            abs(ev("us") - purchases("p_us")) <= cellUs,
+          "left")
+        .groupBy(col("p_event_id").as("event_id"), purchases("user_id"))
+        .agg(count(ev("event_id")).as("n_nearby"))
+        .orderBy(col("event_id"))
+    },
+
     // Skew-salted shuffle join: the fact side gets a deterministic salt,
     // the other side is replicated once per salt value, and the join key
     // becomes (key, salt) — a hot key's rows spread over R partitions

@@ -97,5 +97,33 @@ object EventStreams {
           col("event_type"), col("n"),
           round(col("sum_value"), 4).as("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
+    },
+
+    // Streaming exact dedup: stateful fingerprint aggregation over a
+    // file-stream read of the documents table (update-mode min-keeper per
+    // fingerprint — deterministic regardless of file/batch arrival order,
+    // unlike dropDuplicates' keep-first). AvailableNow may split the input
+    // into several batches, each emitting its running min, so the batch
+    // side re-minimizes per fingerprint before comparing against the
+    // batch dedup oracle.
+    GraftQuery.of("stream_dedup_exact",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/documents*.parquet")
+      val deduped = raw
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"))
+      val sink = s"stream_dedup_${graft.ops.Tables.viewSuffix(d)}"
+      val q = deduped.writeStream
+        .format("memory").queryName(sink).outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .groupBy(col("fp")).agg(min(col("keeper")).as("keeper"))
+        .orderBy(col("fp"))
     })
 }

@@ -127,6 +127,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("max_by"), p.take(2000))
   }
 
+  test("interval join is a bucketed equi-join, no nested loop") {
+    val p = planOf("events_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("multi-table LSH is an equi-join on (table, bucket), no cartesian") {
     val p = planOf("sim_knn_lsh_multi")
     assert(!p.contains("CartesianProduct"), p.take(2000))
