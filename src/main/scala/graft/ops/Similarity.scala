@@ -272,24 +272,52 @@ object Similarity {
     */
   def trainCentroids(emb: DataFrame, nlist: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     import graft.functions.Md5Hash60.md5hash60
-    var cents = emb.orderBy(md5hash60(col("vec_id").cast("string")), col("vec_id"))
-      .limit(nlist)
-      .select(col("vec_id").as("cid"),
-        expr("transform(embedding, x -> cast(x as double))").as("ce"))
-    var lastSizes: DataFrame = null
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = emb.sparkSession
+    val centSchema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("ce", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    def centsDf(rows: Seq[(Long, Seq[Double])]): DataFrame =
+      spark.createDataFrame(rows.map { case (c, e) => Row(c, e) }.asJava, centSchema)
+    // Centroid + size state lives on the DRIVER between iterations
+    // (MLlib-KMeans-style): the codebook is O(nlist·dim) — driver-sized by
+    // construction, it must broadcast anyway. Each Lloyd iteration is then
+    // exactly ONE corpus pass: assignNearest's partial-agg argmax feeding
+    // a single (cid, dim)-keyed aggregation that computes the elementwise
+    // mean AND the member count together. The lazy-chained formulation
+    // re-executed the full assignment once per downstream consumer (sizes,
+    // final emit) and chained iteration lineages; at sf0.1 wall time is
+    // dominated by the 1 + iters sequential job launches either way, but
+    // at corpus scale the pass count is the bill.
+    var centRows: Seq[(Long, Seq[Double])] =
+      emb.orderBy(md5hash60(col("vec_id").cast("string")), col("vec_id"))
+        .limit(nlist)
+        .select(col("vec_id").as("cid"),
+          expr("transform(embedding, x -> cast(x as double))").as("ce"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
+    var sizes: Map[Long, Long] = centRows.map(_._1 -> 0L).toMap
     for (_ <- 1 to iters) {
-      val asg = assignNearest(emb, "vec_id", broadcast(cents))
-      lastSizes = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
-      val newC = asg
+      val perDim = assignNearest(emb, "vec_id", broadcast(centsDf(centRows)))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(round(avg(col("x")), 6).as("m"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("ce_new"))
-      cents = cents.join(newC, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("ce_new"), col("ce")).as("ce"))
+        .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = perDim.groupBy(_.getLong(0))
+      sizes = centRows.map(_._1 -> 0L).toMap ++
+        byCid.view.mapValues(_.head.getLong(3)).toMap
+      // empty clusters carry their previous centroid forward
+      centRows = centRows.map { case (cid, ce) =>
+        cid -> byCid.get(cid).fold(ce)(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
     }
-    (cents, lastSizes)
+    val sizeSchema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("n_members", LongType, nullable = false)))
+    val sizesDf = spark.createDataFrame(
+      sizes.toSeq.sortBy(_._1).map { case (c, n) => Row(c, n) }.asJava, sizeSchema)
+    (centsDf(centRows), sizesDf)
   }
 
   /** DuckDB replay of [[trainCentroids]]: one CTE pair per unrolled Lloyd
