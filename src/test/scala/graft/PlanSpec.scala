@@ -127,6 +127,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("max_by"), p.take(2000))
   }
 
+  test("decontamination probes the benchmark shingles via broadcast, no corpus shuffle join") {
+    val p = planOf("pipeline_decontaminate")
+    // the corpus-side shingle probe must be a broadcast LEFT SEMI —
+    // shuffling the corpus shingle set would be the 100 TB mistake
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("hash split needs no shuffle before the verifying aggregation") {
+    val p = planOf("pipeline_hash_split")
+    // split assignment is per-row hashing: exactly one hash Exchange (the
+    // final stats groupBy) plus the ordering rangepartitioning
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"hashExchanges=$hashExchanges\n${p.take(2000)}")
+  }
+
   test("interval join is a bucketed equi-join, no nested loop") {
     val p = planOf("events_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))

@@ -82,6 +82,22 @@ class PropertySpec extends AnyFunSuite {
     assert(top.size == 20)
   }
 
+  test("hash split + stratified sample are invariant to input order and partitioning") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars", "text")
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Pipeline.hashSplit(df).select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reversed order, different partitioning — identical assignment
+    assert(splits(docs) == splits(docs.orderBy(col("doc_id").desc).repartition(7)))
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Pipeline.stratifiedSample(df, "lang", 5)
+        .select("lang", "rnk", "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sample(docs) == sample(docs.orderBy(col("n_chars")).repartition(3)))
+  }
+
   test("cluster closure equals in-memory union-find on random edge sets") {
     val ss = TestSpark.spark
     import ss.implicits._
