@@ -122,11 +122,20 @@ object Similarity {
       s"(CASE WHEN list_dot_product($arr, ${planeListSql(i => sign(j, i))}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Small-probe-set hint: broadcast when the probe frame is known small
+    * (the common "few queries × huge corpus" case); for a corpus-sized
+    * probe set pass `broadcastProbes = false` — the bucket equi-join then
+    * runs as a plain shuffle join, which is exactly the right shape (see
+    * [[nnDedupLsh]], which IS that case).
+    */
+  private def maybeBroadcast(df: DataFrame, hint: Boolean): DataFrame =
+    if (hint) broadcast(df) else df
+
   /** LSH ANN: bucket everything, multiprobe each probe into its bucket and
     * all Hamming-1 neighbors, exact cosine re-rank within candidates.
     */
   def knnLsh(emb: DataFrame, probes: DataFrame, k: Int, bits: Int = 4,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, broadcastProbes: Boolean = true): DataFrame = {
     val withBucket = emb.withColumn("bucket", lshBucket("embedding", bits))
     val probeBuckets = (0 until bits).map(m => col("bucket").bitwiseXOR(lit(1L << m))) :+ col("bucket")
     val p = probes
@@ -135,7 +144,7 @@ object Similarity {
         explode(array(probeBuckets: _*)).as("bucket"))
     val cands = withBucket
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
-    val joined = cands.join(broadcast(p), Seq("bucket"))
+    val joined = cands.join(maybeBroadcast(p, broadcastProbes), Seq("bucket"))
     val kept = if (excludeSelf) joined.filter(col("probe_id") =!= col("neighbor_id")) else joined
     topK(kept.withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6)), k)
   }
@@ -155,7 +164,8 @@ object Similarity {
     * (table, bucket): one equi-join, no pair blowup.
     */
   def knnLshMulti(emb: DataFrame, probes: DataFrame, k: Int, bits: Int = 4,
-      tables: Int = 3, excludeSelf: Boolean = false): DataFrame = {
+      tables: Int = 3, excludeSelf: Boolean = false,
+      broadcastProbes: Boolean = true): DataFrame = {
     val bucketCols = (0 until tables).map(t =>
       bucketCol("embedding", bits, mplaneSign(t, _, _)).as(s"__b$t"))
 
@@ -176,7 +186,7 @@ object Similarity {
         explode(array(probeEntries: _*)).as("tb"))
       .select(col("probe_id"), col("pe"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
 
-    val joined = cands.join(broadcast(p), Seq("t", "bucket"))
+    val joined = cands.join(maybeBroadcast(p, broadcastProbes), Seq("t", "bucket"))
     val kept = if (excludeSelf) joined.filter(col("probe_id") =!= col("neighbor_id")) else joined
     // OR-combine the tables: a pair that collides in several tables scores once
     val uniq = kept.select(col("probe_id"), col("pe"), col("neighbor_id"), col("ne"))
@@ -227,7 +237,7 @@ object Similarity {
     */
   def knnIvf(emb: DataFrame, probes: DataFrame, k: Int, nlist: Int = 16,
       nprobe: Int = 4, codebook: Option[DataFrame] = None,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, broadcastProbes: Boolean = true): DataFrame = {
     import graft.functions.Md5Hash60.md5hash60
     // default quantizer: deterministic md5-order sample; a trained
     // codebook ((cid, ce) frame, e.g. from trainCentroids) drops in
@@ -241,7 +251,7 @@ object Similarity {
     val p = assignTopN(probes, "probe_id", centroids, nprobe)
       .select(col("probe_id"), col("embedding").as("pe"), col("cid"))
 
-    val joined = lists.join(broadcast(p), Seq("cid"))
+    val joined = lists.join(maybeBroadcast(p, broadcastProbes), Seq("cid"))
     val kept = if (excludeSelf) joined.filter(col("probe_id") =!= col("neighbor_id")) else joined
     topK(kept.withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6)), k)
   }

@@ -164,6 +164,18 @@ class OpsSpec extends AnyFunSuite {
     assert(exactHits == n, s"exact path should always find the planted pair ($exactHits/$n)")
   }
 
+  test("non-broadcast probe path is result-identical (shuffle bucket join fallback)") {
+    val emb = Tables.embeddings(spark, sf)
+    val probes = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(Similarity.knnLsh(emb, probes, 10, 4, excludeSelf = true)) ==
+      rows(Similarity.knnLsh(emb, probes, 10, 4, excludeSelf = true, broadcastProbes = false)))
+    assert(rows(Similarity.knnLshMulti(emb, probes, 10, excludeSelf = true)) ==
+      rows(Similarity.knnLshMulti(emb, probes, 10, excludeSelf = true, broadcastProbes = false)))
+  }
+
   test("decontamination flags exactly the docs sharing an 8-token shingle; short docs safe") {
     val bench = docsDf(0L -> "alpha beta gamma delta epsilon zeta eta theta iota")
     val corpus = docsDf(
