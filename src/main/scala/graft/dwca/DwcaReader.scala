@@ -110,7 +110,7 @@ object DwcaArchive {
     */
   val MaxExtractBytes: Long = 8L << 30
 
-  private def extractZip(zip: File): File = {
+  private[graft] def extractZip(zip: File, maxBytes: Long = MaxExtractBytes): File = {
     val tmp = Files.createTempDirectory("dwca-").toFile
     tmp.deleteOnExit()
     val zf = new ZipFile(zip)
@@ -123,13 +123,25 @@ object DwcaArchive {
         if (e.isDirectory) Files.createDirectories(target)
         else {
           Files.createDirectories(target.getParent)
+          // Enforce the cap DURING the copy, not after: a single deflate-
+          // bombed entry must die at the limit, never after it has already
+          // filled the driver's disk.
           val in = zf.getInputStream(e)
-          try extracted += Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
-          finally in.close()
-          if (extracted > MaxExtractBytes)
-            throw new IllegalArgumentException(
-              s"archive expands past ${MaxExtractBytes} bytes on the driver; " +
-                "pre-extract it to a directory and pass the directory path")
+          val out = Files.newOutputStream(target)
+          try {
+            val buf = new Array[Byte](64 * 1024)
+            var n = in.read(buf)
+            while (n >= 0) {
+              extracted += n
+              if (extracted > maxBytes)
+                throw new IllegalArgumentException(
+                  s"archive expands past $maxBytes bytes on the driver " +
+                    s"(entry ${e.getName}); pre-extract it to a directory and " +
+                    "pass the directory path")
+              out.write(buf, 0, n)
+              n = in.read(buf)
+            }
+          } finally { in.close(); out.close() }
         }
       }
     } finally zf.close()

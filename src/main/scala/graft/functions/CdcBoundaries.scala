@@ -98,7 +98,10 @@ object CdcBoundaries {
     */
   def asciiOnly(text: Column, ctx: Column): Column = {
     import org.apache.spark.sql.functions.{concat, length, lit, octet_length, raise_error, when}
-    when(length(text) === octet_length(text), text)
+    // NULL text must null-propagate (as cdcBoundaries itself does), not
+    // trip the guard: length(NULL) === octet_length(NULL) is NULL, which
+    // `when` would otherwise route to the raise_error branch.
+    when(text.isNull || length(text) === octet_length(text), text)
       .otherwise(raise_error(concat(
         lit("CDC requires ASCII text (byte == char offsets); multi-byte text at "),
         ctx.cast("string"))))

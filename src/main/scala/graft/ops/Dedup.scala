@@ -38,7 +38,7 @@ object Dedup {
 
   /** Same hash as [[h60]] in DuckDB SQL, over SQL expression `e`. */
   def h60Sql(e: String, seed: Int): String =
-    s"CAST(('0x' || substr(md5($e || '#$seed'), 1, 15))::UBIGINT AS BIGINT)"
+    s"CAST(${GraftQuery.h60Sql(s"$e || '#$seed'")} AS BIGINT)"
 
   /** Same hash as [[h60]] in Spark SQL text form (for expr-built lambdas). */
   def h60Expr(e: String, seed: Int): String =
@@ -64,7 +64,7 @@ object Dedup {
     (graft.functions.Md5Hash60.md5hash60(c) % MinhashMod).as("hb")
 
   def baseHashSql(e: String): String =
-    s"(CAST(('0x' || substr(md5($e), 1, 15))::UBIGINT AS BIGINT) % $MinhashMod)"
+    s"(CAST(${GraftQuery.h60Sql(e)} AS BIGINT) % $MinhashMod)"
 
   /** Word 3-shingles of `text` (single-space tokenized); docs shorter than
     * 3 tokens fall back to one truncated shingle (both engines slice

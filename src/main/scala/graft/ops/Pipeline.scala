@@ -17,7 +17,7 @@ object Pipeline {
 
   import graft.functions.Md5Hash60.md5hash60
 
-  private val h60Sql = (e: String) => s"('0x' || substr(md5($e), 1, 15))::UBIGINT"
+  private val h60Sql = (e: String) => GraftQuery.h60Sql(e)
 
   /** Deterministic train/val/test assignment: hash-bucket the stable doc
     * id into [0, 100) and band it 80/10/10. Hash-derived splits are the
@@ -68,13 +68,18 @@ object Pipeline {
     * `n` tokens carry no shingles and cannot be contaminated.
     */
   def contaminatedDocIds(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
-    // sequence(1, 0) would DESCEND in Spark, so short docs need the
-    // explicit empty-array branch (explode then drops the row)
+    // Tokenize ONCE into a bound column before the lambda: Spark does not
+    // hoist loop-invariant subexpressions out of higher-order-function
+    // lambdas, so an inline split(text) would re-tokenize per shingle —
+    // O(tokens²) per document. sequence(1, 0) would DESCEND in Spark, so
+    // short docs need the explicit empty-array branch (explode then drops
+    // the row).
     def shingles(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(split(text, ' ')) < $n THEN array()
-           |ELSE transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-           |  i -> concat_ws(' ', slice(split(text, ' '), i, $n))) END""".stripMargin)).as("sh"))
+      df.withColumn("__t", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(__t) < $n THEN array()
+             |ELSE transform(sequence(1, size(__t) - ${n - 1}),
+             |  i -> concat_ws(' ', slice(__t, i, $n))) END""".stripMargin)).as("sh"))
         .select(col("doc_id"), md5hash60(col("sh")).as("shash"))
     shingles(docs)
       .join(broadcast(shingles(benchmark).select(col("shash")).distinct()), Seq("shash"),

@@ -103,10 +103,14 @@ object Similarity {
     * sign(cosine) == sign(dot) (the norms are positive), so the codegen'd
     * [[graft.functions.CosineSim]] kernel computes each bit in one fused
     * pass — no interpreted higher-order-function lambda per plane.
+    * `nanvl` pins the zero-norm case: cosine of a zero vector is NaN, and
+    * Spark orders NaN > 0 — without the rewrite to 0.0 a zero vector
+    * would take bucket 2^bits−1 here while the oracle's
+    * `list_dot_product(...) > 0` puts it in bucket 0.
     */
   private def bucketCol(arr: String, bits: Int, sign: (Int, Int) => Double): Column =
     (0 until bits).map { j =>
-      when(cosineSim(col(arr), planeArray(i => sign(j, i))) > 0,
+      when(nanvl(cosineSim(col(arr), planeArray(i => sign(j, i))), lit(0.0)) > 0,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -335,7 +339,7 @@ object Similarity {
     * unnest, empty-cluster carry-forward).
     */
   private def kmeansSql(nlist: Int, iters: Int): String = {
-    val h60 = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT"
+    val h60 = GraftQuery.h60Sql("vec_id::VARCHAR")
     val init =
       s"cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings ORDER BY $h60, vec_id LIMIT $nlist)"
     val iterCtes = (1 to iters).map { it =>
@@ -567,7 +571,7 @@ object Similarity {
     // (6dp-rounded cosine, cid tiebreak), nprobe list selection, and the
     // exact within-list re-rank.
     GraftQuery.of("sim_knn_ivf", {
-      val h60 = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT"
+      val h60 = GraftQuery.h60Sql("vec_id::VARCHAR")
       s"""WITH cents AS (
          |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
          |  FROM embeddings ORDER BY $h60, vec_id LIMIT 16

@@ -57,4 +57,11 @@ object GraftQuery {
     GraftQuery(name, run, Some(oracle))
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): GraftQuery =
     GraftQuery(name, run, None)
+
+  /** DuckDB replay of [[graft.functions.Md5Hash60]] (bit-identical to
+    * Spark's `conv(substr(md5(x),1,15),16,10)`). The ONE definition of
+    * the idiom — every oracle uses this helper so copies cannot drift
+    * from the engine-side expression's parity contract.
+    */
+  def h60Sql(e: String): String = s"('0x' || substr(md5($e), 1, 15))::UBIGINT"
 }

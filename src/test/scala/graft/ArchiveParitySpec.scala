@@ -106,6 +106,20 @@ class ArchiveParitySpec extends AnyFunSuite {
     assert(archive.joined(occExt).count() == 5)
   }
 
+  test("zip extraction dies AT the byte cap, mid-entry, not after the copy") {
+    val zipFile = java.io.File.createTempFile("dwca-big", ".zip")
+    zipFile.deleteOnExit()
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipFile))
+    try {
+      zos.putNextEntry(new java.util.zip.ZipEntry("meta.xml"))
+      zos.write(Array.fill(1 << 20)('x'.toByte)) // one 1 MiB entry
+      zos.closeEntry()
+    } finally zos.close()
+    val e = intercept[IllegalArgumentException](
+      graft.dwca.DwcaArchive.extractZip(zipFile, maxBytes = 100L))
+    assert(e.getMessage.contains("expands past"), e.getMessage)
+  }
+
   test("core ⋈ extension join on id = coreid (event fixture, 5×5)") {
     val archive = graft.dwca.DwcaArchive.open(
       spark, TestSpark.resourcePath("/event_archives/dwca-simple"))

@@ -210,6 +210,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-norm vector lands in LSH bucket 0 (NaN cosine pinned to the oracle's dot=0)") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Seq.fill(64)(0.0f)),          // zero vector: cosine vs any plane is NaN
+      (1L, (0 until 64).map(_.toFloat))) // ordinary vector
+      .toDF("vec_id", "embedding")
+    val buckets = emb.select(col("vec_id"), Similarity.lshBucket("embedding", 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) == 0L, s"zero vector bucket=${buckets(0L)} (NaN>0 leak)")
+    assert(buckets(1L) >= 0L && buckets(1L) < 16L)
+  }
+
+  test("asciiOnly null-propagates NULL text instead of raising") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, Option("plain")), (1L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(
+      graft.functions.CdcBoundaries.asciiOnly(col("text"), col("doc_id")).as("t"))
+      .collect()
+    assert(out.map(r => Option(r.getString(0))).toSet == Set(Some("plain"), None))
+  }
+
   test("CDC ascii guard: multi-byte text fails loudly instead of misaligning chunks") {
     import graft.functions.CdcBoundaries
     val docs = docsDf(0L -> "plain ascii text", 1L -> "café au lait")
