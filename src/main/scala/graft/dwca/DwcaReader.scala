@@ -1,7 +1,7 @@
 package graft.dwca
 
 import java.io.File
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path}
 import java.util.zip.ZipFile
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -115,6 +115,7 @@ object DwcaArchive {
     tmp.deleteOnExit()
     val zf = new ZipFile(zip)
     var extracted = 0L
+    var ok = false
     try {
       zf.entries().asScala.foreach { e =>
         val target: Path = tmp.toPath.resolve(e.getName).normalize()
@@ -144,7 +145,17 @@ object DwcaArchive {
           } finally { in.close(); out.close() }
         }
       }
-    } finally zf.close()
+      ok = true
+    } finally {
+      zf.close()
+      // deleteOnExit is a no-op on a non-empty dir: a failed extraction
+      // (cap breach, bad entry) must not leave partial gigabytes behind
+      if (!ok) {
+        Files.walk(tmp.toPath)
+          .sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
     tmp
   }
 }

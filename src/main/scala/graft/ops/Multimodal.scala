@@ -81,15 +81,17 @@ object Multimodal {
 
     // Typed metadata over opaque binary payloads: byte length + digest +
     // the first 4 stub features (scalar columns so DuckDB can oracle them).
-    GraftQuery.of("mm_binary_meta",
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  md5(text) AS digest,
-        |  round(((('0x' || substr(md5(text || ':0'), 1, 15))::UBIGINT >> 0) & 255) / 255.0, 6) AS f0,
-        |  round(((('0x' || substr(md5(text || ':0'), 1, 15))::UBIGINT >> 8) & 255) / 255.0, 6) AS f1,
-        |  round(((('0x' || substr(md5(text || ':0'), 1, 15))::UBIGINT >> 16) & 255) / 255.0, 6) AS f2,
-        |  round(((('0x' || substr(md5(text || ':0'), 1, 15))::UBIGINT >> 24) & 255) / 255.0, 6) AS f3
-        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+    GraftQuery.of("mm_binary_meta", {
+      val h0 = GraftQuery.h60Sql("text || ':0'")
+      s"""SELECT doc_id AS media_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  md5(text) AS digest,
+         |  round((($h0 >> 0) & 255) / 255.0, 6) AS f0,
+         |  round((($h0 >> 8) & 255) / 255.0, 6) AS f1,
+         |  round((($h0 >> 16) & 255) / 255.0, 6) AS f2,
+         |  round((($h0 >> 24) & 255) / 255.0, 6) AS f3
+         |FROM documents ORDER BY media_id""".stripMargin
+    }) { (s, d) =>
       val media = asMedia(documents(s, d))
       val feats = fakeFeatures(col("payload"), 4)
       media.select(
@@ -126,7 +128,7 @@ object Multimodal {
     // rebuilding the same 16 bytes from the md5 words directly.
     GraftQuery.of("mm_feature_extract", {
       val byteExprs = (0 until 4).flatMap { w =>
-        val h = s"(('0x' || substr(md5(text || ':$w'), 1, 15))::UBIGINT)"
+        val h = s"(${GraftQuery.h60Sql(s"text || ':$w'")})"
         (0 until 4).map(b => s"(($h >> ${8 * b}) & 255)::VARCHAR")
       }
       s"""SELECT doc_id AS media_id,

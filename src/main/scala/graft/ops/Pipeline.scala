@@ -17,7 +17,7 @@ object Pipeline {
 
   import graft.functions.Md5Hash60.md5hash60
 
-  private val h60Sql = (e: String) => GraftQuery.h60Sql(e)
+  import GraftQuery.h60Sql
 
   /** Deterministic train/val/test assignment: hash-bucket the stable doc
     * id into [0, 100) and band it 80/10/10. Hash-derived splits are the

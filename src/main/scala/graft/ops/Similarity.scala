@@ -103,10 +103,10 @@ object Similarity {
     * sign(cosine) == sign(dot) (the norms are positive), so the codegen'd
     * [[graft.functions.CosineSim]] kernel computes each bit in one fused
     * pass — no interpreted higher-order-function lambda per plane.
-    * `nanvl` pins the zero-norm case: cosine of a zero vector is NaN, and
-    * Spark orders NaN > 0 — without the rewrite to 0.0 a zero vector
-    * would take bucket 2^bits−1 here while the oracle's
-    * `list_dot_product(...) > 0` puts it in bucket 0.
+    * `nanvl` pins the NaN cases (zero-norm vector → cosine 0/0 = NaN, or
+    * a NaN component): Spark orders NaN > 0, so without the rewrite to
+    * 0.0 such vectors would take bucket 2^bits−1; [[bucketSql]] carries
+    * the matching `NOT isnan` guard so both engines agree on bucket 0.
     */
   private def bucketCol(arr: String, bits: Int, sign: (Int, Int) => Double): Column =
     (0 until bits).map { j =>
@@ -120,10 +120,17 @@ object Similarity {
     bucketCol(arr, bits, planeSign).as("bucket")
   }
 
-  /** DuckDB bucket expression replaying [[bucketCol]] over `e` (DOUBLE[]). */
+  /** DuckDB bucket expression replaying [[bucketCol]] over `e` (DOUBLE[]).
+    * The NOT isnan guard mirrors the Spark side's `nanvl(..., 0.0)`:
+    * DuckDB's total FP order makes `NaN > 0` TRUE, so a NaN dot (a NaN
+    * vector component) would set every bit here while Spark sets none.
+    * With both guards, zero-norm AND NaN-component vectors take bucket 0
+    * on both engines.
+    */
   private def bucketSql(bits: Int, sign: (Int, Int) => Double, arr: String = "e"): String =
     (0 until bits).map { j =>
-      s"(CASE WHEN list_dot_product($arr, ${planeListSql(i => sign(j, i))}) > 0 THEN ${1L << j} ELSE 0 END)"
+      val dot = s"list_dot_product($arr, ${planeListSql(i => sign(j, i))})"
+      s"(CASE WHEN NOT isnan($dot) AND $dot > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
   /** Small-probe-set hint: broadcast when the probe frame is known small

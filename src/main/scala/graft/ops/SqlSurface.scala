@@ -25,7 +25,7 @@ object SqlSurface {
     // the Rabin rolling hash, exactly as a SQL-only user would call them.
     GraftQuery.of("q_ext_sql_scalar",
       s"""SELECT doc_id,
-         |  CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT) AS fp64,
+         |  CAST(${GraftQuery.h60Sql("text")} AS BIGINT) AS fp64,
          |  $rollingFoldSql AS rolling_fp
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.GraftExtensions.register(s)

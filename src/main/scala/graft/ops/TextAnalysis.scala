@@ -129,12 +129,12 @@ object TextAnalysis {
     // Document fingerprints: set-hash, multiset-hash, and a 60-bit integer
     // fingerprint (first 15 md5 hex chars) for compact storage/joins.
     GraftQuery.of("text_fingerprint",
-      """SELECT doc_id,
-        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
-        |    AS fp_set,
-        |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp_multiset,
-        |  CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT) AS fp64
-        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         |    AS fp_set,
+         |  md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp_multiset,
+         |  CAST(${GraftQuery.h60Sql("text")} AS BIGINT) AS fp64
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       documents(s, d).select(
         col("doc_id"),
         md5(concat_ws(" ", expr("array_sort(array_distinct(split(text, ' ')))")))
