@@ -60,6 +60,63 @@ object Pipeline {
       .withColumn("shard", floor((col("__run") - col("n_tokens")) / budget))
   }
 
+  /** The 100 TB shape of [[packByTokenBudget]]: a two-phase parallel
+    * prefix sum instead of a per-lang sequential window. Phase 1
+    * range-partitions on (lang, doc_id), sorts within partitions, and
+    * computes per-partition per-lang LOCAL running sums in one pass.
+    * The per-(partition, lang) subtotals — at most P × |langs| rows —
+    * come to the driver, prefix-combine into start offsets, and broadcast
+    * back; phase 2 adds each row's offset. No partition ever waits on
+    * another; the sequential dependency collapses to the driver-side
+    * combine of P subtotals. Output is row-identical to the window form
+    * (same order, same sums), proven by the shared oracle and a direct
+    * equivalence test.
+    */
+  def packByTokenBudgetDist(docs: DataFrame, budget: Long, partitions: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint pins ONE range partitioning: the subtotal scan and
+    // the phase-2 scan must see identical partition boundaries (range
+    // partitioning samples, so two evaluations could split differently)
+    val local = docs
+      .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(p, col("lang"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), spark_partition_id().as("pid"))
+      .as[(String, Long, Long, Int)]
+      .mapPartitions { it =>
+        var curLang: String = null
+        var run = 0L
+        it.map { case (lang, id, n, pid) =>
+          if (lang != curLang) { curLang = lang; run = 0L }
+          run += n
+          (lang, id, n, pid, run)
+        }
+      }
+      .toDF("lang", "doc_id", "n_tokens", "pid", "local_run")
+      .localCheckpoint(true)
+    val subtotals = local.groupBy(col("pid"), col("lang"))
+      .agg(max(col("local_run")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offsets: Map[(Int, String), Long] = subtotals
+      .groupBy(_._2)
+      .flatMap { case (lang, rows) =>
+        val sorted = rows.sortBy(_._1)
+        val starts = sorted.scanLeft(0L)(_ + _._3)
+        sorted.map(_._1).zip(starts).map { case (pid, off) => (pid, lang) -> off }
+      }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    local.as[(String, Long, Long, Int, Long)]
+      .map { case (lang, id, n, pid, lr) =>
+        (lang, id, n, lr + bOff.value.getOrElse((pid, lang), 0L))
+      }
+      .toDF("lang", "doc_id", "n_tokens", "__run")
+      .withColumn("shard", floor((col("__run") - col("n_tokens")) / budget))
+  }
+
   /** Benchmark decontamination: a document is contaminated if it shares
     * ANY `n`-token shingle with the benchmark set. Shingles are hashed to
     * 60-bit ints; the benchmark shingle set is tiny by construction
@@ -137,6 +194,26 @@ object Pipeline {
         |    FROM documents))
         |GROUP BY lang, shard ORDER BY lang, shard""".stripMargin) { (s, d) =>
       packByTokenBudget(documents(s, d), budget = 2000L)
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("shard_tokens"))
+        .orderBy(col("lang"), col("shard"))
+    },
+
+    // Same packing, distributed-prefix-sum physical plan, SAME oracle —
+    // the green row proves the parallel formulation is row-identical to
+    // the sequential-window semantics.
+    GraftQuery.of("pipeline_pack_shards_dist",
+      """SELECT lang, shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM (
+        |  SELECT lang, n_tokens,
+        |    CAST(floor((run - n_tokens) / 2000.0) AS BIGINT) AS shard
+        |  FROM (
+        |    SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |      CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        |    FROM documents))
+        |GROUP BY lang, shard ORDER BY lang, shard""".stripMargin) { (s, d) =>
+      packByTokenBudgetDist(documents(s, d), budget = 2000L)
         .groupBy(col("lang"), col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("shard_tokens"))
         .orderBy(col("lang"), col("shard"))

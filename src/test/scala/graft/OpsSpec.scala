@@ -234,6 +234,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(r => Option(r.getString(0))).toSet == Set(Some("plain"), None))
   }
 
+  test("distributed prefix-sum packing is row-identical to the sequential window form") {
+    val docs = Tables.documents(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lang", "doc_id", "n_tokens", "shard")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val window = rows(Pipeline.packByTokenBudget(docs, 500L)
+      .withColumn("doc_id", col("doc_id").cast("long")))
+    // force many partitions so every lang spans several (the phase-2
+    // offset combine actually exercises cross-partition carry)
+    val dist = rows(Pipeline.packByTokenBudgetDist(docs, 500L, partitions = 13))
+    assert(window == dist)
+  }
+
   test("CDC ascii guard: multi-byte text fails loudly instead of misaligning chunks") {
     import graft.functions.CdcBoundaries
     val docs = docsDf(0L -> "plain ascii text", 1L -> "café au lait")
