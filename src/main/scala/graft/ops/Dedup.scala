@@ -127,11 +127,15 @@ object Dedup {
     * dedup consumes, and transitive closure (union-find rounds) composes on
     * top when full clusters are needed.
     */
-  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+  def lshCandidatePairs(docs: DataFrame, maxBucket: Long = Long.MaxValue): DataFrame = {
     val bands = lshBands(minhashSignature(shingles1(docs)))
     val keepers = bands.groupBy(col("band"), col("band_hash"))
       .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("bucket_size"))
-      .filter(col("bucket_size") > 1)
+      // production mega-bucket guard: a degenerate bucket (boilerplate,
+      // spam clusters, empty-text collisions) still costs O(bucket) star
+      // edges; past `maxBucket` members the bucket is dropped entirely —
+      // a band that collides half the corpus carries no near-dup signal
+      .filter(col("bucket_size") > 1 && col("bucket_size") <= maxBucket)
     val pairs = bands.join(keepers, Seq("band", "band_hash"))
       .filter(col("doc_id") > col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()

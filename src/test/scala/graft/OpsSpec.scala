@@ -234,6 +234,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(r => Option(r.getString(0))).toSet == Set(Some("plain"), None))
   }
 
+  test("LSH mega-bucket cap drops degenerate buckets, keeps genuine near-dup pairs") {
+    // 6 identical spam docs (one mega bucket) + 2 genuine near-dups
+    val docs = docsDf(
+      (0L to 5L).map(i => i -> "buy now cheap deal buy now cheap deal") ++ Seq(
+        10L -> "the quick brown fox jumps over the lazy dog today",
+        11L -> "the quick brown fox jumps over the lazy dog tonight"): _*)
+    val uncapped = Dedup.lshCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.lshCandidatePairs(docs, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped sees the spam cluster's star edges; the cap removes them
+    assert(uncapped.exists(_._1 == 0L), uncapped.toString)
+    assert(!capped.exists(_._1 == 0L), capped.toString)
+    // the genuine pair survives the cap
+    assert(capped.contains((10L, 11L)) == uncapped.contains((10L, 11L)))
+  }
+
   test("distributed prefix-sum packing is row-identical to the sequential window form") {
     val docs = Tables.documents(spark, sf)
     def rows(df: org.apache.spark.sql.DataFrame) =
