@@ -102,6 +102,71 @@ object Multimodal {
         .orderBy(col("media_id"))
     },
 
+    // STUB resize: source dimensions come from a hash of the payload (the
+    // decode stand-in — a real pipeline reads them from the image header),
+    // the aspect-fit arithmetic and metadata plumbing are real. All math
+    // is INTEGER-only (w·224 div max(w,h)) so both engines replay it
+    // exactly — no float scale factor to drift.
+    GraftQuery.of("mm_resize", {
+      val h = s"(${GraftQuery.h60Sql("text || ':dim'")})"
+      s"""SELECT doc_id AS media_id, w, h,
+         |  CAST(w * 224 // greatest(w, h) AS BIGINT) AS out_w,
+         |  CAST(h * 224 // greatest(w, h) AS BIGINT) AS out_h
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(64 + $h % 960 AS BIGINT) AS w,
+         |    CAST(64 + ($h // 1000) % 960 AS BIGINT) AS h
+         |  FROM documents)
+         |ORDER BY media_id""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      documents(s, d)
+        // integer `div`, NOT Column.divide: the 60-bit hash exceeds 2^53,
+        // so a double division would lose exactly the low bits the modulo
+        // depends on
+        .select(col("doc_id").as("media_id"),
+          md5hash60(concat(col("text"), lit(":dim"))).as("__h"))
+        .select(col("media_id"),
+          (lit(64L) + pmod(col("__h"), lit(960L))).as("w"),
+          (lit(64L) + pmod(expr("__h div 1000"), lit(960L))).as("h"))
+        .select(col("media_id"), col("w"), col("h"),
+          expr("w * 224 div greatest(w, h)").as("out_w"),
+          expr("h * 224 div greatest(w, h)").as("out_h"))
+        .orderBy(col("media_id"))
+    },
+
+    // STUB frame sampling: fake frame count from the payload size (the
+    // container-parse stand-in), real sampling plumbing — integer stride
+    // step = ceil(n_frames/8) as (n+7) div 8, up to 8 frames exploded to
+    // one row each with a per-frame fingerprint. The explode-then-process
+    // batch shape is exactly what a real frame extractor feeds downstream.
+    GraftQuery.of("mm_frame_sample", {
+      val fp = GraftQuery.h60Sql("text || ':f' || frame_idx::VARCHAR")
+      s"""SELECT media_id, frame_idx, CAST($fp AS BIGINT) AS frame_fp
+         |FROM (
+         |  SELECT doc_id AS media_id, text, n_frames,
+         |    unnest(list_transform(range(0, 8), k -> k * ((n_frames + 7) // 8))) AS frame_idx
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      octet_length(encode(text)) // 100 + 1 AS n_frames
+         |    FROM documents))
+         |WHERE frame_idx < n_frames
+         |ORDER BY media_id, frame_idx""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text"),
+          expr("octet_length(text) div 100 + 1").cast("long").as("n_frames"))
+        .select(col("media_id"), col("text"), col("n_frames"),
+          explode(expr("transform(sequence(0, 7), k -> k * ((n_frames + 7) div 8))"))
+            .as("frame_idx"))
+        .filter(col("frame_idx") < col("n_frames"))
+        .select(col("media_id"), col("frame_idx"),
+          md5hash60(concat(col("text"), lit(":f"), col("frame_idx").cast("string")))
+            .as("frame_fp"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     // Cross-modal join: documents ⋈ embeddings on id, per-language mean
     // vector norm — the text-metadata × vector-store join every multimodal
     // corpus runs; norms are exact per row (fixed-order sum), the
