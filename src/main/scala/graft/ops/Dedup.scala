@@ -30,6 +30,14 @@ object Dedup {
   val NumPerms = 16 // MinHash permutations
   val NumBands = 4  // LSH bands → 4 rows per band
 
+  /** Normalized-text fingerprint of exact dedup: lowercase, trim, collapse
+    * whitespace, md5. THE definition — the registered query, the cleaning
+    * pipeline, the streaming dedup, and the unit tests all call this, so
+    * the normalization cannot drift between them.
+    */
+  def normFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** 60-bit integer hash of a string column, reproducible in DuckDB.
     * Native Catalyst expression — no hex-string round-trip per row.
     */
@@ -310,7 +318,7 @@ object Dedup {
         |min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin) { (s, d) =>
       documents(s, d)
-        .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .groupBy(normFingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("keeper_doc_id"))
     },

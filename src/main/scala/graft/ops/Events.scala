@@ -19,6 +19,25 @@ object Events {
 
   val SessionGapSeconds = 1800L
 
+  /** Batch sessionization: per-user (n_events, n_sessions) where a
+    * > gapSeconds event-time gap starts a new session; ties on ts break by
+    * event_id. One shuffle on user_id. Used by the registered
+    * `events_sessionize` query AND callable on any events-schema frame
+    * (the unit tests drive THIS function, not a reimplementation).
+    */
+  def sessionize(ev: org.apache.spark.sql.DataFrame,
+      gapSeconds: Long = SessionGapSeconds): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val micros = unix_micros(col("ts"))
+    ev.withColumn("new_session",
+        when(micros - lag(micros, 1).over(w) > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (lit(1) + sum(col("new_session"))).cast("long").as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Schema-on-read JSON property extraction + per-type aggregates.
@@ -53,16 +72,7 @@ object Events {
          |SELECT user_id, count(*) AS n_events,
          |  CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
          |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val micros = unix_micros(col("ts"))
-      events(s, d)
-        .withColumn("new_session",
-          when(micros - lag(micros, 1).over(w) > SessionGapSeconds * 1000000L, 1)
-            .otherwise(0))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"),
-          (lit(1) + sum(col("new_session"))).cast("long").as("n_sessions"))
-        .orderBy(col("user_id"))
+      sessionize(events(s, d))
     },
 
     // Tumbling 1-hour window aggregation (batch twin of a streaming

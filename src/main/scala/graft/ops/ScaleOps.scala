@@ -115,7 +115,7 @@ object ScaleOps {
           expr("size(split(text, ' '))")).as("ttr"))
       val gated = scored.filter(col("n_chars") >= 100 && col("ttr") >= 0.3)
       val keepers = gated
-        .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+        .groupBy(Dedup.normFingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       gated.join(keepers, Seq("doc_id"))

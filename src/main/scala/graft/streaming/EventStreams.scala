@@ -114,7 +114,7 @@ object EventStreams {
       val raw = s.readStream.schema(schema).parquet(s"$d/documents*.parquet")
       val deduped = raw
         .select(col("doc_id"),
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+          graft.ops.Dedup.normFingerprint(col("text")).as("fp"))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keeper"))
       val sink = s"stream_dedup_${graft.ops.Tables.viewSuffix(d)}"

@@ -30,8 +30,8 @@ class OpsSpec extends AnyFunSuite {
       0L -> "the quick brown fox",
       1L -> "  THE   quick  Brown fox ", // normalizes to doc 0
       2L -> "a different document")
-    val out = docs.groupBy(
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+    // THE production fingerprint (Dedup.normFingerprint), not an inline copy
+    val out = docs.groupBy(Dedup.normFingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
       .orderBy(col("keeper"))
       .collect()
@@ -89,19 +89,20 @@ class OpsSpec extends AnyFunSuite {
 
   test("LSH ANN recall vs brute-force cosine top-10 is usable") {
     val emb = Tables.embeddings(spark, sf)
-    val brute = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.knnLsh(emb, nProbes = 5, k = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // collect each pipeline ONCE with all columns; derive pair sets and
+    // sim maps from the same arrays
+    val bruteRows = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()
+    val lshRows = Similarity.knnLsh(emb, nProbes = 5, k = 10).collect()
+    val brute = bruteRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = lshRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     // multiprobe(1) over 6-bit buckets on 500 clustered vectors; exact
     // re-rank inside candidates. Brute remains the exact path; the LSH
     // path trades recall for bucketed candidate generation.
     assert(recall >= 0.3, s"recall=$recall")
     // every LSH similarity must match the brute similarity for that pair
-    val bruteSim = Similarity.knnBrute(emb, 5, 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
-    Similarity.knnLsh(emb, 5, 10).collect().foreach { r =>
+    val bruteSim = bruteRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    lshRows.foreach { r =>
       val key = (r.getLong(0), r.getLong(1))
       bruteSim.get(key).foreach(s => assert(s == r.getDouble(3)))
     }
@@ -235,11 +236,14 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("LSH mega-bucket cap drops degenerate buckets, keeps genuine near-dup pairs") {
-    // 6 identical spam docs (one mega bucket) + 2 genuine near-dups
+    // 6 identical spam docs (one mega bucket) + a genuine near-dup pair
+    // sharing 19 of 20 distinct tokens (Jaccard 19/21 ≈ 0.905, above the
+    // 0.9 emission threshold — so its survival is a REAL assertion)
+    val base = (1 to 19).map(i => s"tok$i").mkString(" ")
     val docs = docsDf(
       (0L to 5L).map(i => i -> "buy now cheap deal buy now cheap deal") ++ Seq(
-        10L -> "the quick brown fox jumps over the lazy dog today",
-        11L -> "the quick brown fox jumps over the lazy dog tonight"): _*)
+        10L -> s"$base tok20",
+        11L -> s"$base tok21"): _*)
     val uncapped = Dedup.lshCandidatePairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val capped = Dedup.lshCandidatePairs(docs, maxBucket = 4).collect()
@@ -247,8 +251,9 @@ class OpsSpec extends AnyFunSuite {
     // uncapped sees the spam cluster's star edges; the cap removes them
     assert(uncapped.exists(_._1 == 0L), uncapped.toString)
     assert(!capped.exists(_._1 == 0L), capped.toString)
-    // the genuine pair survives the cap
-    assert(capped.contains((10L, 11L)) == uncapped.contains((10L, 11L)))
+    // the genuine pair is present in BOTH — the cap only drops mega-buckets
+    assert(uncapped.contains((10L, 11L)), uncapped.toString)
+    assert(capped.contains((10L, 11L)), capped.toString)
   }
 
   test("distributed prefix-sum packing is row-identical to the sequential window form") {
@@ -326,15 +331,10 @@ class OpsSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts",
         org.apache.spark.sql.types.TimestampType), StructField("user_id", LongType)))
     val df = spark.createDataFrame(rows.asJava, schema)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val epoch = unix_timestamp(col("ts"))
-    val out = df.withColumn("new_session",
-        when(epoch - lag(epoch, 1).over(w) > Events.SessionGapSeconds, 1).otherwise(0))
-      .groupBy(col("user_id"))
-      .agg((lit(1) + sum(col("new_session"))).as("n_sessions"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(out(1L) == 2L)
-    assert(out(2L) == 1L)
+    // drive the PRODUCTION operator, not a reimplementation
+    val out = Events.sessionize(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 2L)))
+    assert(out(2L) == ((1L, 1L)))
   }
 }

@@ -32,7 +32,11 @@ class SpaceSavingSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val rows = Seq.fill(500)("heavy") ++ (0 until 200).map(i => s"light$i")
-    val df = s.sparkContext.parallelize(scala.util.Random.shuffle(rows), 4).toDF("v")
+    // fixed seed: Space-Saving merge results are row-order-dependent, and
+    // an unseeded shuffle would make any order-sensitive failure
+    // unreproducible (repo convention: fixed seeds everywhere)
+    val shuffled = new scala.util.Random(42L).shuffle(rows)
+    val df = s.sparkContext.parallelize(shuffled, 4).toDF("v")
     val sketch = df.agg(topKFreq(col("v"), 3, 16).as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.value"), col("e.count"), col("e.error"))
