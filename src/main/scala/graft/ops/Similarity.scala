@@ -222,19 +222,26 @@ object Similarity {
         struct(col("csim"), -col("cid"))).as("__a"))
       .select(col(idCol), col("__a.embedding").as("embedding"), col("__a.cid").as("cid"))
 
-  /** Top-`keep` centroid assignment via a ranked window — reserved for the
-    * PROBE side (tiny by construction); the corpus side always goes
-    * through [[assignNearest]].
+  /** Top-`keep` centroid assignment as a BOUNDED aggregation: per-probe
+    * state is at most nlist (csim, cid) entries collected map-side, so
+    * even a corpus-sized external probe frame never pays a ranked-window
+    * sort — one partial-aggregating shuffle, one row per probe out.
+    * Ordering (csim desc, cid asc) is encoded as an ascending sort on
+    * struct(-csim, cid), identical to the window formulation the oracles
+    * replay.
     */
   private def assignTopN(df: DataFrame, idCol: String, centroids: DataFrame,
-      keep: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+      keep: Int): DataFrame =
     df.crossJoin(centroids)
       .withColumn("csim", round(cosineSim(col("embedding"), col("ce")), 6))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= keep)
-      .drop("ce", "csim", "crn")
-  }
+      .groupBy(col(idCol))
+      .agg(
+        expr(s"slice(array_sort(collect_list(struct(-csim AS nsim, cid))), 1, $keep)")
+          .as("__top"),
+        // every row of the group carries the same embedding (keyed by id)
+        first(col("embedding")).as("embedding"))
+      .select(col(idCol), col("embedding"), explode(col("__top")).as("__t"))
+      .select(col(idCol), col("embedding"), col("__t.cid").as("cid"))
 
   /** IVF ANN: a deterministic coarse quantizer — `nlist` centroids are
     * md5-order-sampled from the corpus itself (no RNG, no k-means

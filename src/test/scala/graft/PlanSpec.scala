@@ -120,11 +120,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("row_number"), p.take(2000))
   }
 
-  test("IVF corpus assignment is a partial-agg argmax (no corpus-wide window sort)") {
+  test("IVF assignment never window-sorts: max_by argmax + bounded top-n agg") {
     val p = planOf("sim_knn_ivf")
-    // the only row_number window allowed is the probe-side top-n and the
-    // final top-k re-rank; the corpus inverted-list build must be max_by
+    // corpus inverted-list build: partial-agg max_by argmax
     assert(p.contains("max_by"), p.take(2000))
+    // probe-side nprobe selection: bounded collect_list aggregation
+    assert(p.contains("collect_list"), p.take(2000))
+    // the ONLY Window operator left is the final top-k re-rank
+    val windows = "- Window \\(".r.findAllIn(p).size
+    assert(windows == 1, s"Window operators=$windows\n${p.take(2000)}")
   }
 
   test("decontamination probes the benchmark shingles via broadcast, no corpus shuffle join") {
