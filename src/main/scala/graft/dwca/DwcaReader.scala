@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path}
 import java.util.zip.ZipFile
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit, when}
 
 import scala.jdk.CollectionConverters._
 
@@ -57,7 +57,8 @@ final class DwcaArchive private (
     */
   def read(table: TableDescriptor): DataFrame = {
     val d = table.dialect
-    val reader = spark.read
+    val path = new File(rootDir, table.location).getAbsolutePath
+    var reader = spark.read
       .option("sep", d.fieldsTerminatedBy)
       .option("encoding", d.encoding)
       // pandas reads empty CSV fields as NaN; pin Spark's equivalent (null).
@@ -65,20 +66,50 @@ final class DwcaArchive private (
       // Empty quote string disables quote handling (the DwCA default,
       // fieldsEnclosedBy="").
       .option("quote", d.fieldsEnclosedBy)
-      .option("header", d.ignoreHeaderLines > 0)
       .option("mode", "PERMISSIVE")
       .option("inferSchema", "false")
-    // NB: lineSep deliberately NOT set — unset, Spark's CSV parser handles
-    // \n, \r\n and \r uniformly, covering both fixture dialects
-    // (dwca-simple "\n", dwca-bad-coordinates "\r\n").
-    val raw = reader.csv(new File(rootDir, table.location).getAbsolutePath)
+    // lineSep handling: unset, Spark's CSV parser covers \n, \r\n and \r
+    // uniformly (both fixture dialects). A declared single-char custom
+    // terminator is honored; anything else must fail LOUDLY — silently
+    // newline-splitting a differently-terminated file would corrupt every
+    // downstream count.
+    d.linesTerminatedBy match {
+      case "" | "\n" | "\r\n" | "\r" => ()
+      case sep if sep.length == 1 => reader = reader.option("lineSep", sep)
+      case sep => throw new IllegalArgumentException(
+        s"unsupported linesTerminatedBy ${sep.map(c => f"\\u${c.toInt}%04x").mkString}: " +
+          "Spark's CSV source supports \\n/\\r\\n/\\r or a single custom character")
+    }
+    // ignoreHeaderLines: the header option skips exactly ONE line; the
+    // reference (pandas skiprows=N) skips N. For N > 1 pre-skip the extra
+    // lines on the ordered single-file read, then parse the remainder.
+    val raw =
+      if (d.ignoreHeaderLines <= 1) reader.option("header", d.ignoreHeaderLines > 0).csv(path)
+      else {
+        import spark.implicits._
+        val lines = spark.read.textFile(path).rdd
+          .zipWithIndex()
+          .filter(_._2 >= d.ignoreHeaderLines - 1) // header option eats one more
+          .map(_._1)
+        reader.option("header", true).csv(spark.createDataset(lines))
+      }
     val names = table.columnNames
     // Tolerate files with fewer/more physical columns than declared.
     val renamed = raw.toDF(raw.columns.indices.map { i =>
       if (i < names.length) names(i) else s"_c$i"
     }: _*)
+    // pandas' default NA tokens (keep_default_na=True in the reference's
+    // pd_read) all parse to NaN, not just the empty string Spark's
+    // nullValue covers — normalize them to null so presence counts, id
+    // checks, and vocab nulls match the reference on archives containing
+    // literal "NA"/"NULL"/"NaN"/… values.
+    val naNormalized = renamed.columns.foldLeft(renamed) { (df, c) =>
+      df.withColumn(c,
+        when(col(s"`$c`").isin(DwcaArchive.PandasNaTokens: _*), lit(null))
+          .otherwise(col(s"`$c`")))
+    }
     // meta.xml <field term=… default=…/> with no index → constant column.
-    table.defaultOnlyFields.foldLeft(renamed) { (df, f) =>
+    table.defaultOnlyFields.foldLeft(naNormalized) { (df, f) =>
       if (df.columns.contains(f.localName)) df
       else df.withColumn(f.localName, lit(f.default.orNull))
     }
@@ -86,6 +117,15 @@ final class DwcaArchive private (
 }
 
 object DwcaArchive {
+
+  /** pandas' default NA token set (`pandas.io.parsers`, keep_default_na) —
+    * the reference's `pd_read` treats every one of these as NaN; the
+    * reader normalizes them to null for count/id/vocab parity.
+    */
+  val PandasNaTokens: Seq[String] = Seq(
+    "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null")
 
   /** Open an archive at `path` (directory, or .zip extracted to a temp dir). */
   def open(spark: SparkSession, path: String): DwcaArchive = {

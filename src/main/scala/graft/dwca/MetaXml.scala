@@ -43,8 +43,7 @@ final case class TableDescriptor(
     val names = Array.tabulate(maxIdx + 1)(i => s"_c$i")
     idIndex.foreach(i => names(i) = if (isCore) "id" else "coreid")
     fields.foreach(f => f.index.foreach { i =>
-      if (idIndex.contains(i) && names(i) != s"_c$i") () // id wins its position
-      else names(i) = f.localName
+      if (!idIndex.contains(i)) names(i) = f.localName // id wins its position
     })
     names.toSeq
   }

@@ -26,7 +26,8 @@ object ArchiveValidator {
   def validateArchive(
       spark: SparkSession,
       path: String,
-      idFields: Seq[String] = Nil): DwCAValidationReport = {
+      idFields: Seq[String] = Nil,
+      referenceCompatibleNumericWarnings: Boolean = false): DwCAValidationReport = {
     val archive = DwcaArchive.open(spark, path)
     val core = archive.descriptor.core
     val coreDf = archive.coreDataFrame
@@ -38,9 +39,10 @@ object ArchiveValidator {
     val coreReport: DFValidationReport = coreType match {
       case MetaXml.OccurrenceRowType =>
         val idf = if (idFields.isEmpty) Seq("occurrenceID") else idFields
-        Validator.validateOccurrence(coreDf, idf, getIdDwcTerm(coreDf, core))
+        Validator.validateOccurrence(coreDf, idf, getIdDwcTerm(coreDf, core),
+          referenceCompatibleNumericWarnings)
       case MetaXml.EventRowType =>
-        Validator.validateEvent(coreDf)
+        Validator.validateEvent(coreDf, referenceCompatibleNumericWarnings)
       case other =>
         DFValidationReport(
           record_type = other,
@@ -53,7 +55,9 @@ object ArchiveValidator {
           records_with_taxonomy_count = 0,
           records_with_temporal_count = 0,
           records_with_recorded_by_count = 0,
-          vocab_reports = Nil)
+          // the reference never assigns vocab_reports on this branch —
+          // jsonpickle emits null, so parity requires null, not []
+          vocab_reports = null)
     }
 
     var breakdowns = Breakdowns.generate(coreDf)
@@ -64,7 +68,8 @@ object ArchiveValidator {
           .filter(_.rowType == MetaXml.OccurrenceRowType)
           .map { ext =>
             val extDf = archive.read(ext)
-            val report = Validator.validateOccurrence(extDf, idFields, "")
+            val report = Validator.validateOccurrence(extDf, idFields, "",
+              referenceCompatibleNumericWarnings)
             Breakdowns.generate(extDf).foreach { case (k, v) =>
               breakdowns = Breakdowns.overwrite(breakdowns, k, v)
             }
@@ -87,6 +92,7 @@ object ArchiveValidator {
   private[graft] def getIdDwcTerm(df: DataFrame, table: TableDescriptor): String = {
     val pos = df.columns.indexOf("id")
     if (pos < 0) ""
-    else table.fields.find(_.index.contains(pos)).map(_.localName).getOrElse("")
+    else table.fields.filter(_.index.contains(pos)).map(_.localName)
+      .find(_.nonEmpty).getOrElse("") // reference: first NON-empty term at the index (validate_dwca.py:113 next(filter(None, ...)))
   }
 }

@@ -74,9 +74,15 @@ object Breakdowns {
   def fieldPopulatedCounts(df: DataFrame): ListMap[String, Long] = {
     val cols = df.columns.toSeq
     if (cols.isEmpty) return ListMap.empty
-    val aggs = cols.map(c => count(qcol(c)).as(s"cc__$c"))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    ListMap(cols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }: _*)
+    // chunk like Validator.fusedAggregation: one agg of 180+ count
+    // expressions blows spark.sql.codegen.maxFields and silently drops the
+    // whole scan out of whole-stage codegen on real-world-wide archives
+    val counts = cols.grouped(Validator.MaxAggsPerPass).flatMap { chunk =>
+      val aggs = chunk.map(c => count(qcol(c)).as(s"cc__$c"))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      chunk.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }
+    }.toSeq
+    ListMap(counts: _*)
   }
 
   /** Reference: breakdown.py:54-62 (`top_values_breakdown`). Plans as

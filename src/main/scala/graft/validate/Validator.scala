@@ -286,7 +286,10 @@ object Validator {
       .filter(qcol(field).isNotNull && !lower(c).isin(vocabLower: _*))
       .select(c.as("v")).distinct().orderBy("v").limit(11)
       .collect().map(_.getString(0)).toSeq
-    val merged = if (hasNulls) (reals :+ "nan").sorted else reals
+    // distinct first: numpy unique collapses a literal "nan" string and
+    // the NaN indicator into ONE entry; without it both would occupy
+    // sample slots and filterNot would remove two
+    val merged = if (hasNulls) (reals :+ "nan").distinct.sorted else reals
     merged.take(10).filterNot(_ == "nan")
   }
 }

@@ -106,6 +106,36 @@ class ArchiveParitySpec extends AnyFunSuite {
     assert(archive.joined(occExt).count() == 5)
   }
 
+  test("pandas NA tokens null out; ignoreHeaderLines=2 skips both preamble lines") {
+    val dir = java.nio.file.Files.createTempDirectory("dwca-na").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(dir, "meta.xml").toPath,
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<archive xmlns="http://rs.tdwg.org/dwc/text/">
+        |  <core rowType="http://rs.tdwg.org/dwc/terms/Occurrence" encoding="utf-8" fieldsTerminatedBy="," linesTerminatedBy="\n" fieldsEnclosedBy="" ignoreHeaderLines="2">
+        |    <files><location>occ.txt</location></files>
+        |    <id index="0" />
+        |    <field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>
+        |    <field index="2" term="http://rs.tdwg.org/dwc/terms/basisOfRecord"/>
+        |  </core>
+        |</archive>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dir, "occ.txt").toPath,
+      """# generator preamble the reference's skiprows=2 would drop
+        |id,occurrenceID,basisOfRecord
+        |1,o1,HumanObservation
+        |2,NA,HumanObservation
+        |3,o3,NaN
+        |""".stripMargin)
+    val df = graft.dwca.DwcaArchive.open(spark, dir.getAbsolutePath).coreDataFrame
+    // skiprows=2 parity: 3 data records, not 4 (the header line is data
+    // if only one line were skipped)
+    assert(df.count() == 3, df.collect().mkString("; "))
+    // pandas default NA tokens are nulls, exactly like the reference
+    assert(df.filter(df("occurrenceID").isNull).count() == 1)
+    assert(df.filter(df("basisOfRecord").isNull).count() == 1)
+    assert(df.filter(df("occurrenceID") === "o1").count() == 1)
+  }
+
   test("zip extraction dies AT the byte cap, mid-entry, not after the copy") {
     val zipFile = java.io.File.createTempFile("dwca-big", ".zip")
     zipFile.deleteOnExit()
