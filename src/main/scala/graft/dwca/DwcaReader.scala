@@ -86,6 +86,24 @@ final class DwcaArchive private (
     val raw =
       if (d.ignoreHeaderLines <= 1) reader.option("header", d.ignoreHeaderLines > 0).csv(path)
       else {
+        // The pre-skip reads lines with spark.read.textFile, which always
+        // splits on \n/\r\n and decodes UTF-8 — a custom single-char
+        // terminator or non-UTF-8 encoding would be silently ignored here
+        // (mis-splitting every row) even though the CSV parse honors them.
+        // Same policy as the multi-char terminator case: fail LOUDLY on the
+        // combination instead of corrupting downstream counts.
+        d.linesTerminatedBy match {
+          case "" | "\n" | "\r\n" | "\r" => ()
+          case sep => throw new IllegalArgumentException(
+            s"ignoreHeaderLines=${d.ignoreHeaderLines} > 1 cannot be combined with custom " +
+              s"linesTerminatedBy ${sep.map(c => f"\\u${c.toInt}%04x").mkString}: the line " +
+              "pre-skip splits on newlines only")
+        }
+        if (!Set("utf-8", "utf8", "us-ascii", "ascii")
+            .contains(d.encoding.toLowerCase(java.util.Locale.ROOT)))
+          throw new IllegalArgumentException(
+            s"ignoreHeaderLines=${d.ignoreHeaderLines} > 1 cannot be combined with encoding " +
+              s"${d.encoding}: the line pre-skip decodes UTF-8 only")
         import spark.implicits._
         val lines = spark.read.textFile(path).rdd
           .zipWithIndex()

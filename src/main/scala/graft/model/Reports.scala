@@ -2,6 +2,8 @@ package graft.model
 
 import scala.collection.immutable.ListMap
 
+import com.fasterxml.jackson.annotation.JsonIgnore
+
 /** Validation report model.
   *
   * Mirrors the reference's report shape field-for-field
@@ -36,7 +38,14 @@ case class DFValidationReport(
     records_with_taxonomy_count: Long,
     records_with_temporal_count: Long,
     records_with_recorded_by_count: Long,
-    vocab_reports: Seq[VocabularyReport])
+    // None on the UNSUPPORTED_CORE_TYPE branch: the reference never assigns
+    // the attribute there, so jsonpickle emits null. Option keeps the JSON
+    // parity (Jackson serializes None as null) without handing Scala callers
+    // a null Seq.
+    vocab_reports: Option[Seq[VocabularyReport]]) {
+  /** Null-safe accessor for Scala consumers (empty on the unsupported-core branch). */
+  @JsonIgnore def vocabReports: Seq[VocabularyReport] = vocab_reports.getOrElse(Nil)
+}
 
 /** reference: model.py:78-98.
   *

@@ -156,15 +156,21 @@ object ScaleOps {
         |  AND abs(epoch_us(e.ts::TIMESTAMP) - epoch_us(p.ts::TIMESTAMP)) <= 300000000
         |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin) { (s, d) =>
       val cellUs = 300000000L // 5 min in microseconds
+      // Floor division, not Spark's truncating `div`: for negative
+      // (pre-1970) micros truncation would widen cell 0, making the
+      // |Δt| ≤ cellUs ⇒ adjacent-cell guarantee hold only by accident.
+      // pmod is non-negative, so (x - pmod(x, c)) is the exact floor
+      // multiple and the invariant is by construction for either sign.
+      def cellOf(x: String) = s"(($x) - pmod($x, $cellUs)) div $cellUs"
       val ev = events(s, d)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-        .withColumn("cell", expr(s"us div $cellUs"))
+        .withColumn("cell", expr(cellOf("us")))
       val purchases = events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("p_event_id"),
           unix_micros(col("ts")).as("p_us"))
         .withColumn("cell", explode(array(
-          expr(s"p_us div $cellUs - 1"), expr(s"p_us div $cellUs"),
-          expr(s"p_us div $cellUs + 1"))))
+          expr(s"${cellOf("p_us")} - 1"), expr(cellOf("p_us")),
+          expr(s"${cellOf("p_us")} + 1"))))
       purchases.join(ev,
           purchases("user_id") === ev("user_id") && purchases("cell") === ev("cell") &&
             purchases("p_event_id") =!= ev("event_id") &&

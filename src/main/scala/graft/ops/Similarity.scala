@@ -228,7 +228,11 @@ object Similarity {
     * sort — one partial-aggregating shuffle, one row per probe out.
     * Ordering (csim desc, cid asc) is encoded as an ascending sort on
     * struct(-csim, cid), identical to the window formulation the oracles
-    * replay.
+    * replay. One subtlety: -NaN is still NaN, and Spark sorts NaN LAST
+    * ascending but FIRST under `csim DESC` (NaN is greatest) — so a NaN
+    * cosine (zero-norm or NaN vector) is pinned to -Infinity before
+    * negation, which sorts first, exactly where the window/`max_by`
+    * formulations place it.
     */
   private def assignTopN(df: DataFrame, idCol: String, centroids: DataFrame,
       keep: Int): DataFrame =
@@ -236,7 +240,8 @@ object Similarity {
       .withColumn("csim", round(cosineSim(col("embedding"), col("ce")), 6))
       .groupBy(col(idCol))
       .agg(
-        expr(s"slice(array_sort(collect_list(struct(-csim AS nsim, cid))), 1, $keep)")
+        expr("slice(array_sort(collect_list(struct(" +
+            s"-nanvl(csim, double('Infinity')) AS nsim, cid))), 1, $keep)")
           .as("__top"),
         // every row of the group carries the same embedding (keyed by id)
         first(col("embedding")).as("embedding"))

@@ -56,8 +56,9 @@ object ArchiveValidator {
           records_with_temporal_count = 0,
           records_with_recorded_by_count = 0,
           // the reference never assigns vocab_reports on this branch —
-          // jsonpickle emits null, so parity requires null, not []
-          vocab_reports = null)
+          // jsonpickle emits null; None serializes to null (parity) without
+          // putting a Scala null into a Seq-typed field
+          vocab_reports = None)
     }
 
     var breakdowns = Breakdowns.generate(coreDf)

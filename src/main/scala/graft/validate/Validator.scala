@@ -268,7 +268,7 @@ object Validator {
       records_with_taxonomy_count = grp("taxonomy"),
       records_with_temporal_count = grp("temporal"),
       records_with_recorded_by_count = grp("recordedBy"),
-      vocab_reports = vocabReports)
+      vocab_reports = Some(vocabReports))
   }
 
   /** A15 — bounded sample of unrecognised vocabulary values (reference:

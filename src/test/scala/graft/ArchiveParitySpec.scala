@@ -46,7 +46,7 @@ class ArchiveParitySpec extends AnyFunSuite {
     assert(r.core.record_count == 5)
     assert(r.core.coordinates_report.get.invalid_decimal_latitude_count == 0)
     assert(r.core.coordinates_report.get.invalid_decimal_longitude_count == 0)
-    val gd = r.core.vocab_reports.find(_.field == "geodeticDatum").get
+    val gd = r.core.vocabReports.find(_.field == "geodeticDatum").get
     assert(gd.has_field)
     assert(gd.recognised_count == 4)
     assert(gd.unrecognised_count == 1)
@@ -58,7 +58,7 @@ class ArchiveParitySpec extends AnyFunSuite {
     assert(r.core.record_count == 5)
     assert(r.core.coordinates_report.get.invalid_decimal_latitude_count == 0)
     assert(r.core.coordinates_report.get.invalid_decimal_longitude_count == 0)
-    val bor = r.core.vocab_reports.find(_.field == "basisOfRecord").get
+    val bor = r.core.vocabReports.find(_.field == "basisOfRecord").get
     assert(bor.has_field)
     assert(bor.recognised_count == 3)
     assert(bor.unrecognised_count == 2)
@@ -77,7 +77,7 @@ class ArchiveParitySpec extends AnyFunSuite {
     assert(r.extensions.size == 1)
     assert(r.extensions.head.record_count == 5)
     // lowercase "observation" matches the vocab case-insensitively.
-    val bor = r.extensions.head.vocab_reports.find(_.field == "basisOfRecord").get
+    val bor = r.extensions.head.vocabReports.find(_.field == "basisOfRecord").get
     assert(bor.recognised_count == 5)
     assert(bor.unrecognised_count == 0)
     // eventDate-derived breakdowns present from the Event core.

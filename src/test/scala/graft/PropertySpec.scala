@@ -53,7 +53,7 @@ class PropertySpec extends AnyFunSuite {
     (1L to 15L).foreach { seed =>
       val r = validate(sample(seed))
       val n = r.record_count
-      r.vocab_reports.filter(_.has_field).foreach { v =>
+      r.vocabReports.filter(_.has_field).foreach { v =>
         val nulls = n - r.column_counts(v.field)
         assert(v.recognised_count + v.unrecognised_count + nulls == n,
           s"seed=$seed vocab arithmetic")

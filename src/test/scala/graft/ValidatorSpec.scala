@@ -41,7 +41,7 @@ class ValidatorSpec extends AnyFunSuite {
     assert(r.records_with_taxonomy_count == 3)
     assert(r.records_with_temporal_count == 3)
     assert(r.records_with_recorded_by_count == 3)
-    assert(r.vocab_reports.map(v => (v.field, v.has_field)) ==
+    assert(r.vocabReports.map(v => (v.field, v.has_field)) ==
       Seq(("basisOfRecord", false), ("geodeticDatum", false)))
   }
 
@@ -105,7 +105,7 @@ class ValidatorSpec extends AnyFunSuite {
     val df = stringDf(Seq("basisOfRecord"),
       Seq(Seq("preservedspecimen"), Seq("HUMANOBSERVATION"), Seq("NONSENSE"), Seq(null)))
     val r = Validator.validateOccurrence(df)
-    val v = r.vocab_reports.find(_.field == "basisOfRecord").get
+    val v = r.vocabReports.find(_.field == "basisOfRecord").get
     assert(v.recognised_count == 2)
     assert(v.unrecognised_count == 1) // 4 - (1 null + 2 recognised)
     assert(v.non_matching_values == Seq("NONSENSE"))
@@ -115,7 +115,7 @@ class ValidatorSpec extends AnyFunSuite {
     val values = Seq("Zz", "aa", "MM", "bb", "CC", "dd", "EE", "ff", "GG", "hh", "II", null)
     val df = stringDf(Seq("geodeticDatum"), values.map(Seq(_)))
     val r = Validator.validateOccurrence(df)
-    val v = r.vocab_reports.find(_.field == "geodeticDatum").get
+    val v = r.vocabReports.find(_.field == "geodeticDatum").get
     // numpy.unique sorts lexicographically (ASCII: uppercase first), takes 10;
     // the stringified NaN ("nan") sorts after "ff" and is then removed.
     val expected = Seq("CC", "EE", "GG", "II", "MM", "Zz", "aa", "bb", "dd", "ff")
@@ -126,7 +126,7 @@ class ValidatorSpec extends AnyFunSuite {
     val schema = StructType(Seq(StructField("geodeticDatum", DoubleType)))
     val df = spark.createDataFrame(Seq(Row(1.0), Row(2.0)).asJava, schema)
     val r = Validator.validateOccurrence(df) // reference raises AttributeError here
-    val v = r.vocab_reports.find(_.field == "geodeticDatum").get
+    val v = r.vocabReports.find(_.field == "geodeticDatum").get
     assert(v.recognised_count == 0 && v.unrecognised_count == 2)
     assert(v.non_matching_values == Seq("1.0", "2.0"))
   }
@@ -148,7 +148,7 @@ class ValidatorSpec extends AnyFunSuite {
     assert(r.records_with_taxonomy_count == 0) // hard-coded (validate.py:126)
     assert(r.records_with_temporal_count == 2)
     assert(r.errors.isEmpty)
-    assert(r.vocab_reports.map(_.field) == Seq("geodeticDatum"))
+    assert(r.vocabReports.map(_.field) == Seq("geodeticDatum"))
   }
 
   test("empty dataframe validates without error") {
