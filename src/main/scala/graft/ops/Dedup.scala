@@ -403,6 +403,36 @@ object Dedup {
       clusters(lshCandidatePairs(documents(s, d))).orderBy(col("doc_id"))
     },
 
+    // End-to-end dedup deliverable: the corpus AFTER near-dup removal —
+    // every document not in any cluster, plus one representative (the
+    // min-id member) per cluster. This is the query a training pipeline
+    // actually ships: upstream it is the same LSH → verify → closure
+    // chain; the removal itself is one LEFT ANTI equi-join on doc_id
+    // against the (small) non-representative set, so the corpus is
+    // scanned exactly once more regardless of scale.
+    GraftQuery.of("dedup_corpus_keep",
+      s"""WITH RECURSIVE $lshEdgesSqlCtes, sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM verified
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM verified
+         |), reach AS (
+         |  SELECT src AS node, src AS m FROM (SELECT DISTINCT src FROM sym)
+         |  UNION
+         |  SELECT s.src, r.m FROM sym s JOIN reach r ON r.node = s.dst
+         |), labels AS (
+         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node)
+         |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val drops = clusters(lshCandidatePairs(documents(s, d)))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      documents(s, d)
+        .join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // CDC shared-chunk near-dup detection: split every document at its
     // content-defined cut points (16-byte windowed Rabin hash, mask 63),
     // hash each chunk, and emit star edges between documents sharing at

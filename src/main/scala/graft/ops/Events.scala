@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -111,5 +112,42 @@ object Events {
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
         .orderBy(col("hour_start"), col("event_type"))
+    },
+
+    // Strict ordered funnel (view → click → purchase): stage N counts users
+    // whose earliest stage-N event happens strictly after their earliest
+    // completed stage-(N-1) time — the standard product-analytics
+    // conversion query. Scale shape: each stage is ONE user_id-keyed
+    // partial-agg min; the stage joins are user_id equi-joins over frames
+    // already hash-partitioned on user_id, so the chain reuses one shuffle
+    // layout end to end, with tiny single-row count frames at the end.
+    GraftQuery.of("events_funnel",
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1) AS n_view,
+        |  (SELECT count(*) FROM s2) AS n_view_click,
+        |  (SELECT count(*) FROM s3) AS n_view_click_purchase""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      def firstAfter(types: String, prev: DataFrame, tPrev: String, tOut: String) =
+        ev.filter(col("event_type") === types)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(tPrev))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(tOut))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = firstAfter("click", s1, "t1", "t2")
+      val s3 = firstAfter("purchase", s2, "t2", "t3")
+      s1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
     })
 }

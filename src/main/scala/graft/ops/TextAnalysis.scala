@@ -226,5 +226,49 @@ object TextAnalysis {
           min(col("n_chars")).cast("long").as("min_chars"),
           max(col("n_chars")).cast("long").as("max_chars"))
         .orderBy(col("lang"), col("source"))
+    },
+
+    // TF-IDF top terms per document — the classic salient-term extractor
+    // (keyword indexing, near-dup explanation, topic drift monitoring).
+    // Scale shape: tokenize once, ONE shuffle for per-(doc, term) counts,
+    // ONE for document frequency; the corpus size joins in as a broadcast
+    // single-row frame; the top-3 per doc is a BOUNDED aggregation (the
+    // same slice∘array_sort∘collect_list shape as the IVF probe
+    // assignment), never a corpus-wide ranked window. Ranking compares the
+    // ROUNDED score on both sides, so cross-engine float residue cannot
+    // reorder; ties break on the term.
+    GraftQuery.of("text_tfidf_top_terms",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM scored)
+        |SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val ndocs = broadcast(documents(s, d).agg(count(lit(1)).as("n")))
+      val scored = tf.join(dfreq, Seq("term")).crossJoin(ndocs)
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+      scored.groupBy(col("doc_id"))
+        .agg(expr(
+          "slice(array_sort(collect_list(struct(-tfidf AS ns, term, tfidf))), 1, 3)")
+          .as("__top"))
+        .select(col("doc_id"), explode(col("__top")).as("t"))
+        .select(col("doc_id"), col("t.term").as("term"), col("t.tfidf").as("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
     })
 }

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -43,21 +42,26 @@ object EventStreams {
   /** Per-user sessionization: a >30 min event-time gap starts a new
     * session. Emits the running (events, sessions) totals per user on every
     * trigger — the streaming analogue of the batch lag-window query.
+    *
+    * Gap comparison is in MICROseconds (`unix_micros`), exactly like the
+    * batch `Events.sessionize` lag-window — a second-truncated comparison
+    * would silently merge two sessions whose gap is 1800.x s.
     */
   def sessionize(events: DataFrame, gapSeconds: Long = 1800L): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
     events
-      .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
-      .as[(Long, Timestamp)]
+      .select(col("user_id").cast("long"), unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[SessionState, UserSessions](GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
           val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
           // order within the micro-batch by event time
-          val sorted = rows.map(_._2.getTime / 1000).toSeq.sorted
+          val sorted = rows.map(_._2).toSeq.sorted
           var (n, last, sessions) = (prev.nEvents, prev.lastTs, prev.nSessions)
           sorted.foreach { t =>
-            if (last == Long.MinValue || t - last > gapSeconds) sessions += 1
+            if (last == Long.MinValue || t - last > gapUs) sessions += 1
             n += 1
             last = t
           }
@@ -125,5 +129,39 @@ object EventStreams {
       s.table(sink)
         .groupBy(col("fp")).agg(min(col("keeper")).as("keeper"))
         .orderBy(col("fp"))
+    },
+
+    // Streaming sessionization under the driver's oracle hash: the same
+    // mapGroupsWithState operator the local equivalence tests drive, fed by
+    // a file-stream read of the events table, checked against the batch
+    // lag-window SQL. Update mode emits each user's RUNNING totals once per
+    // micro-batch; both totals are monotone non-decreasing, so the batch
+    // side takes the per-user max — deterministic even if AvailableNow
+    // splits the input (within-batch rows are time-sorted by the operator;
+    // the single-parquet-file tables here arrive as one batch).
+    GraftQuery.of("stream_sessionize",
+      s"""WITH gaps AS (
+         |  SELECT user_id,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |        PARTITION BY user_id ORDER BY ts, event_id) > ${graft.ops.Events.SessionGapSeconds}000000
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
+         |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sink = s"stream_sessions_${graft.ops.Tables.viewSuffix(d)}"
+      val q = sessionize(raw).toDF().writeStream
+        .format("memory").queryName(sink).outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("n_sessions")).as("n_sessions"))
+        .orderBy(col("user_id"))
     })
 }
