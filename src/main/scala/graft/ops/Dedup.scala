@@ -232,6 +232,21 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The corpus AFTER near-dup removal: every document not in any LSH
+    * cluster, plus the min-id representative of each cluster. Powers the
+    * `dedup_corpus_keep` query AND is callable on any (doc_id, text, …)
+    * frame (the unit tests drive THIS function). The removal is ONE LEFT
+    * ANTI equi-join on doc_id against the (small) non-representative set,
+    * so the corpus is scanned exactly once more regardless of scale; all
+    * input columns pass through.
+    */
+  def corpusKeep(docs: DataFrame): DataFrame = {
+    val drops = clusters(lshCandidatePairs(docs))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** 32-bit SimHash over the token bag (order-insensitive near-dup hash).
     *
     * All 32 bit-plane sums are FUSED into one groupBy(doc_id) aggregation
@@ -424,11 +439,7 @@ object Dedup {
          |FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE doc_id <> cluster_id)
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-      val drops = clusters(lshCandidatePairs(documents(s, d)))
-        .filter(col("doc_id") =!= col("cluster_id"))
-        .select(col("doc_id"))
-      documents(s, d)
-        .join(drops, Seq("doc_id"), "left_anti")
+      corpusKeep(documents(s, d))
         .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
     },

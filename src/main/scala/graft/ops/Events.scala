@@ -39,6 +39,34 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Strict ordered funnel: stage N counts users whose earliest stage-N
+    * event is strictly after their earliest completed stage-(N-1) event.
+    * Powers the `events_funnel` query AND is callable on any events-schema
+    * frame (the unit tests drive THIS function, not a reimplementation).
+    * One user_id-keyed partial-agg min per stage; stage joins are user_id
+    * equi-joins over frames already hash-partitioned on user_id.
+    */
+  def funnel(ev: DataFrame, stages: Seq[String] = Seq("view", "click", "purchase"))
+      : DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val firsts = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, i)) =>
+        val base = ev.filter(col("event_type") === stage)
+        val gated = prev match {
+          case None => base
+          case Some(p) =>
+            base.join(p.select(col("user_id"), col(s"t${i - 1}").as("__tp")), Seq("user_id"))
+              .filter(col("ts") > col("__tp"))
+        }
+        Some(gated.groupBy(col("user_id")).agg(min(col("ts")).as(s"t$i")))
+    }.flatten
+    val counts = firsts.zipWithIndex.map { case (df, i) =>
+      val name = "n_" + stages.take(i + 1).mkString("_")
+      df.agg(count(lit(1)).as(name))
+    }
+    counts.reduce(_ crossJoin _)
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Schema-on-read JSON property extraction + per-type aggregates.
@@ -136,18 +164,6 @@ object Events {
         |SELECT (SELECT count(*) FROM s1) AS n_view,
         |  (SELECT count(*) FROM s2) AS n_view_click,
         |  (SELECT count(*) FROM s3) AS n_view_click_purchase""".stripMargin) { (s, d) =>
-      val ev = events(s, d)
-      def firstAfter(types: String, prev: DataFrame, tPrev: String, tOut: String) =
-        ev.filter(col("event_type") === types)
-          .join(prev, Seq("user_id"))
-          .filter(col("ts") > col(tPrev))
-          .groupBy(col("user_id")).agg(min(col("ts")).as(tOut))
-      val s1 = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val s2 = firstAfter("click", s1, "t1", "t2")
-      val s3 = firstAfter("purchase", s2, "t2", "t3")
-      s1.agg(count(lit(1)).as("n_view"))
-        .crossJoin(s2.agg(count(lit(1)).as("n_view_click")))
-        .crossJoin(s3.agg(count(lit(1)).as("n_view_click_purchase")))
+      funnel(events(s, d))
     })
 }

@@ -38,6 +38,33 @@ object TextAnalysis {
   private def profileCountSql(vals: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> ${inList(vals)}))"
 
+  /** TF-IDF top-`k` terms per document over a (doc_id, text) frame.
+    * Powers the `text_tfidf_top_terms` query AND is callable directly (the
+    * unit tests drive THIS function). Tokenize once; ONE shuffle for
+    * per-(doc, term) counts, ONE for document frequency; corpus size joins
+    * in as a broadcast single-row frame; top-k per doc is the BOUNDED
+    * slice∘array_sort∘collect_list aggregation — never a corpus-wide
+    * ranked window. Ranking compares the ROUNDED score (ties on the term)
+    * so cross-engine float residue cannot reorder.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ndocs = broadcast(docs.agg(count(lit(1)).as("n")))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(ndocs)
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+    scored.groupBy(col("doc_id"))
+      .agg(expr(
+        s"slice(array_sort(collect_list(struct(-tfidf AS ns, term, tfidf))), 1, $k)")
+        .as("__top"))
+      .select(col("doc_id"), explode(col("__top")).as("t"))
+      .select(col("doc_id"), col("t.term").as("term"), col("t.tfidf").as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Token statistics: counts, distinct counts, mean token length.
@@ -254,21 +281,6 @@ object TextAnalysis {
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM scored)
         |SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
-      val toks = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val ndocs = broadcast(documents(s, d).agg(count(lit(1)).as("n")))
-      val scored = tf.join(dfreq, Seq("term")).crossJoin(ndocs)
-        .select(col("doc_id"), col("term"),
-          round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
-      scored.groupBy(col("doc_id"))
-        .agg(expr(
-          "slice(array_sort(collect_list(struct(-tfidf AS ns, term, tfidf))), 1, 3)")
-          .as("__top"))
-        .select(col("doc_id"), explode(col("__top")).as("t"))
-        .select(col("doc_id"), col("t.term").as("term"), col("t.tfidf").as("tfidf"))
-        .orderBy(col("doc_id"), col("term"))
+      tfidfTopTerms(documents(s, d))
     })
 }

@@ -136,6 +136,45 @@ class ArchiveParitySpec extends AnyFunSuite {
     assert(df.filter(df("occurrenceID") === "o1").count() == 1)
   }
 
+  test("ignoreHeaderLines>1 + custom terminator/encoding fails loudly, not silently") {
+    def archiveWith(coreAttrs: String): java.io.File = {
+      val dir = java.nio.file.Files.createTempDirectory("dwca-guard").toFile
+      dir.deleteOnExit()
+      java.nio.file.Files.writeString(new java.io.File(dir, "meta.xml").toPath,
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<archive xmlns="http://rs.tdwg.org/dwc/text/">
+           |  <core rowType="http://rs.tdwg.org/dwc/terms/Occurrence" $coreAttrs>
+           |    <files><location>occ.txt</location></files>
+           |    <id index="0" />
+           |    <field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>
+           |  </core>
+           |</archive>""".stripMargin)
+      java.nio.file.Files.writeString(new java.io.File(dir, "occ.txt").toPath,
+        "# preamble\nid,occurrenceID\n1,o1\n")
+      dir
+    }
+    // a declared single-char custom terminator is honored on the CSV parse
+    // but NOT by the textFile pre-skip — the combination must throw
+    val semi = archiveWith("encoding=\"utf-8\" fieldsTerminatedBy=\",\" " +
+      "linesTerminatedBy=\";\" fieldsEnclosedBy=\"\" ignoreHeaderLines=\"2\"")
+    val e1 = intercept[IllegalArgumentException](
+      graft.dwca.DwcaArchive.open(spark, semi.getAbsolutePath).coreDataFrame.count())
+    assert(e1.getMessage.contains("ignoreHeaderLines"), e1.getMessage)
+    // same for a non-UTF-8 encoding (the pre-skip decodes UTF-8 only)
+    val latin = archiveWith("encoding=\"ISO-8859-1\" fieldsTerminatedBy=\",\" " +
+      "linesTerminatedBy=\"\\n\" fieldsEnclosedBy=\"\" ignoreHeaderLines=\"2\"")
+    val e2 = intercept[IllegalArgumentException](
+      graft.dwca.DwcaArchive.open(spark, latin.getAbsolutePath).coreDataFrame.count())
+    assert(e2.getMessage.contains("encoding"), e2.getMessage)
+    // and N<=1 with the same custom dialect still goes through the normal
+    // path (no pre-skip involved) — guard must not over-trigger
+    val ok = archiveWith("encoding=\"ISO-8859-1\" fieldsTerminatedBy=\",\" " +
+      "linesTerminatedBy=\"\\n\" fieldsEnclosedBy=\"\" ignoreHeaderLines=\"1\"")
+    // first line is the preamble here; with header=true it is consumed as
+    // the header row, so parsing succeeds (2 data rows read as strings)
+    assert(graft.dwca.DwcaArchive.open(spark, ok.getAbsolutePath).coreDataFrame.count() == 2)
+  }
+
   test("zip extraction dies AT the byte cap, mid-entry, not after the copy") {
     val zipFile = java.io.File.createTempFile("dwca-big", ".zip")
     zipFile.deleteOnExit()

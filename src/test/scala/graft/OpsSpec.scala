@@ -337,4 +337,68 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == ((3L, 2L)))
     assert(out(2L) == ((1L, 1L)))
   }
+
+  private def eventsDf(rows: (Long, String, String)*) = {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("event_type", StringType)))
+    spark.createDataFrame(
+      rows.map { case (u, t, e) => Row(u, java.sql.Timestamp.valueOf(t), e) }.asJava,
+      schema)
+  }
+
+  test("funnel is strictly ordered: stage events before the prior stage don't count") {
+    val ev = eventsDf(
+      // user 1: view → click → purchase in order — completes all stages
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:10:00", "purchase"),
+      // user 2: click BEFORE the first view — stage 2 must not count it
+      (2L, "2024-01-01 09:00:00", "click"),
+      (2L, "2024-01-01 09:30:00", "view"),
+      // user 3: view only
+      (3L, "2024-01-01 08:00:00", "view"),
+      // user 4: purchase without ever viewing — no stage at all
+      (4L, "2024-01-01 07:00:00", "purchase"))
+    val r = Events.funnel(ev).collect().head
+    assert(r.getAs[Long]("n_view") == 3L) // users 1, 2, 3
+    assert(r.getAs[Long]("n_view_click") == 1L) // user 1 only
+    assert(r.getAs[Long]("n_view_click_purchase") == 1L)
+  }
+
+  test("tf-idf: corpus-wide terms score zero, distinctive terms rank first") {
+    val docs = docsDf(
+      0L -> "shared alpha alpha",
+      1L -> "shared beta",
+      2L -> "shared gamma gamma gamma")
+    val out = TextAnalysis.tfidfTopTerms(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // 'shared' appears in every doc → idf = ln(1) = 0; it may fill a
+    // remaining top-k slot but only at score 0
+    val byDoc = out.groupBy(_._1)
+    // each doc's TOP term is its distinctive one, tf × ln(3/1)
+    val ln3 = math.log(3.0)
+    def top(doc: Long) = byDoc(doc).maxBy(_._3)
+    assert(top(0L)._2 == "alpha" && math.abs(top(0L)._3 - BigDecimal(2 * ln3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(top(1L)._2 == "beta")
+    assert(top(2L)._2 == "gamma")
+    assert(out.filter(_._2 == "shared").forall(_._3 == 0.0))
+    // bounded: at most k rows per doc
+    assert(byDoc.values.forall(_.length <= 2))
+  }
+
+  test("corpusKeep drops exactly the non-representative near-dup members") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val docs = docsDf(
+      0L -> base, // cluster representative (min id)
+      // near-dup of 0: longer text (not an exact dup) whose appended tokens
+      // only recreate shingles the 8× repetition already contains
+      1L -> (base + "alpha beta gamma"),
+      2L -> "an entirely different unrelated document about other things",
+      3L -> base) // exact dup of 0 → same cluster
+    val kept = Dedup.corpusKeep(docs).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(0L, 2L)))
+  }
 }

@@ -158,4 +158,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("tf-idf top terms: bounded top-n aggregation, no per-doc ranked window") {
+    val p = planOf("text_tfidf_top_terms")
+    // top-3 per doc is the slice∘array_sort∘collect_list bounded agg —
+    // a corpus-wide row_number window would sort every (doc, term) row
+    assert(p.contains("collect_list"), p.take(2000))
+    assert(!p.contains("row_number"), p.take(2000))
+    // the single-row corpus count joins in as a broadcast, not a shuffle
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("funnel stages are user_id equi-joins, no nested loop over events") {
+    val p = planOf("events_funnel")
+    // the only nested-loop joins are the three single-row count frames at
+    // the very end; the stage joins themselves must be hash equi-joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("dedup corpus keeper removes non-representatives with one anti equi-join") {
+    val p = planOf("dedup_corpus_keep")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
