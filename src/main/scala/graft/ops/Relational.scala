@@ -285,6 +285,28 @@ object Relational {
         .orderBy(col("gid"), col("returnflag"), col("linestatus"))
     },
 
+    // Explicit GROUPING SETS (the general form ROLLUP/CUBE desugar to):
+    // two independent single-column margins plus the grand total in ONE
+    // Expand + aggregation pass — replaces three separate groupBys and
+    // three scans at 100 TB.
+    GraftQuery.of("q_grouping_sets",
+      """SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+        |  coalesce(l_linestatus, '<all>') AS linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, returnflag, linestatus""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("linestatus"),
+          col("gid"), col("cnt"), col("sum_qty"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+    },
+
     // Semi join — customers who placed at least one urgent order; plans as
     // LeftSemi (broadcast or shuffled-hash, never materializing orders
     // columns).
