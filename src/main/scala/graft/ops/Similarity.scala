@@ -133,6 +133,67 @@ object Similarity {
       s"(CASE WHEN NOT isnan($dot) AND $dot > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Oracle CTE chain `{pfx}p → {pfx}scored → {pfx}ranked` for brute-force
+    * cosine ranking of probes vec_id < 5 — ONE definition shared by the
+    * `sim_knn_brute` oracle and every composition over it (the recall
+    * query), so the two can never drift apart.
+    */
+  private def bruteRankedCtes(pfx: String): String =
+    s"""${pfx}p AS (
+       |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+       |  FROM embeddings WHERE vec_id < 5
+       |), ${pfx}scored AS (
+       |  SELECT probe_id, e.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(pe, e.embedding::DOUBLE[]), 6) AS sim
+       |  FROM ${pfx}p, embeddings e WHERE e.vec_id <> probe_id
+       |), ${pfx}ranked AS (
+       |  SELECT probe_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM ${pfx}scored)""".stripMargin
+
+  /** Oracle CTE chain ending in `{pfx}ranked` replaying the 3-table
+    * bits=4 multi-LSH candidate generation + exact re-rank — shared by the
+    * `sim_knn_lsh_multi` oracle and the recall composition.
+    */
+  private def lshMultiRankedCtes(pfx: String, bits: Int = 4, tables: Int = 3): String = {
+    val bucketDefs = (0 until tables)
+      .map(t => s"CAST(${bucketSql(bits, mplaneSign(t, _, _))} AS BIGINT) AS b$t")
+      .mkString(",\n    ")
+    val tList = (0 until tables).mkString("[", ", ", "]")
+    val bList = (0 until tables).map(t => s"b$t").mkString("[", ", ", "]")
+    val flipLists = (0 until tables).map { t =>
+      ((0 until bits).map(m => s"xor(b$t, ${1L << m})") :+ s"b$t").mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+    s"""${pfx}wb0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+       |), ${pfx}wb AS (
+       |  SELECT vec_id, e,
+       |    $bucketDefs
+       |  FROM ${pfx}wb0
+       |), ${pfx}cands AS (
+       |  SELECT vec_id AS neighbor_id, e AS ne,
+       |    unnest($tList) AS t, unnest($bList) AS bucket
+       |  FROM ${pfx}wb
+       |), ${pfx}pb AS (
+       |  SELECT vec_id AS probe_id, e AS pe,
+       |    unnest($tList) AS t, unnest($flipLists) AS bl
+       |  FROM ${pfx}wb WHERE vec_id < 5
+       |), ${pfx}probes AS (
+       |  SELECT probe_id, pe, t, unnest(bl) AS bucket FROM ${pfx}pb
+       |), ${pfx}pairs AS (
+       |  SELECT DISTINCT probe_id, pe, neighbor_id, ne
+       |  FROM ${pfx}probes p JOIN ${pfx}cands c USING (t, bucket)
+       |  WHERE c.neighbor_id <> p.probe_id
+       |), ${pfx}scored AS (
+       |  SELECT probe_id, neighbor_id,
+       |    round(list_cosine_similarity(pe, ne), 6) AS sim
+       |  FROM ${pfx}pairs
+       |), ${pfx}ranked AS (
+       |  SELECT probe_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+       |  FROM ${pfx}scored)""".stripMargin
+  }
+
   /** Small-probe-set hint: broadcast when the probe frame is known small
     * (the common "few queries × huge corpus" case); for a corpus-sized
     * probe set pass `broadcastProbes = false` — the bucket equi-join then
@@ -464,19 +525,9 @@ object Similarity {
 
     // Brute-force cosine top-10 for probes vec_id ∈ [0, 5).
     GraftQuery.of("sim_knn_brute",
-      """WITH p AS (
-        |  SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
-        |  FROM embeddings WHERE vec_id < 5
-        |), scored AS (
-        |  SELECT probe_id, e.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(pe, e.embedding::DOUBLE[]), 6) AS sim
-        |  FROM p, embeddings e WHERE e.vec_id <> probe_id
-        |), ranked AS (
-        |  SELECT probe_id, neighbor_id, sim,
-        |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
-        |  FROM scored)
-        |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
-        |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      s"""WITH ${bruteRankedCtes("")}
+         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
+         |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
       knnBrute(embeddings(s, d), nProbes = 5, k = 10)
     },
 
@@ -540,49 +591,45 @@ object Similarity {
     // Hamming-1 multiprobe within each, candidates deduplicated across
     // tables, exact re-rank. The oracle replays all 3 plane sets and the
     // per-pair dedup (DISTINCT before scoring).
-    GraftQuery.of("sim_knn_lsh_multi", {
-      val bits = 4
-      val tables = 3
-      val bucketDefs = (0 until tables)
-        .map(t => s"CAST(${bucketSql(bits, mplaneSign(t, _, _))} AS BIGINT) AS b$t")
-        .mkString(",\n    ")
-      val tList = (0 until tables).mkString("[", ", ", "]")
-      val bList = (0 until tables).map(t => s"b$t").mkString("[", ", ", "]")
-      val flipLists = (0 until tables).map { t =>
-        ((0 until bits).map(m => s"xor(b$t, ${1L << m})") :+ s"b$t").mkString("[", ", ", "]")
-      }.mkString("[", ", ", "]")
-      s"""WITH wb0 AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-         |), wb AS (
-         |  SELECT vec_id, e,
-         |    $bucketDefs
-         |  FROM wb0
-         |), cands AS (
-         |  SELECT vec_id AS neighbor_id, e AS ne,
-         |    unnest($tList) AS t, unnest($bList) AS bucket
-         |  FROM wb
-         |), pb AS (
-         |  SELECT vec_id AS probe_id, e AS pe,
-         |    unnest($tList) AS t, unnest($flipLists) AS bl
-         |  FROM wb WHERE vec_id < 5
-         |), probes AS (
-         |  SELECT probe_id, pe, t, unnest(bl) AS bucket FROM pb
-         |), pairs AS (
-         |  SELECT DISTINCT probe_id, pe, neighbor_id, ne
-         |  FROM probes p JOIN cands c USING (t, bucket)
-         |  WHERE c.neighbor_id <> p.probe_id
-         |), scored AS (
-         |  SELECT probe_id, neighbor_id,
-         |    round(list_cosine_similarity(pe, ne), 6) AS sim
-         |  FROM pairs
-         |), ranked AS (
-         |  SELECT probe_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
-         |  FROM scored)
+    GraftQuery.of("sim_knn_lsh_multi",
+      s"""WITH ${lshMultiRankedCtes("")}
          |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
-         |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin
-    }) { (s, d) =>
+         |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
       knnLshMulti(embeddings(s, d), nProbes = 5, k = 10)
+    },
+
+    // Recall@10 of multi-table LSH vs exact brute force, computed IN the
+    // engine and oracle-verified end to end — the ANN quality number is a
+    // hash-checked output, not a README claim. Both top-10 sets replay
+    // deterministically (6dp-rounded sims, neighbor-id tiebreak), so the
+    // per-probe intersection size is exact on both engines.
+    GraftQuery.of("sim_recall_lsh_multi",
+      s"""WITH ${bruteRankedCtes("b_")}, ${lshMultiRankedCtes("m_")},
+         |bsel AS (SELECT probe_id, neighbor_id FROM b_ranked WHERE rn <= 10),
+         |msel AS (SELECT probe_id, neighbor_id FROM m_ranked WHERE rn <= 10),
+         |hits AS (
+         |  SELECT b.probe_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM bsel b JOIN msel m
+         |    ON b.probe_id = m.probe_id AND b.neighbor_id = m.neighbor_id
+         |  GROUP BY 1)
+         |SELECT p.probe_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(coalesce(n_hits, 0) / 10.0, 6) AS recall_at_10
+         |FROM (SELECT DISTINCT probe_id FROM bsel) p
+         |LEFT JOIN hits USING (probe_id) ORDER BY p.probe_id""".stripMargin) { (s, d) =>
+      val emb = embeddings(s, d)
+      val b = knnBrute(emb, nProbes = 5, k = 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val m = knnLshMulti(emb, nProbes = 5, k = 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = b.join(m, Seq("probe_id", "neighbor_id"))
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      b.select(col("probe_id")).distinct()
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0, 6)
+            .as("recall_at_10"))
+        .orderBy(col("probe_id"))
     },
 
     // IVF-bucketed ANN, same probes. Centroids are the md5-order sample —
