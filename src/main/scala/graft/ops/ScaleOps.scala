@@ -140,6 +140,24 @@ object ScaleOps {
         .orderBy(col("lang"))
     },
 
+    // JSONL sink round-trip: the interchange format training pipelines
+    // actually emit. Write documents as JSON lines, read back under the
+    // ORIGINAL schema (no inference — a 100 TB re-read must not re-type
+    // columns from sampled data), aggregate; the oracle aggregates the
+    // parquet source, so green means every row and value survived JSON
+    // escaping/round-trip byte-for-byte.
+    GraftQuery.of("sink_jsonl_roundtrip",
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val src = documents(s, d)
+      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/documents_jsonl"
+      src.write.mode("overwrite").json(out)
+      s.read.schema(src.schema).json(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    },
+
     // Interval (range) join without a nested loop: events within ±5 min
     // of each purchase by the same user. Naive formulations degenerate to
     // BroadcastNestedLoopJoin (inequality-only condition); the scalable

@@ -282,5 +282,29 @@ object TextAnalysis {
         |SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
       tfidfTopTerms(documents(s, d))
+    },
+
+    // Corpus-wide top-20 bigrams — the vocabulary-building/merge-candidate
+    // primitive of BPE-style tokenizer training. One explode + ONE
+    // count shuffle; top-20 selection is a total order on (cnt DESC,
+    // bigram), so the cut is deterministic on both engines even with ties
+    // at the boundary. Docs with fewer than two tokens are filtered BEFORE
+    // the transform (Spark's sequence(1, 0) would count DOWN, not empty).
+    GraftQuery.of("text_bigram_topk",
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+        |    AS bigram
+        |  FROM t WHERE len(t) >= 2)
+        |SELECT bigram, count(*) AS cnt FROM bg
+        |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(20)
     })
 }

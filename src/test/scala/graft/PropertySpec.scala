@@ -98,6 +98,24 @@ class PropertySpec extends AnyFunSuite {
     assert(sample(docs) == sample(docs.orderBy(col("n_chars")).repartition(3)))
   }
 
+  test("tfidf, funnel, and corpusKeep are invariant to input order and partitioning") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars", "text")
+    def tfidf(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.tfidfTopTerms(df)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(tfidf(docs) == tfidf(docs.orderBy(col("text")).repartition(7)))
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.corpusKeep(df).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(keep(docs) == keep(docs.orderBy(col("doc_id").desc).repartition(3)))
+    val ev = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+    def fun(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Events.funnel(df).collect().head.toSeq
+    assert(fun(ev) == fun(ev.orderBy(col("ts").desc).repartition(5)))
+  }
+
   test("cluster closure equals in-memory union-find on random edge sets") {
     val ss = TestSpark.spark
     import ss.implicits._
