@@ -158,6 +158,45 @@ object ScaleOps {
         .orderBy(col("lang"))
     },
 
+    // ORC sink round-trip — the second columnar format large warehouses
+    // standardize on; same oracle discipline as the parquet/JSONL sinks.
+    GraftQuery.of("sink_orc_roundtrip",
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val src = documents(s, d)
+      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/documents_orc"
+      src.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    },
+
+    // CSV sink round-trip with explicit dialect + schema on re-read: the
+    // free-text column forces real quote/escape handling (any embedded
+    // separator/quote/newline must survive), and the explicit schema keeps
+    // the re-read from re-typing columns by inference. Scale caveat,
+    // deliberate here: multiLine=true makes each CSV file unsplittable
+    // (quoted newlines can cross line boundaries), so at 100 TB the write
+    // side must emit many moderate files (it does — one per task) and
+    // columnar formats remain the preferred interchange.
+    GraftQuery.of("sink_csv_roundtrip",
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val src = documents(s, d)
+      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/documents_csv"
+      src.write.mode("overwrite")
+        .option("header", true).option("quote", "\"").option("escape", "\"")
+        .csv(out)
+      s.read.schema(src.schema)
+        .option("header", true).option("quote", "\"").option("escape", "\"")
+        .option("multiLine", true)
+        .csv(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    },
+
     // Interval (range) join without a nested loop: events within ±5 min
     // of each purchase by the same user. Naive formulations degenerate to
     // BroadcastNestedLoopJoin (inequality-only condition); the scalable
