@@ -165,5 +165,35 @@ object Events {
         |  (SELECT count(*) FROM s2) AS n_view_click,
         |  (SELECT count(*) FROM s3) AS n_view_click_purchase""".stripMargin) { (s, d) =>
       funnel(events(s, d))
+    },
+
+    // Weekly cohort retention: users grouped by the week of their first
+    // event; n_users = distinct users from that cohort active in week
+    // cohort+wk. Week offsets are computed as (day diff) / 7 over
+    // week-TRUNCATED dates on both engines (exact integer division by
+    // construction) instead of each engine's own "week diff" semantics.
+    // Two user_id-keyed shuffles (first-event agg, distinct) + one small
+    // groupBy — the standard shape at any scale.
+    GraftQuery.of("events_retention",
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort, date_trunc('week', e.ts) AS wts
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST(datediff('day', cohort::DATE, wts::DATE) // 7 AS BIGINT) AS wk,
+        |  count(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val f = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      ev.join(f, Seq("user_id"))
+        .select(col("user_id"), col("cohort"), date_trunc("week", col("ts")).as("wts"))
+        .distinct()
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("wts"), col("cohort")) / 7).cast("long").as("wk"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("wk"))
     })
 }

@@ -254,5 +254,28 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"),
           count(col("__bad")).as("n_contaminated"))
         .orderBy(col("lang"))
+    },
+
+    // Data-mixture re-weighting: per-language sampling weight that turns
+    // the observed language distribution into a UNIFORM target mixture —
+    // weight(lang) = target_frac / observed_frac = total / (n_langs · n).
+    // The shape every mixture scheduler needs: one tiny groupBy, totals
+    // broadcast back as a single-row frame; integers divide exactly, so
+    // the 6dp-rounded doubles are bit-identical across engines.
+    GraftQuery.of("pipeline_mix_weights",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS n_langs FROM c)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  round(CAST(total AS DOUBLE) / (n_langs * n), 6) AS weight
+        |FROM c, t ORDER BY lang""".stripMargin) { (s, d) =>
+      val c = documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val t = broadcast(c.agg(sum(col("n")).cast("long").as("total"),
+        count(lit(1)).as("n_langs")))
+      c.crossJoin(t)
+        .select(col("lang"), col("n").as("n_docs"),
+          round(col("total").cast("double") / (col("n_langs") * col("n")), 6)
+            .as("weight"))
+        .orderBy(col("lang"))
     })
 }

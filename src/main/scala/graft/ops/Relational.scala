@@ -594,5 +594,23 @@ object Relational {
           lit(0.0)), 2).as("delta_prev"),
         ntile(4).over(byKey).cast("long").as("quartile"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // RANGE-framed rolling window (value-based frame, not row-count):
+    // per-user 1-hour trailing sum over event time. Distinct physical
+    // frame processing from the ROWS queries above — the frame boundary
+    // slides by the ORDER BY VALUE (epoch micros), and equal-time peers
+    // are all included on both engines by RANGE semantics.
+    GraftQuery.of("q_window_range_frame",
+      """SELECT event_id, user_id,
+        |  round(sum("value") OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      events(s, d).select(
+        col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 4).as("rolling_1h"))
+        .orderBy(col("event_id"))
     })
 }

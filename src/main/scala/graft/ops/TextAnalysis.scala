@@ -306,5 +306,42 @@ object TextAnalysis {
             " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram")).limit(20)
+    },
+
+    // Within-document repetition signal — the boilerplate/spam filter real
+    // pipelines apply before training: fraction of bigrams taken by the
+    // single most repeated bigram, plus the distinct-bigram ratio. Pure
+    // per-row scalar work (quadratic only in the DOCUMENT's distinct
+    // bigrams); ratios divide two exact integers so 6dp rounding is
+    // bit-identical across engines. Docs with < 2 tokens are excluded
+    // (no bigrams to measure).
+    GraftQuery.of("text_repetition_ratio",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+        |  FROM t WHERE len(t) >= 2)
+        |SELECT doc_id,
+        |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |  round(CAST(list_max(list_transform(list_distinct(bg),
+        |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
+        |    AS top_bigram_frac,
+        |  round(CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+        |    AS distinct_bigram_ratio
+        |FROM bg ORDER BY doc_id""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .withColumn("bg", expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .select(col("doc_id"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          round(expr("array_max(transform(array_distinct(bg)," +
+              " x -> size(filter(bg, y -> y = x))))").cast("double") / size(col("bg")), 6)
+            .as("top_bigram_frac"),
+          round(expr("size(array_distinct(bg))").cast("double") / size(col("bg")), 6)
+            .as("distinct_bigram_ratio"))
+        .orderBy(col("doc_id"))
     })
 }
