@@ -184,4 +184,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("range-frame window runs as a RANGE specified window, one user_id shuffle") {
+    val p = planOf("q_window_range_frame")
+    assert(p.contains("RangeFrame"), p.take(3000))
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"hashExchanges=$hashExchanges\n${p.take(2000)}")
+  }
+
+  test("retention joins cohorts back on user_id, no nested loop") {
+    val p = planOf("events_retention")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
