@@ -18,7 +18,7 @@ object SparkEntry {
   val registry: Seq[GraftQuery] =
     Relational.queries ++ DwcQueries.queries ++ ArchiveQueries.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Events.queries ++ Multimodal.queries ++ ScaleOps.queries ++
+      Events.queries ++ Multimodal.queries ++ ScaleOps.queries ++ Graph.queries ++
       SqlSurface.queries ++ Pipeline.queries ++
       graft.streaming.EventStreams.queries
 

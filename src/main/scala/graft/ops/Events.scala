@@ -195,5 +195,35 @@ object Events {
           (datediff(col("wts"), col("cohort")) / 7).cast("long").as("wk"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("wk"))
+    },
+
+    // CDC snapshot compaction: latest event per (user_id, event_type) —
+    // the upsert-log → current-state materialization every changelog
+    // consumer runs. `max_by` of a struct keyed on (ts, event_id) partial-
+    // aggregates each map partition to one row per key BEFORE the single
+    // key shuffle (the same argmax shape the IVF assignment uses), instead
+    // of shuffling the full log through a ranked window. Ties on ts break
+    // by event_id, so replays are deterministic. Timestamps compare as
+    // integer microseconds (epoch_us ≡ unix_micros, see sessionize).
+    GraftQuery.of("events_compact_latest",
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, event_id, ts, "value",
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type,
+        |  CAST(event_id AS BIGINT) AS last_event_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS last_us,
+        |  "value" AS last_value
+        |FROM ranked WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(struct(col("event_id"), col("ts"), col("value")),
+          struct(col("ts"), col("event_id"))).as("__l"))
+        .select(col("user_id"), col("event_type"),
+          col("__l.event_id").cast("long").as("last_event_id"),
+          unix_micros(col("__l.ts")).as("last_us"),
+          col("__l.value").as("last_value"))
+        .orderBy(col("user_id"), col("event_type"))
     })
 }

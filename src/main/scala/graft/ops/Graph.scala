@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Link-graph analytics — the web-graph side of a crawl-derived training
+  * corpus (PageRank-weighted sampling, harvest prioritization, spam-farm
+  * detection all start from exactly this shape).
+  *
+  * The graph here is the part co-purchase graph (parts sharing an order),
+  * built with one equi-self-join keyed on the order — the generic
+  * "co-occurrence within a container" constructor (doc↔doc via shared
+  * host, page↔page via shared link work identically). Per-container edge
+  * count is quadratic only in the CONTAINER's size (orders hold a handful
+  * of lines), never in the corpus.
+  *
+  * PageRank is the textbook damped power iteration, expressed as the
+  * standard two-shuffle-per-round Spark shape: join ranks to edges on the
+  * source (contributions), aggregate on the destination (new rank). The
+  * undirected edge set is symmetrized and materialized ONCE (checkpoint)
+  * so iterations never re-run the edge construction; total mass is
+  * conserved because every node of the symmetric graph has out-degree ≥ 1
+  * (no dangling-mass redistribution term needed). Ranks are rounded to
+  * 12 dp per iteration on both engines, so cross-engine float residue
+  * cannot compound across rounds.
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges (src < dst) between values of `item`
+    * sharing a `container` value: one distinct pass, one self-equi-join
+    * keyed on the container, one distinct on the edge. At scale every
+    * stage shuffles on a real key; a mega-container guard (same idea as
+    * the LSH mega-bucket guard in [[Dedup.lshCandidatePairs]]) belongs in
+    * front when container sizes are unbounded.
+    */
+  def coOccurrenceEdges(df: DataFrame, container: String, item: String): DataFrame = {
+    val ci = df.select(col(container).as("__c"), col(item).as("__i")).distinct()
+    ci.join(ci.withColumnRenamed("__i", "__j"), "__c")
+      .filter(col("__i") < col("__j"))
+      .select(col("__i").as("src"), col("__j").as("dst"))
+      .distinct()
+  }
+
+  /** Damped PageRank over undirected (src, dst) edges; returns
+    * (node, deg, pr_norm) where pr_norm = pr × N (≈1.0 for an
+    * average-importance node — and a magnitude where 6 dp rounding is
+    * meaningful at any graph size, unlike raw pr ~ 1/N).
+    */
+  def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    // ONE materialization of the edge pipeline; iterations re-scan it
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val n = broadcast(deg.agg(count(lit(1)).as("n")))
+    var pr = deg.crossJoin(n)
+      .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(pr.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("deg")).as("__mass"))
+      // inner join is total: symmetry puts every node on some dst side
+      pr = deg.join(contrib, "node").crossJoin(n)
+        .select(col("node"), col("deg"),
+          round(lit(1.0 - damping) / col("n") + lit(damping) * col("__mass"), 12)
+            .as("pr"))
+    }
+    pr.crossJoin(n)
+      .select(col("node"), col("deg"), round(col("pr") * col("n"), 6).as("pr_norm"))
+  }
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // 3-round damped PageRank over the part co-purchase graph, emitted
+    // per-node so the oracle verifies every rank, not a summary. The
+    // oracle unrolls the same three iterations as CTEs; both engines
+    // round each iteration to 12 dp and the ×N-normalized output to 6 dp.
+    GraftQuery.of("graph_pagerank",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e1 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey),
+        |e AS (SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |pr0 AS (
+        |  SELECT node, deg, 1.0::DOUBLE / n.n AS pr FROM deg CROSS JOIN n),
+        |pr1 AS (
+        |  SELECT d.node, d.deg,
+        |    round(0.15::DOUBLE / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
+        |  FROM e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.node = e.dst
+        |  CROSS JOIN n GROUP BY d.node, d.deg, n.n),
+        |pr2 AS (
+        |  SELECT d.node, d.deg,
+        |    round(0.15::DOUBLE / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
+        |  FROM e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.node = e.dst
+        |  CROSS JOIN n GROUP BY d.node, d.deg, n.n),
+        |pr3 AS (
+        |  SELECT d.node, d.deg,
+        |    round(0.15::DOUBLE / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
+        |  FROM e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.node = e.dst
+        |  CROSS JOIN n GROUP BY d.node, d.deg, n.n)
+        |SELECT node, CAST(deg AS BIGINT) AS deg, round(pr * n.n, 6) AS pr_norm
+        |FROM pr3 CROSS JOIN n ORDER BY node""".stripMargin) { (s, d) =>
+      pagerank(coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey"))
+        .orderBy(col("node"))
+    })
+}

@@ -32,6 +32,23 @@ object Pipeline {
           .when(col("__bucket") < 90, "val")
           .otherwise("test"))
 
+  /** Deterministic global training-order shuffle: each doc's position is
+    * a pure function of its id — shard = hash mod `shards`, offset = rank
+    * of the (salted) hash WITHIN the shard. A data loader reading shards
+    * round-robin sees a reproducible pseudo-random permutation of the
+    * corpus with no global sort: the only wide ops are the hash-keyed
+    * shard partitioning and a per-shard rank window (each shard is
+    * corpus/`shards`, so the sort is bounded and embarrassingly parallel
+    * across shards — never a single-partition global row_number).
+    */
+  def shuffleOrder(docs: DataFrame, shards: Int, seed: Int = 7): DataFrame = {
+    val key = Dedup.h60(col("doc_id").cast("string"), seed)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col("doc_id"))
+    docs.withColumn("__key", key)
+      .withColumn("shard", pmod(col("__key"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** Per-stratum deterministic sample: the `perStratum` docs with the
     * smallest md5-order rank within each stratum. One shuffle keyed on
     * the stratum; the rank window sorts only within strata (bounded by
@@ -277,5 +294,22 @@ object Pipeline {
           round(col("total").cast("double") / (col("n_langs") * col("n")), 6)
             .as("weight"))
         .orderBy(col("lang"))
+    },
+
+    // Deterministic training-order shuffle into 8 shards, emitted
+    // row-by-row so the oracle verifies the exact permutation (every
+    // doc's shard AND offset), not just shard sizes.
+    GraftQuery.of("pipeline_shuffle_order", {
+      val h = Dedup.h60Sql("doc_id::VARCHAR", 7)
+      s"""SELECT shard, pos, doc_id FROM (
+         |  SELECT doc_id, $h % 8 AS shard,
+         |    CAST(row_number() OVER (PARTITION BY $h % 8 ORDER BY $h, doc_id)
+         |      AS BIGINT) AS pos
+         |  FROM documents)
+         |ORDER BY shard, pos""".stripMargin
+    }) { (s, d) =>
+      shuffleOrder(documents(s, d), 8)
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))
     })
 }

@@ -266,6 +266,28 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // HyperLogLog++ distinct sketch next to the exact count — the sketch
+    // family's cardinality member (SpaceSaving covers top-k). The sketch
+    // is mergeable across partitions (constant memory per group at any
+    // scale, vs the exact count's per-key shuffle of distinct values).
+    // The approx value itself is engine-specific, so the oracle contract
+    // is the EXACT count plus the assertion that HLL at rsd=0.05 landed
+    // within a generous 4·rsd + 10 envelope — deterministic for fixed
+    // data (HLL has no RNG), verified at all three SFs.
+    GraftQuery.of("q_approx_distinct",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("__approx"))
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("__approx") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.2 + lit(10)).as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // CUBE with grouping_id: all four grouping-set combinations in one
     // Expand pass; grouping_id disambiguates a real NULL group key from a
     // rolled-up one (the reason the sentinel trick alone is not enough in

@@ -203,11 +203,15 @@ object Similarity {
   private def maybeBroadcast(df: DataFrame, hint: Boolean): DataFrame =
     if (hint) broadcast(df) else df
 
-  /** LSH ANN: bucket everything, multiprobe each probe into its bucket and
-    * all Hamming-1 neighbors, exact cosine re-rank within candidates.
+  /** Shared LSH candidate scoring: bucket everything, multiprobe each
+    * probe into its bucket and all Hamming-1 neighbors, exact cosine on
+    * each (probe, candidate) pair. The (probe, neighbor) pairs are unique
+    * by construction — a neighbor lives in exactly ONE bucket and the
+    * probed bucket set is distinct — so no dedup pass is needed. Top-k
+    * ([[knnLsh]]) and threshold ([[rangeSearch]]) consumers share this.
     */
-  def knnLsh(emb: DataFrame, probes: DataFrame, k: Int, bits: Int = 4,
-      excludeSelf: Boolean = false, broadcastProbes: Boolean = true): DataFrame = {
+  private def lshScored(emb: DataFrame, probes: DataFrame, bits: Int,
+      excludeSelf: Boolean, broadcastProbes: Boolean): DataFrame = {
     val withBucket = emb.withColumn("bucket", lshBucket("embedding", bits))
     val probeBuckets = (0 until bits).map(m => col("bucket").bitwiseXOR(lit(1L << m))) :+ col("bucket")
     val p = probes
@@ -218,8 +222,30 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
     val joined = cands.join(maybeBroadcast(p, broadcastProbes), Seq("bucket"))
     val kept = if (excludeSelf) joined.filter(col("probe_id") =!= col("neighbor_id")) else joined
-    topK(kept.withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6)), k)
+    kept.withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6))
   }
+
+  /** LSH ANN: bucket everything, multiprobe each probe into its bucket and
+    * all Hamming-1 neighbors, exact cosine re-rank within candidates.
+    */
+  def knnLsh(emb: DataFrame, probes: DataFrame, k: Int, bits: Int = 4,
+      excludeSelf: Boolean = false, broadcastProbes: Boolean = true): DataFrame =
+    topK(lshScored(emb, probes, bits, excludeSelf, broadcastProbes), k)
+
+  /** Radius (threshold) search: every neighbor with cosine ≥ `tau` among
+    * the LSH-multiprobe candidates — the "find ALL near-matches" API
+    * (contamination sweeps, near-dup audits) where top-k is the wrong
+    * contract because the true neighbor count per probe varies. Identical
+    * candidate generation to [[knnLsh]]; the threshold filter replaces
+    * the per-probe ranking window entirely, so the plan has NO window at
+    * all — scan, bucket equi-join, filter.
+    */
+  def rangeSearch(emb: DataFrame, probes: DataFrame, tau: Double, bits: Int = 4,
+      excludeSelf: Boolean = false, broadcastProbes: Boolean = true): DataFrame =
+    lshScored(emb, probes, bits, excludeSelf, broadcastProbes)
+      .filter(col("sim") >= tau)
+      .select(col("probe_id"), col("neighbor_id"), col("sim"))
+      .orderBy(col("probe_id"), col("neighbor_id"))
 
   def knnLsh(emb: DataFrame, nProbes: Int, k: Int, bits: Int): DataFrame =
     knnLsh(emb, selfProbes(emb, nProbes), k, bits, excludeSelf = true)
@@ -585,6 +611,32 @@ object Similarity {
          |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin
     }) { (s, d) =>
       knnLsh(embeddings(s, d), nProbes = 5, k = 10)
+    },
+
+    // Radius search: ALL neighbors at cosine ≥ 0.25 for 20 probes, through
+    // the same single-table multiprobe candidate generation as
+    // sim_knn_lsh — but with no ranking window anywhere in the plan (the
+    // threshold replaces it). Emits the full match set row-by-row.
+    GraftQuery.of("sim_range_search", {
+      val bits = 4
+      val probeBuckets = (0 until bits).map(m => s"xor(bucket, ${1L << m})") :+ "bucket"
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    CAST(${bucketSql(bits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS bucket
+         |  FROM embeddings
+         |), probes AS (
+         |  SELECT vec_id AS probe_id, e AS pe,
+         |    unnest([${probeBuckets.mkString(", ")}]) AS bucket
+         |  FROM wb WHERE vec_id < 20
+         |), scored AS (
+         |  SELECT probe_id, w.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(pe, w.e), 6) AS sim
+         |  FROM probes p JOIN wb w USING (bucket) WHERE w.vec_id <> p.probe_id)
+         |SELECT probe_id, neighbor_id, sim FROM scored
+         |WHERE sim >= 0.25 ORDER BY probe_id, neighbor_id""".stripMargin
+    }) { (s, d) =>
+      val emb = embeddings(s, d)
+      rangeSearch(emb, selfProbes(emb, 20), tau = 0.25, excludeSelf = true)
     },
 
     // Multi-table LSH ANN (OR-amplification): 3 independent plane sets,

@@ -343,5 +343,33 @@ object TextAnalysis {
           round(expr("size(array_distinct(bg))").cast("double") / size(col("bg")), 6)
             .as("distinct_bigram_ratio"))
         .orderBy(col("doc_id"))
+    },
+
+    // Canonicalization scrub — the normalization pass real dedup pipelines
+    // run BEFORE exact/fuzzy matching: lowercase, mask digit runs to a
+    // single '0' (so "v2.1" and "v3.4" canonicalize together), collapse
+    // whitespace runs, trim. Emits the normalized fingerprint (h60) the
+    // downstream exact-dedup groupBy would key on. Pure per-row scalar
+    // work, no shuffle. DuckDB's regexp_replace is first-match-only by
+    // default, hence the explicit 'g' flag (Spark's is always global).
+    GraftQuery.of("text_normalize_scrub",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+         |  CAST(len(norm) AS BIGINT) AS norm_len,
+         |  CAST(${GraftQuery.h60Sql("norm")} AS BIGINT) AS norm_fp64
+         |FROM (
+         |  SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '0', 'g'),
+         |                        '\\s+', ' ', 'g')) AS norm
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[0-9]+", "0"), "\\s+", " "))
+      documents(s, d).select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(text, '[0-9]+', 0))").cast("long").as("n_digit_runs"),
+        length(norm).cast("long").as("norm_len"),
+        graft.functions.Md5Hash60.md5hash60(norm).as("norm_fp64"))
+        .orderBy(col("doc_id"))
     })
 }

@@ -197,4 +197,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("pagerank iterations are keyed equi-joins; only the 1-row N frame broadcasts") {
+    val p = planOf("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000)) // the N scalar + small sides
+    assert(p.contains("HashAggregate"), p.take(500))
+  }
+
+  test("range search has NO ranking window: scan, bucket equi-join, filter") {
+    val p = planOf("sim_range_search")
+    assert(!p.linesIterator.exists(l => l.contains("Window")), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("snapshot compaction is one partial-aggregating shuffle, no ranked window") {
+    val p = planOf("events_compact_latest")
+    assert(!p.linesIterator.exists(l => l.contains("Window")), p.take(3000))
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"hashExchanges=$hashExchanges\n${p.take(2000)}")
+  }
+
+  test("shuffle-order window sorts within hash shards only (no global sort before rank)") {
+    val p = planOf("pipeline_shuffle_order")
+    assert(p.contains("Window"), p.take(2000))
+    // the only range partitioning is the final deterministic ORDER BY
+    val rangeParts = "rangepartitioning".r.findAllIn(p).size
+    assert(rangeParts == 1, s"rangeParts=$rangeParts\n${p.take(2000)}")
+  }
 }
