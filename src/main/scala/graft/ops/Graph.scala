@@ -45,8 +45,14 @@ object Graph {
 
   /** Damped PageRank over undirected (src, dst) edges; returns
     * (node, deg, pr_norm) where pr_norm = pr × N (≈1.0 for an
-    * average-importance node — and a magnitude where 6 dp rounding is
-    * meaningful at any graph size, unlike raw pr ~ 1/N).
+    * average-importance node — a size-independent magnitude, unlike raw
+    * pr ~ 1/N). pr_norm is deliberately NOT rounded: after the 12 dp
+    * per-iteration rounding both engines hold bit-identical doubles
+    * (k·10⁻¹² converts to the same nearest double either way), so the
+    * ×N product is bit-identical too — whereas re-rounding it to 6 dp
+    * would park the 12 dp grid points exactly ON half-way boundaries,
+    * where the engines' tie-breaks disagree (observed: 17/20000 rows
+    * off by exactly 1e-6 at sf0.1).
     */
   def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
     // ONE materialization of the edge pipeline; iterations re-scan it
@@ -68,7 +74,7 @@ object Graph {
             .as("pr"))
     }
     pr.crossJoin(n)
-      .select(col("node"), col("deg"), round(col("pr") * col("n"), 6).as("pr_norm"))
+      .select(col("node"), col("deg"), (col("pr") * col("n")).as("pr_norm"))
   }
 
   def queries: Seq[GraftQuery] = Seq(
@@ -76,7 +82,8 @@ object Graph {
     // 3-round damped PageRank over the part co-purchase graph, emitted
     // per-node so the oracle verifies every rank, not a summary. The
     // oracle unrolls the same three iterations as CTEs; both engines
-    // round each iteration to 12 dp and the ×N-normalized output to 6 dp.
+    // round each iteration to 12 dp (same doubles on both sides), and
+    // the final ×N product stays unrounded (see pagerank's Scaladoc).
     GraftQuery.of("graph_pagerank",
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e1 AS (
@@ -103,7 +110,7 @@ object Graph {
         |    round(0.15::DOUBLE / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
         |  FROM e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.node = e.dst
         |  CROSS JOIN n GROUP BY d.node, d.deg, n.n)
-        |SELECT node, CAST(deg AS BIGINT) AS deg, round(pr * n.n, 6) AS pr_norm
+        |SELECT node, CAST(deg AS BIGINT) AS deg, pr * n.n AS pr_norm
         |FROM pr3 CROSS JOIN n ORDER BY node""".stripMargin) { (s, d) =>
       pagerank(coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey"))
         .orderBy(col("node"))

@@ -33,8 +33,10 @@ class GraphSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val pr1 = Graph.pagerank(edges, iters = 1).orderBy("node").collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(pr1(1L) == 0.575 && pr1(3L) == 0.575) // (0.05 + 0.85/6) * 3
-    assert(pr1(2L) == 1.85)                      // (0.05 + 0.85*2/3) * 3
+    // pr_norm is unrounded (12dp grid × N), so compare to 1e-9
+    assert(math.abs(pr1(1L) - 0.575) < 1e-9) // (0.05 + 0.85/6) * 3
+    assert(math.abs(pr1(3L) - 0.575) < 1e-9)
+    assert(math.abs(pr1(2L) - 1.85) < 1e-9)  // (0.05 + 0.85*2/3) * 3
   }
 
   test("pagerank conserves total mass across iterations") {
