@@ -526,5 +526,53 @@ object Dedup {
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       simhash(documents(s, d))
+    },
+
+    // Incremental-ingest dedup: which docs of a NEW batch are exact
+    // duplicates of the EXISTING corpus — the shape every continuously-fed
+    // pipeline runs per ingest (dedup against what's already in, not
+    // within the batch). The existing side collapses to one
+    // (fingerprint → keeper) row per distinct text BEFORE the join, so
+    // the join's build side is the deduped corpus dimension, and both
+    // wide ops are keyed on the fingerprint. The 80/20 existing/new split
+    // is hash-derived from doc_id (deterministic, data-independent).
+    GraftQuery.of("dedup_incremental", {
+      val h = h60Sql("doc_id::VARCHAR", 11)
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    $h % 10 AS bucket
+         |  FROM documents),
+         |ex AS (
+         |  SELECT fp, min(doc_id) AS keeper FROM fp WHERE bucket < 8 GROUP BY 1)
+         |SELECT f.doc_id, e.keeper IS NOT NULL AS is_dup_of_existing,
+         |  coalesce(e.keeper, -1) AS dup_of
+         |FROM fp f LEFT JOIN ex e USING (fp)
+         |WHERE f.bucket >= 8 ORDER BY f.doc_id""".stripMargin
+    }) { (s, d) =>
+      val withBucket = documents(s, d)
+        .withColumn("__bucket", pmod(h60(col("doc_id").cast("string"), 11), lit(10L)))
+      incrementalDedup(
+        withBucket.filter(col("__bucket") < 8),
+        withBucket.filter(col("__bucket") >= 8))
     })
+
+  /** Exact-dup check of a fresh batch AGAINST an existing corpus: the
+    * existing side reduces to one (fingerprint, keeper=min doc_id) row
+    * per distinct normalized text, then the batch LEFT-joins it on the
+    * fingerprint. Both shuffles are fingerprint-keyed; at steady state
+    * the (fp, keeper) dimension is exactly the dedup index a production
+    * ingest keeps materialized between runs.
+    */
+  def incrementalDedup(existing: DataFrame, fresh: DataFrame): DataFrame = {
+    val index = existing
+      .groupBy(normFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"))
+    fresh.select(col("doc_id"), normFingerprint(col("text")).as("fp"))
+      .join(index, Seq("fp"), "left")
+      .select(col("doc_id"),
+        col("keeper").isNotNull.as("is_dup_of_existing"),
+        coalesce(col("keeper"), lit(-1L)).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
 }

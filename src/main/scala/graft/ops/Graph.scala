@@ -55,23 +55,34 @@ object Graph {
     * off by exactly 1e-6 at sf0.1).
     */
   def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    // ONE materialization of the edge pipeline; iterations re-scan it
+    // ONE materialization of the edge pipeline; iterations re-scan it.
+    // (Measured: pre-repartitioning on src before this checkpoint buys
+    // nothing — the checkpointed frame comes back as a bare RDD scan
+    // with no partitioning metadata, so the iteration join re-Exchanges
+    // either way; on a real cluster the same layout-reuse would be done
+    // by bucketing the edge table on src at rest.)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val n = broadcast(deg.agg(count(lit(1)).as("n")))
     var pr = deg.crossJoin(n)
       .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contrib = sym.join(pr.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("pr") / col("deg")).as("__mass"))
-      // inner join is total: symmetry puts every node on some dst side
+      // inner join is total: symmetry puts every node on some dst side.
+      // Per-iteration checkpoint truncates the growing lineage (same
+      // discipline as Dedup.clusters) — without it, evaluating iteration
+      // k re-runs every earlier round's joins.
       pr = deg.join(contrib, "node").crossJoin(n)
         .select(col("node"), col("deg"),
           round(lit(1.0 - damping) / col("n") + lit(damping) * col("__mass"), 12)
             .as("pr"))
+        .localCheckpoint(true)
     }
     pr.crossJoin(n)
       .select(col("node"), col("deg"), (col("pr") * col("n")).as("pr_norm"))

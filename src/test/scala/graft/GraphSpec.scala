@@ -93,6 +93,23 @@ class GraphSpec extends AnyFunSuite {
     assert(out.exceptAll(expect).isEmpty && expect.exceptAll(out).isEmpty)
   }
 
+  test("incrementalDedup flags exact dups of the existing corpus, keeps the rest") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    def df(rows: (Long, String)*) =
+      spark.createDataFrame(rows.map { case (i, t) => Row(i, t) }.asJava, schema)
+    val existing = df(0L -> "alpha beta", 1L -> "ALPHA  beta", 2L -> "gamma")
+    val fresh = df(10L -> " alpha beta ", 11L -> "delta")
+    val out = Dedup.incrementalDedup(existing, fresh).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(out(10L) == (true, 0L)) // dup of the existing group's min id
+    assert(out(11L) == (false, -1L))
+  }
+
   test("q_approx_distinct stays inside its published HLL envelope") {
     val out = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()
     assert(out.nonEmpty && out.forall(_.getAs[Boolean]("approx_ok")))
