@@ -311,5 +311,32 @@ object Pipeline {
       shuffleOrder(documents(s, d), 8)
         .select(col("shard"), col("pos"), col("doc_id"))
         .orderBy(col("shard"), col("pos"))
+    },
+
+    // Deterministic weighted subsample to a uniform language mixture:
+    // every language Bernoulli-downsampled to ≈ the rarest language's
+    // volume — the ACTION pipeline_mix_weights computes weights for.
+    // Membership is a pure function of doc_id (hash threshold), so the
+    // sample is reproducible and shuffle-free on the corpus side: the
+    // only wide op is the tiny per-language count, broadcast back. The
+    // threshold compares INTEGERS (hash mod 1e6 < (min·1e6) div n) —
+    // no float rate that could round differently across engines.
+    GraftQuery.of("pipeline_weighted_sample", {
+      val h = Dedup.h60Sql("doc_id::VARCHAR", 13)
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |m AS (SELECT min(n) AS mn FROM c)
+         |SELECT d.lang, d.doc_id
+         |FROM documents d JOIN c USING (lang) CROSS JOIN m
+         |WHERE $h % 1000000 < (m.mn * 1000000) // c.n
+         |ORDER BY lang, doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val c = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val m = broadcast(c.agg(min(col("n")).as("mn")))
+      docs.join(broadcast(c), "lang").crossJoin(m)
+        .filter(pmod(Dedup.h60(col("doc_id").cast("string"), 13), lit(1000000L)) <
+          expr("(mn * 1000000) div n"))
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
     })
 }
