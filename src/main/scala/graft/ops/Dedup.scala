@@ -136,6 +136,28 @@ object Dedup {
     * top when full clusters are needed.
     */
   def lshCandidatePairs(docs: DataFrame, maxBucket: Long = Long.MaxValue): DataFrame = {
+    // The edge table dwarfs the document dimension, so resolve token sets
+    // with broadcast joins; at corpus sizes beyond broadcast, bucket both
+    // sides on doc id instead — the star-edge plan above is unchanged.
+    val toksets = docs.select(col("doc_id"),
+      expr("array_sort(array_distinct(split(text, ' ')))").as("tokset"))
+    lshCandidateEdges(docs, maxBucket)
+      .join(broadcast(toksets.select(col("doc_id").as("doc_a"), col("tokset").as("ta"))), "doc_a")
+      .join(broadcast(toksets.select(col("doc_id").as("doc_b"), col("tokset").as("tb"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.9) // emit verified near-dups, not the candidate cloud
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The raw star-shaped LSH candidate edges (doc_a = bucket keeper,
+    * doc_b = other member), BEFORE any verification — the shared
+    * candidate generator behind both verifiers ([[lshCandidatePairs]]'s
+    * exact token-set Jaccard and [[editVerifiedPairs]]'s normalized
+    * edit distance).
+    */
+  def lshCandidateEdges(docs: DataFrame, maxBucket: Long = Long.MaxValue): DataFrame = {
     val bands = lshBands(minhashSignature(shingles1(docs)))
     val keepers = bands.groupBy(col("band"), col("band_hash"))
       .agg(min(col("doc_id")).as("doc_a"), count(lit(1)).as("bucket_size"))
@@ -144,22 +166,32 @@ object Dedup {
       // edges; past `maxBucket` members the bucket is dropped entirely —
       // a band that collides half the corpus carries no near-dup signal
       .filter(col("bucket_size") > 1 && col("bucket_size") <= maxBucket)
-    val pairs = bands.join(keepers, Seq("band", "band_hash"))
+    bands.join(keepers, Seq("band", "band_hash"))
       .filter(col("doc_id") > col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+  }
 
-    // The edge table dwarfs the document dimension, so resolve token sets
-    // with broadcast joins; at corpus sizes beyond broadcast, bucket both
-    // sides on doc id instead — the star-edge plan above is unchanged.
-    val toksets = docs.select(col("doc_id"),
-      expr("array_sort(array_distinct(split(text, ' ')))").as("tokset"))
-    pairs
-      .join(broadcast(toksets.select(col("doc_id").as("doc_a"), col("tokset").as("ta"))), "doc_a")
-      .join(broadcast(toksets.select(col("doc_id").as("doc_b"), col("tokset").as("tb"))), "doc_b")
+  /** LSH candidates verified by NORMALIZED EDIT DISTANCE instead of
+    * token-set Jaccard: edit_sim = 1 − levenshtein/max(len) — the
+    * order-sensitive verifier (catches word-reorder "near-dups" Jaccard
+    * wrongly accepts, tolerates small in-place edits). Same broadcast
+    * text-resolve shape as the Jaccard verifier; per-pair cost is
+    * O(len_a·len_b), so the mega-bucket guard upstream matters more
+    * here. Two empty texts are identical by convention (the 0/0 case is
+    * pinned, not engine-dependent).
+    */
+  def editVerifiedPairs(docs: DataFrame, tau: Double = 0.8,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    val texts = docs.select(col("doc_id"), col("text"))
+    lshCandidateEdges(docs, maxBucket)
+      .join(broadcast(texts.select(col("doc_id").as("doc_a"), col("text").as("ta"))), "doc_a")
+      .join(broadcast(texts.select(col("doc_id").as("doc_b"), col("text").as("tb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))).cast("double"), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.9) // emit verified near-dups, not the candidate cloud
+        when(greatest(length(col("ta")), length(col("tb"))) === 0, lit(1.0))
+          .otherwise(round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb"))).cast("double"), 6))
+          .as("edit_sim"))
+      .filter(col("edit_sim") >= tau)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -399,6 +431,28 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM verified
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       lshCandidatePairs(documents(s, d))
+    },
+
+    // LSH candidates under the ORDER-SENSITIVE verifier: normalized edit
+    // distance instead of token-set Jaccard. The oracle reuses the shared
+    // candidate CTE chain up through `pairs` (the unused `verified` CTE
+    // is pruned by the planner) and replays the same CASE-pinned 0/0
+    // convention.
+    GraftQuery.of("dedup_edit_pairs",
+      s"""WITH $lshEdgesSqlCtes,
+         |txt AS (SELECT doc_id, text FROM documents),
+         |edit AS (
+         |  SELECT doc_a, doc_b,
+         |    CASE WHEN greatest(len(ta.text), len(tb.text)) = 0 THEN 1.0::DOUBLE
+         |         ELSE round(1.0::DOUBLE - levenshtein(ta.text, tb.text)::DOUBLE /
+         |                greatest(len(ta.text), len(tb.text))::DOUBLE, 6)
+         |    END AS edit_sim
+         |  FROM pairs
+         |  JOIN txt ta ON ta.doc_id = doc_a
+         |  JOIN txt tb ON tb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, edit_sim FROM edit
+         |WHERE edit_sim >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      editVerifiedPairs(documents(s, d))
     },
 
     // Near-dup cluster assembly: transitive closure of the verified LSH

@@ -110,6 +110,29 @@ class GraphSpec extends AnyFunSuite {
     assert(out(11L) == (false, -1L))
   }
 
+  test("edit-distance verifier rejects word-reorders that Jaccard accepts") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    // docs 1 and 2 both have doc 0's exact token SET (so the MinHash
+    // signatures collide in every band — candidacy is guaranteed, not
+    // probabilistic): 1 is a full reorder, 2 appends one repeated token
+    val docs = spark.createDataFrame(Seq(
+      Row(0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      Row(1L, "theta eta zeta epsilon delta gamma beta alpha"),
+      Row(2L, "alpha beta gamma delta epsilon zeta eta theta alpha")).asJava, schema)
+    val jac = Dedup.lshCandidatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val edit = Dedup.editVerifiedPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.contains((0L, 1L)))  // set-identical reorder passes Jaccard
+    assert(!edit.contains((0L, 1L))) // ...but fails the order-sensitive verifier
+    assert(edit.contains((0L, 2L))) // one-word substitution passes both
+  }
+
   test("q_approx_distinct stays inside its published HLL envelope") {
     val out = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()
     assert(out.nonEmpty && out.forall(_.getAs[Boolean]("approx_ok")))
