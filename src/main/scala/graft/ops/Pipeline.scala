@@ -49,6 +49,24 @@ object Pipeline {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Deterministic weighted subsample to a uniform `stratum` mixture:
+    * every stratum Bernoulli-downsampled to ≈ the rarest stratum's
+    * volume. Membership is a pure function of the doc id (salted-hash
+    * threshold), so the corpus side is shuffle-free — the only wide op
+    * is the tiny per-stratum count, broadcast back. The keep test
+    * compares INTEGERS (hash mod 1e6 < (min·1e6) div n); no float rate
+    * exists to round differently across engines or runs.
+    */
+  def weightedUniformSample(docs: DataFrame, stratum: String = "lang",
+      seed: Int = 13): DataFrame = {
+    val c = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+    val m = broadcast(c.agg(min(col("n")).as("mn")))
+    docs.join(broadcast(c), stratum).crossJoin(m)
+      .filter(pmod(Dedup.h60(col("doc_id").cast("string"), seed), lit(1000000L)) <
+        expr("(mn * 1000000) div n"))
+      .drop("n", "mn")
+  }
+
   /** Per-stratum deterministic sample: the `perStratum` docs with the
     * smallest md5-order rank within each stratum. One shuffle keyed on
     * the stratum; the rank window sorts only within strata (bounded by
@@ -330,12 +348,7 @@ object Pipeline {
          |WHERE $h % 1000000 < (m.mn * 1000000) // c.n
          |ORDER BY lang, doc_id""".stripMargin
     }) { (s, d) =>
-      val docs = documents(s, d)
-      val c = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      val m = broadcast(c.agg(min(col("n")).as("mn")))
-      docs.join(broadcast(c), "lang").crossJoin(m)
-        .filter(pmod(Dedup.h60(col("doc_id").cast("string"), 13), lit(1000000L)) <
-          expr("(mn * 1000000) div n"))
+      weightedUniformSample(documents(s, d))
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))
     })

