@@ -96,14 +96,14 @@ object CdcBoundaries {
     * clear error instead of silently misaligning chunks (and silently
     * diverging from the char-indexed oracle).
     */
-  def asciiOnly(text: Column, ctx: Column): Column = {
+  def asciiOnly(text: Column, ctx: Column, what: String = "CDC"): Column = {
     import org.apache.spark.sql.functions.{concat, length, lit, octet_length, raise_error, when}
     // NULL text must null-propagate (as cdcBoundaries itself does), not
     // trip the guard: length(NULL) === octet_length(NULL) is NULL, which
     // `when` would otherwise route to the raise_error branch.
     when(text.isNull || length(text) === octet_length(text), text)
       .otherwise(raise_error(concat(
-        lit("CDC requires ASCII text (byte == char offsets); multi-byte text at "),
+        lit(s"$what requires ASCII text (byte == char offsets); multi-byte text at "),
         ctx.cast("string"))))
   }
 }

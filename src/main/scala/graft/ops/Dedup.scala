@@ -179,10 +179,18 @@ object Dedup {
     * O(len_a·len_b), so the mega-bucket guard upstream matters more
     * here. Two empty texts are identical by convention (the 0/0 case is
     * pinned, not engine-dependent).
+    *
+    * ASCII-guarded like the CDC queries: DuckDB's `levenshtein` counts
+    * BYTES while Spark's (and both engines' `length`) count CHARACTERS,
+    * so multi-byte text would silently diverge from the oracle — the
+    * guard raises instead (byte == char offsets is a precondition, not
+    * an assumption).
     */
   def editVerifiedPairs(docs: DataFrame, tau: Double = 0.8,
       maxBucket: Long = Long.MaxValue): DataFrame = {
-    val texts = docs.select(col("doc_id"), col("text"))
+    val texts = docs.select(col("doc_id"),
+      graft.functions.CdcBoundaries.asciiOnly(col("text"), col("doc_id"),
+        "edit-distance verify").as("text"))
     lshCandidateEdges(docs, maxBucket)
       .join(broadcast(texts.select(col("doc_id").as("doc_a"), col("text").as("ta"))), "doc_a")
       .join(broadcast(texts.select(col("doc_id").as("doc_b"), col("text").as("tb"))), "doc_b")

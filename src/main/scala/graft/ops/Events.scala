@@ -67,6 +67,37 @@ object Events {
     counts.reduce(_ crossJoin _)
   }
 
+  /** CDC snapshot compaction: latest row per (user_id, event_type) as a
+    * `max_by` struct argmax keyed on (ts, event_id) — map-side partial
+    * agg, ONE key shuffle, no ranked window. Shared by the batch query
+    * and its streaming twin (same column logic, a `readStream` source
+    * drops in front). Ties on ts break by event_id.
+    */
+  def compactLatest(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(struct(col("event_id"), col("ts"), col("value")),
+        struct(col("ts"), col("event_id"))).as("__l"))
+      .select(col("user_id"), col("event_type"),
+        col("__l.event_id").cast("long").as("last_event_id"),
+        unix_micros(col("__l.ts")).as("last_us"),
+        col("__l.value").as("last_value"))
+
+  /** The ranked-window oracle replay of [[compactLatest]] — ONE
+    * definition shared by the batch and streaming registrations so the
+    * stream-batch equivalence contract can't drift against a stale copy.
+    */
+  val CompactLatestOracleSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, event_id, ts, "value",
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type,
+      |  CAST(event_id AS BIGINT) AS last_event_id,
+      |  CAST(epoch_us(ts) AS BIGINT) AS last_us,
+      |  "value" AS last_value
+      |FROM ranked WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Schema-on-read JSON property extraction + per-type aggregates.
@@ -199,31 +230,11 @@ object Events {
 
     // CDC snapshot compaction: latest event per (user_id, event_type) —
     // the upsert-log → current-state materialization every changelog
-    // consumer runs. `max_by` of a struct keyed on (ts, event_id) partial-
-    // aggregates each map partition to one row per key BEFORE the single
-    // key shuffle (the same argmax shape the IVF assignment uses), instead
-    // of shuffling the full log through a ranked window. Ties on ts break
-    // by event_id, so replays are deterministic. Timestamps compare as
-    // integer microseconds (epoch_us ≡ unix_micros, see sessionize).
-    GraftQuery.of("events_compact_latest",
-      """WITH ranked AS (
-        |  SELECT user_id, event_type, event_id, ts, "value",
-        |    row_number() OVER (PARTITION BY user_id, event_type
-        |                       ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events)
-        |SELECT user_id, event_type,
-        |  CAST(event_id AS BIGINT) AS last_event_id,
-        |  CAST(epoch_us(ts) AS BIGINT) AS last_us,
-        |  "value" AS last_value
-        |FROM ranked WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
-      events(s, d)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(max_by(struct(col("event_id"), col("ts"), col("value")),
-          struct(col("ts"), col("event_id"))).as("__l"))
-        .select(col("user_id"), col("event_type"),
-          col("__l.event_id").cast("long").as("last_event_id"),
-          unix_micros(col("__l.ts")).as("last_us"),
-          col("__l.value").as("last_value"))
+    // consumer runs (see compactLatest; the streaming twin is
+    // stream_compact_latest). Timestamps compare as integer microseconds
+    // (epoch_us ≡ unix_micros, see sessionize).
+    GraftQuery.of("events_compact_latest", CompactLatestOracleSql) { (s, d) =>
+      compactLatest(events(s, d))
         .orderBy(col("user_id"), col("event_type"))
     })
 }

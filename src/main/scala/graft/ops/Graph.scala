@@ -78,9 +78,14 @@ object Graph {
       // Per-iteration checkpoint truncates the growing lineage (same
       // discipline as Dedup.clusters) — without it, evaluating iteration
       // k re-runs every earlier round's joins.
+      // teleport is computed as (1.0 - damping) IN-ENGINE on both sides
+      // (the oracle replays `1.0::DOUBLE - 0.85::DOUBLE`): a Scala-side
+      // `lit(1.0 - damping)` would be 1 ulp off DuckDB's parse of the
+      // decimal literal 0.15, breaking the bit-identical-doubles
+      // invariant the unrounded pr_norm emission depends on.
       pr = deg.join(contrib, "node").crossJoin(n)
         .select(col("node"), col("deg"),
-          round(lit(1.0 - damping) / col("n") + lit(damping) * col("__mass"), 12)
+          round((lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("__mass"), 12)
             .as("pr"))
         .localCheckpoint(true)
     }
@@ -108,17 +113,17 @@ object Graph {
         |  SELECT node, deg, 1.0::DOUBLE / n.n AS pr FROM deg CROSS JOIN n),
         |pr1 AS (
         |  SELECT d.node, d.deg,
-        |    round(0.15::DOUBLE / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
+        |    round((1.0::DOUBLE - 0.85::DOUBLE) / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
         |  FROM e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.node = e.dst
         |  CROSS JOIN n GROUP BY d.node, d.deg, n.n),
         |pr2 AS (
         |  SELECT d.node, d.deg,
-        |    round(0.15::DOUBLE / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
+        |    round((1.0::DOUBLE - 0.85::DOUBLE) / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
         |  FROM e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.node = e.dst
         |  CROSS JOIN n GROUP BY d.node, d.deg, n.n),
         |pr3 AS (
         |  SELECT d.node, d.deg,
-        |    round(0.15::DOUBLE / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
+        |    round((1.0::DOUBLE - 0.85::DOUBLE) / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
         |  FROM e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.node = e.dst
         |  CROSS JOIN n GROUP BY d.node, d.deg, n.n)
         |SELECT node, CAST(deg AS BIGINT) AS deg, pr * n.n AS pr_norm

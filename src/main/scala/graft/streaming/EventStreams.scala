@@ -165,36 +165,21 @@ object EventStreams {
         .orderBy(col("user_id"))
     },
 
-    // Streaming CDC snapshot compaction under the oracle hash: the same
-    // max_by-per-(user, type) argmax as the batch `events_compact_latest`,
-    // run as an update-mode streaming aggregation over a file-stream read.
-    // Update mode emits each key's RUNNING argmax once per micro-batch;
-    // the batch finisher re-argmaxes per key on the same (ts, event_id)
-    // order, so an AvailableNow split into several batches converges to
-    // the identical snapshot.
+    // Streaming CDC snapshot compaction under the oracle hash: THE batch
+    // operator (Events.compactLatest — one definition, not a copy) run as
+    // an update-mode streaming aggregation over a file-stream read, under
+    // THE batch oracle (Events.CompactLatestOracleSql). Update mode emits
+    // each key's RUNNING argmax once per micro-batch; the batch finisher
+    // re-argmaxes per key on the same (ts, event_id) order, so an
+    // AvailableNow split into several batches converges to the identical
+    // snapshot.
     GraftQuery.of("stream_compact_latest",
-      """WITH ranked AS (
-        |  SELECT user_id, event_type, event_id, ts, "value",
-        |    row_number() OVER (PARTITION BY user_id, event_type
-        |                       ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events)
-        |SELECT user_id, event_type,
-        |  CAST(event_id AS BIGINT) AS last_event_id,
-        |  CAST(epoch_us(ts) AS BIGINT) AS last_us,
-        |  "value" AS last_value
-        |FROM ranked WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      graft.ops.Events.CompactLatestOracleSql) { (s, d) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val compacted = raw
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(max_by(struct(col("event_id"), col("ts"), col("value")),
-          struct(col("ts"), col("event_id"))).as("__l"))
-        .select(col("user_id"), col("event_type"),
-          col("__l.event_id").cast("long").as("last_event_id"),
-          unix_micros(col("__l.ts")).as("last_us"),
-          col("__l.value").as("last_value"))
+      val compacted = graft.ops.Events.compactLatest(raw)
       val sink = s"stream_compact_${graft.ops.Tables.viewSuffix(d)}"
       val q = compacted.writeStream
         .format("memory").queryName(sink).outputMode(OutputMode.Update())

@@ -199,7 +199,7 @@ class PropertySpec extends AnyFunSuite {
       (1 to 3).foreach { _ =>
         val mass = sym.groupBy(_._2).view.mapValues(
           _.map { case (srcN, _) => pr(srcN) / deg(srcN) }.sum).toMap
-        pr = pr.keys.map(k => k -> rnd12(0.15 / n + 0.85 * mass(k))).toMap
+        pr = pr.keys.map(k => k -> rnd12((1.0 - 0.85) / n + 0.85 * mass(k))).toMap
       }
       val expected = pr.view.mapValues(_ * n).toMap
       assert(got.keySet == expected.keySet, s"seed=$seed")
@@ -210,12 +210,13 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("weighted-sample membership is per-doc stable: union of per-lang corpora " +
-    "samples exactly the union of per-lang samples") {
-    // membership depends only on (doc_id, own-language rate); since every
-    // language's rate is min/n over the SAME corpus, adding docs of OTHER
-    // languages can only change a doc's fate through the global min —
-    // pinned here by keeping per-lang counts equal across seeds
+  test("weighted-sample is bit-stable across runs with per-stratum volumes " +
+    "near the rarest-stratum target") {
+    // NOTE: membership is a pure function of (doc_id, own-stratum rate),
+    // but the rate itself is corpus-global (min over ALL strata), so
+    // sampling per-stratum sub-corpora independently would NOT compose —
+    // each sub-corpus would keep everything. What IS guaranteed, and
+    // checked here: rerun determinism and the target volume envelope.
     val ss = TestSpark.spark
     import ss.implicits._
     (1L to 3L).foreach { seed =>
