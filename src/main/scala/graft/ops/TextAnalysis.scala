@@ -50,8 +50,11 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency FROM tf: tf already holds exactly one row per
+    // distinct (doc, term), so df = its per-term row count — aggregating
+    // the (small) tf frame replaces a second explode + corpus-wide
+    // distinct shuffle of the raw token stream
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val ndocs = broadcast(docs.agg(count(lit(1)).as("n")))
     val scored = tf.join(dfreq, Seq("term")).crossJoin(ndocs)
       .select(col("doc_id"), col("term"),
