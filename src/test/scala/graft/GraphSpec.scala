@@ -131,6 +131,9 @@ class GraphSpec extends AnyFunSuite {
     assert(jac.contains((0L, 1L)))  // set-identical reorder passes Jaccard
     assert(!edit.contains((0L, 1L))) // ...but fails the order-sensitive verifier
     assert(edit.contains((0L, 2L))) // one-word substitution passes both
+    // empty corpus: the band-bound scalar agg must degrade, not crash
+    val empty = spark.createDataFrame(Seq.empty[org.apache.spark.sql.Row].asJava, schema)
+    assert(Dedup.editVerifiedPairs(empty).isEmpty)
   }
 
   test("q_approx_distinct stays inside its published HLL envelope") {
