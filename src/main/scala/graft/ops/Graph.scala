@@ -93,7 +93,34 @@ object Graph {
       .select(col("node"), col("deg"), (col("pr") * col("n")).as("pr_norm"))
   }
 
+  /** Per-node degrees of the symmetrized graph — the profiling pass run
+    * before any iterative graph algorithm (skew check: a power-law hub
+    * says "salt or cap before you join").
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+
   def queries: Seq[GraftQuery] = Seq(
+
+    // Degree distribution of the co-purchase graph: the skew profile that
+    // decides whether the iterative algorithms above need salting. Two
+    // bounded aggregations (node degree, then histogram over degree).
+    GraftQuery.of("graph_degree_hist",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e1 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey),
+        |e AS (SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1)
+        |SELECT CAST(deg AS BIGINT) AS deg, count(*) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      degrees(coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
+    },
 
     // 3-round damped PageRank over the part co-purchase graph, emitted
     // per-node so the oracle verifies every rank, not a summary. The
