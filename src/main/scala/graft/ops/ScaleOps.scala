@@ -197,6 +197,42 @@ object ScaleOps {
         .orderBy(col("lang"))
     },
 
+    // Schema evolution under mergeSchema: an old producer wrote
+    // (doc_id, lang), a newer one adds a quality column — the read
+    // reconciles both batches into one frame where pre-evolution rows
+    // carry NULL for the new column. This is how a 100 TB lake actually
+    // grows columns (no rewrite of old data); mergeSchema pays a footer
+    // read per file at planning time, which is why it's an explicit
+    // option, not the default. The oracle derives the same NULL pattern
+    // from the source table. quality is an exact 3-decimal value
+    // (n_chars · 0.002), so the 6dp-rounded sum is boundary-safe.
+    GraftQuery.of("sink_schema_evolution",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(count(quality) AS BIGINT) AS n_with_quality,
+        |  round(sum(coalesce(quality, 0)), 6) AS sum_quality
+        |FROM (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 2 = 1
+        |         THEN round(CAST(n_chars AS DOUBLE) / 500, 6) END AS quality
+        |  FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val src = documents(s, d)
+      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/documents_evolving"
+      src.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/v1")
+      src.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          round(col("n_chars").cast("double") / 500, 6).as("quality"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).cast("long").as("n_with_quality"),
+          round(sum(coalesce(col("quality"), lit(0.0))), 6).as("sum_quality"))
+        .orderBy(col("lang"))
+    },
+
     // Interval (range) join without a nested loop: events within ±5 min
     // of each purchase by the same user. Naive formulations degenerate to
     // BroadcastNestedLoopJoin (inequality-only condition); the scalable
