@@ -54,6 +54,14 @@ object Graph {
     * where the engines' tie-breaks disagree (observed: 17/20000 rows
     * off by exactly 1e-6 at sf0.1).
     */
+  /** Both directions of an undirected (src, dst) edge list — THE
+    * symmetrization shared by every consumer ([[pagerank]], [[degrees]]),
+    * so edge-contract changes cannot drift between them.
+    */
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+
   def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
     // ONE materialization of the edge pipeline; iterations re-scan it.
     // (Measured: pre-repartitioning on src before this checkpoint buys
@@ -61,9 +69,7 @@ object Graph {
     // with no partitioning metadata, so the iteration join re-Exchanges
     // either way; on a real cluster the same layout-reuse would be done
     // by bucketing the edge table on src at rest.)
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+    val sym = symmetrize(edges).localCheckpoint(true)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val n = broadcast(deg.agg(count(lit(1)).as("n")))
@@ -98,8 +104,7 @@ object Graph {
     * says "salt or cap before you join").
     */
   def degrees(edges: DataFrame): DataFrame =
-    edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    symmetrize(edges)
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
 
   def queries: Seq[GraftQuery] = Seq(

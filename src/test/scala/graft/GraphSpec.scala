@@ -140,4 +140,15 @@ class GraphSpec extends AnyFunSuite {
     val out = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()
     assert(out.nonEmpty && out.forall(_.getAs[Boolean]("approx_ok")))
   }
+
+  test("schema-evolution read reconciles both producer versions with NULLs on v1 rows") {
+    val out = SparkEntry.queries("sink_schema_evolution")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every group has both pre- and post-evolution rows (parity split),
+    // so the merged column must be partially — never fully — populated
+    out.foreach { r =>
+      val (n, withQ) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_with_quality"))
+      assert(withQ > 0 && withQ < n, s"lang=${r.getString(0)} n=$n withQ=$withQ")
+    }
+  }
 }

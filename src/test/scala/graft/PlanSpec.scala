@@ -218,6 +218,13 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"hashExchanges=$hashExchanges\n${p.take(2000)}")
   }
 
+  test("degree profile is keyed aggregations only: no cartesian, no window") {
+    val p = planOf("graph_degree_hist")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.linesIterator.exists(l => l.contains("Window")), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(500))
+  }
+
   test("shuffle-order window sorts within hash shards only (no global sort before rank)") {
     val p = planOf("pipeline_shuffle_order")
     assert(p.contains("Window"), p.take(2000))
