@@ -37,6 +37,35 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    // Streaming canary: one trivial AvailableNow file-stream aggregation
+    // through a memory sink, timed. Streaming's per-query cost is serial
+    // commit latency (microbatch planning + state-store delta commits), which
+    // a host CPU quota inflates WITHOUT moving the compute canaries — the
+    // exact confound BENCH_r05 hit (34s stream entries, clean calib). The
+    // first call also absorbs the one-time streaming machinery cold-start
+    // (~8s of class-loading/state init on a clean host) so it lands in an
+    // attributable field instead of inside whichever stream query runs first.
+    def calibrateStream(): Double = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_canary")
+      val src = dir.resolve("in").toString
+      spark.range(1000).select(col("id"), pmod(col("id"), org.apache.spark.sql.functions.lit(7)).as("k"))
+        .coalesce(1).write.mode("overwrite").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      val t0 = System.nanoTime()
+      val q = spark.readStream.schema(schema).parquet(src)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("graft_stream_canary")
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.dropTempView("graft_stream_canary")
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      catch { case _: Throwable => () }
+      sec
+    }
     def runPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -45,6 +74,7 @@ object Bench {
       }
     val calib = calibrate()
     val calibPar = calibratePar()
+    val calibStream = calibrateStream()
     // 32-way variant: a quota between 8 and 32 cores is invisible to the
     // 8-thread canary but halves+ the 32-thread bench throughput — this
     // one makes that case attributable too.
@@ -64,11 +94,12 @@ object Bench {
     val total = results.map(_._2).sum
     val calibEnd = calibrate()
     val calibParEnd = calibratePar()
+    val calibStreamEnd = calibrateStream()
     // value = sum of per-query minima over the two passes (documented in
     // BASELINE.md); value_single_pass = the plain first-pass total, for
     // consumers comparing against single-pass baselines without reading
     // the agg/passes fields.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","value_single_pass":${pass1.map(_._2).sum},"pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par32_sec":$calibPar32,"calib_par8_end_sec":$calibParEnd}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","value_single_pass":${pass1.map(_._2).sum},"pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par32_sec":$calibPar32,"calib_par8_end_sec":$calibParEnd,"calib_stream_sec":$calibStream,"calib_stream_end_sec":$calibStreamEnd}"""
     println(json)
     // The harness that snapshots this run keeps only the LAST ~2000 chars of
     // output, and sbt appends its own "[success] ..." trailer — with 84
@@ -83,7 +114,7 @@ object Bench {
     val legendLine = s"""{"bench_legend":$legend}"""
     val compactQs = results.zipWithIndex
       .map { case ((_, v), i) => s"\"q$i\":${r3(v)}" }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}","n_queries":${results.size},"passes":2,"agg":"min","value_single_pass":${r3(pass1.map(_._2).sum)},"pass_totals":[${r3(pass1.map(_._2).sum)},${r3(pass2.map(_._2).sum)}],"calib_sec":[${r3(calib)},${r3(calibMid)},${r3(calibEnd)}],"calib_par_sec":[${r3(calibPar)},${r3(calibPar32)},${r3(calibParEnd)}],"query_names":"see bench_legend line / bench_out.json"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}","n_queries":${results.size},"passes":2,"agg":"min","value_single_pass":${r3(pass1.map(_._2).sum)},"pass_totals":[${r3(pass1.map(_._2).sum)},${r3(pass2.map(_._2).sum)}],"calib_sec":[${r3(calib)},${r3(calibMid)},${r3(calibEnd)}],"calib_par_sec":[${r3(calibPar)},${r3(calibPar32)},${r3(calibParEnd)}],"calib_stream_sec":[${r3(calibStream)},${r3(calibStreamEnd)}],"query_names":"see bench_legend line / bench_out.json"}"""
     // Belt-and-braces: sbt may prefix stdout lines, so also drop the JSON
     // where the driver (or a human) can read it unmangled.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

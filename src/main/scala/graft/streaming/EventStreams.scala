@@ -27,6 +27,53 @@ import graft.ops.GraftQuery
   */
 object EventStreams {
 
+  /** State partition count for the AvailableNow harness runs. State
+    * partitioning is fixed at query start from `spark.sql.shuffle.partitions`,
+    * and a tiny-batch stream's per-microbatch commit cost scales with it
+    * (one delta-file commit + one task per state partition per batch): at 32
+    * partitions the commit machinery dwarfs the data. 5 keeps a genuine
+    * multi-partition shuffle (so the test still exercises merge paths) at
+    * ~6× less fixed cost. Production sizing would match the key cardinality,
+    * not this harness constant.
+    */
+  private val StreamStatePartitions = "5"
+
+  /** Runs `plan` as one AvailableNow pass into a memory sink, applies
+    * `finish` to the sink table, eagerly materializes the (bounded) result,
+    * and then frees the harness machinery before returning:
+    *
+    *  - the memory-sink temp view — update-mode sinks accumulate every
+    *    micro-batch's emissions on the driver for as long as the view lives;
+    *  - the state-store providers + maintenance task
+    *    ([[org.apache.spark.sql.execution.streaming.state.StateStore.stop]]) —
+    *    otherwise every harness pass leaves shuffle-partition-many
+    *    HDFSBackedStateStoreProviders running periodic maintenance in the
+    *    JVM for the rest of the run (BENCH_r05 flagged exactly this: the
+    *    streaming entries' wall-clock grew with accumulated providers on a
+    *    core-quota'd host). The next streaming query lazily restarts the
+    *    maintenance task, so stopping here is always safe.
+    *
+    * The shuffle-partition conf is capped only around `start()`; the batch
+    * finisher runs under the session's normal setting.
+    */
+  private def runToResult(s: org.apache.spark.sql.SparkSession, plan: DataFrame,
+      sink: String, mode: OutputMode)(finish: DataFrame => DataFrame): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    try {
+      val q = plan.writeStream.format("memory").queryName(sink)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        Option(q.lastProgress).foreach(p => println(
+          s"[stream] $sink batchId=${p.batchId} durationMs=${p.durationMs}"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val out = finish(s.table(sink)).localCheckpoint(true)
+    s.catalog.dropTempView(sink)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    out
+  }
+
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
@@ -92,15 +139,12 @@ object EventStreams {
       val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sink = s"stream_hourly_${graft.ops.Tables.viewSuffix(d)}"
-      val q = hourlyAgg(raw).writeStream
-        .format("memory").queryName(sink).outputMode(OutputMode.Complete())
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(sink)
-        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-          col("event_type"), col("n"),
-          round(col("sum_value"), 4).as("sum_value"))
-        .orderBy(col("hour_start"), col("event_type"))
+      runToResult(s, hourlyAgg(raw), sink, OutputMode.Complete()) { t =>
+        t.select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("event_type"), col("n"),
+            round(col("sum_value"), 4).as("sum_value"))
+          .orderBy(col("hour_start"), col("event_type"))
+      }
     },
 
     // Streaming exact dedup: stateful fingerprint aggregation over a
@@ -122,13 +166,10 @@ object EventStreams {
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keeper"))
       val sink = s"stream_dedup_${graft.ops.Tables.viewSuffix(d)}"
-      val q = deduped.writeStream
-        .format("memory").queryName(sink).outputMode(OutputMode.Update())
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(sink)
-        .groupBy(col("fp")).agg(min(col("keeper")).as("keeper"))
-        .orderBy(col("fp"))
+      runToResult(s, deduped, sink, OutputMode.Update()) { t =>
+        t.groupBy(col("fp")).agg(min(col("keeper")).as("keeper"))
+          .orderBy(col("fp"))
+      }
     },
 
     // Streaming sessionization under the driver's oracle hash: the same
@@ -154,15 +195,12 @@ object EventStreams {
       val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sink = s"stream_sessions_${graft.ops.Tables.viewSuffix(d)}"
-      val q = sessionize(raw).toDF().writeStream
-        .format("memory").queryName(sink).outputMode(OutputMode.Update())
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(sink)
-        .groupBy(col("user_id"))
-        .agg(max(col("n_events")).as("n_events"),
-          max(col("n_sessions")).as("n_sessions"))
-        .orderBy(col("user_id"))
+      runToResult(s, sessionize(raw).toDF(), sink, OutputMode.Update()) { t =>
+        t.groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("n_sessions")).as("n_sessions"))
+          .orderBy(col("user_id"))
+      }
     },
 
     // Streaming CDC snapshot compaction under the oracle hash: THE batch
@@ -181,19 +219,16 @@ object EventStreams {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val compacted = graft.ops.Events.compactLatest(raw)
       val sink = s"stream_compact_${graft.ops.Tables.viewSuffix(d)}"
-      val q = compacted.writeStream
-        .format("memory").queryName(sink).outputMode(OutputMode.Update())
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(sink)
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(max_by(
-          struct(col("last_event_id"), col("last_us"), col("last_value")),
-          struct(col("last_us"), col("last_event_id"))).as("__l"))
-        .select(col("user_id"), col("event_type"),
-          col("__l.last_event_id").as("last_event_id"),
-          col("__l.last_us").as("last_us"),
-          col("__l.last_value").as("last_value"))
-        .orderBy(col("user_id"), col("event_type"))
+      runToResult(s, compacted, sink, OutputMode.Update()) { t =>
+        t.groupBy(col("user_id"), col("event_type"))
+          .agg(max_by(
+            struct(col("last_event_id"), col("last_us"), col("last_value")),
+            struct(col("last_us"), col("last_event_id"))).as("__l"))
+          .select(col("user_id"), col("event_type"),
+            col("__l.last_event_id").as("last_event_id"),
+            col("__l.last_us").as("last_us"),
+            col("__l.last_value").as("last_value"))
+          .orderBy(col("user_id"), col("event_type"))
+      }
     })
 }
