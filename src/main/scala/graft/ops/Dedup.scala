@@ -184,13 +184,47 @@ object Dedup {
     * BYTES while Spark's (and both engines' `length`) count CHARACTERS,
     * so multi-byte text would silently diverge from the oracle — the
     * guard raises instead (byte == char offsets is a precondition, not
-    * an assumption).
+    * an assumption). For multilingual corpora use
+    * [[editVerifiedPairsUtf8]], which drops the guard and keeps Spark's
+    * char-counting semantics.
+    *
+    * NOTE: merely CONSTRUCTING this frame runs one eager Spark job — a
+    * scalar `max(length(text))` aggregation that derives the banded-DP
+    * bound below. The bound is corpus-wide, so one giant outlier doc
+    * weakens the band for every short pair; per-pair bounds would need a
+    * column-valued threshold, which `levenshtein` does not take.
     */
   def editVerifiedPairs(docs: DataFrame, tau: Double = 0.8,
       maxBucket: Long = Long.MaxValue): DataFrame = {
     val texts = docs.select(col("doc_id"),
       graft.functions.CdcBoundaries.asciiOnly(col("text"), col("doc_id"),
         "edit-distance verify").as("text"))
+    verifyEditPairs(texts, lshCandidateEdges(docs, maxBucket), tau)
+  }
+
+  /** [[editVerifiedPairs]] without the ASCII precondition, for
+    * multilingual corpora: Spark's `levenshtein` and `length` both count
+    * CODE POINTS (not bytes, not grapheme clusters — "e" + combining
+    * accent is two units, precomposed "é" is one), so the similarity is
+    * char-correct on any UTF-8 text with no guard needed. The DuckDB
+    * byte-counting mismatch is an ORACLE limitation, not an engine one —
+    * cross-engine checks for this path go through an alphabet relabeling
+    * (see the `dedup_edit_pairs_utf8` registration), and the code-point
+    * semantics are locked by unit tests (CJK + combining marks).
+    *
+    * `candidates` defaults to this corpus's own LSH candidate edges;
+    * pass them explicitly to verify an externally-derived pair set (the
+    * registered query generates candidates on the pre-relabeling corpus).
+    * Same eager band-bound job as [[editVerifiedPairs]].
+    */
+  def editVerifiedPairsUtf8(docs: DataFrame, tau: Double = 0.8,
+      maxBucket: Long = Long.MaxValue,
+      candidates: Option[DataFrame] = None): DataFrame =
+    verifyEditPairs(docs.select(col("doc_id"), col("text")),
+      candidates.getOrElse(lshCandidateEdges(docs, maxBucket)), tau)
+
+  private def verifyEditPairs(texts: DataFrame, candidates: DataFrame,
+      tau: Double): DataFrame = {
     // Banded DP: any pair with edit_sim ≥ tau has lev ≤ (1−tau)·maxLen,
     // so the 3-arg levenshtein runs the O(len·bound) band (with early
     // exit) instead of the full O(len²) table and returns −1 beyond it —
@@ -203,10 +237,10 @@ object Dedup {
     // one scalar agg job (a bound, not data, crosses to the driver —
     // same discipline as the k-means centroids); NULL on an empty or
     // all-NULL-text corpus degrades to bound 1, not a crash.
-    val maxLenRow = docs.agg(max(length(col("text"))).cast("long").as("m")).head()
+    val maxLenRow = texts.agg(max(length(col("text"))).cast("long").as("m")).head()
     val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
     val bound = math.max(1, ((1.0 - tau + 5e-7) * maxLen).toInt + 1)
-    lshCandidateEdges(docs, maxBucket)
+    candidates
       .join(broadcast(texts.select(col("doc_id").as("doc_a"), col("text").as("ta"))), "doc_a")
       .join(broadcast(texts.select(col("doc_id").as("doc_b"), col("text").as("tb"))), "doc_b")
       // lev ≥ |Δlen|, so pairs over the bound skip the DP entirely —
@@ -481,6 +515,38 @@ object Dedup {
          |SELECT doc_a, doc_b, edit_sim FROM edit
          |WHERE edit_sim >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       editVerifiedPairs(documents(s, d))
+    },
+
+    // The UTF-8 (guard-free, code-point) verifier, cross-checked through
+    // an alphabet relabeling: the Spark side rewrites four frequent
+    // letters to non-ASCII lookalikes (e→é t→θ a→α o→ø — injective, and
+    // absent from the ASCII corpus) and verifies THAT genuinely
+    // multi-byte text; the oracle is the unchanged ASCII formulation.
+    // Levenshtein and length are invariant under injective per-character
+    // relabeling, so the results must match EXACTLY — unless the engine
+    // path counted bytes anywhere (a 2-byte é would then change both lev
+    // and max(len)), which is precisely the regression this pins.
+    // Candidates come from the pre-relabeling corpus (MinHash is a hash
+    // of the token bytes, so the oracle's candidate CTE must see the
+    // same bytes); the verify stage is what runs multilingual.
+    GraftQuery.of("dedup_edit_pairs_utf8",
+      s"""WITH $lshEdgesSqlCtes,
+         |txt AS (SELECT doc_id, text FROM documents),
+         |edit AS (
+         |  SELECT doc_a, doc_b,
+         |    CASE WHEN greatest(len(ta.text), len(tb.text)) = 0 THEN 1.0::DOUBLE
+         |         ELSE round(1.0::DOUBLE - levenshtein(ta.text, tb.text)::DOUBLE /
+         |                greatest(len(ta.text), len(tb.text))::DOUBLE, 6)
+         |    END AS edit_sim
+         |  FROM pairs
+         |  JOIN txt ta ON ta.doc_id = doc_a
+         |  JOIN txt tb ON tb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, edit_sim FROM edit
+         |WHERE edit_sim >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      editVerifiedPairsUtf8(
+        docs.withColumn("text", translate(col("text"), "etao", "éθαø")),
+        candidates = Some(lshCandidateEdges(docs)))
     },
 
     // Near-dup cluster assembly: transitive closure of the verified LSH

@@ -21,10 +21,11 @@ import Tables._
   * source (contributions), aggregate on the destination (new rank). The
   * undirected edge set is symmetrized and materialized ONCE (checkpoint)
   * so iterations never re-run the edge construction; total mass is
-  * conserved because every node of the symmetric graph has out-degree ≥ 1
-  * (no dangling-mass redistribution term needed). Ranks are rounded to
-  * 12 dp per iteration on both engines, so cross-engine float residue
-  * cannot compound across rounds.
+  * conserved up to quantization because every node of the symmetric graph
+  * has out-degree ≥ 1 (no dangling-mass redistribution term needed). The
+  * whole iteration runs in 1e-12-resolution FIXED-POINT (BIGINT) — see
+  * [[pagerank]] — so every compared value is exact integer arithmetic and
+  * no floating-point rounding tie can exist on either engine.
   */
 object Graph {
 
@@ -43,17 +44,6 @@ object Graph {
       .distinct()
   }
 
-  /** Damped PageRank over undirected (src, dst) edges; returns
-    * (node, deg, pr_norm) where pr_norm = pr × N (≈1.0 for an
-    * average-importance node — a size-independent magnitude, unlike raw
-    * pr ~ 1/N). pr_norm is deliberately NOT rounded: after the 12 dp
-    * per-iteration rounding both engines hold bit-identical doubles
-    * (k·10⁻¹² converts to the same nearest double either way), so the
-    * ×N product is bit-identical too — whereas re-rounding it to 6 dp
-    * would park the 12 dp grid points exactly ON half-way boundaries,
-    * where the engines' tie-breaks disagree (observed: 17/20000 rows
-    * off by exactly 1e-6 at sf0.1).
-    */
   /** Both directions of an undirected (src, dst) edge list — THE
     * symmetrization shared by every consumer ([[pagerank]], [[degrees]]),
     * so edge-contract changes cannot drift between them.
@@ -62,7 +52,35 @@ object Graph {
     edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
 
+  /** Fixed-point scale for [[pagerank]]: ranks are BIGINTs counting units
+    * of 1e-12 of total mass.
+    */
+  val PrScale = 1000000000000L
+
+  /** Damped PageRank over undirected (src, dst) edges in 1e-12-resolution
+    * fixed point: rank is a BIGINT count of [[PrScale]]ths of total mass,
+    * per-edge contributions are integer division `pr_fix div deg`, and the
+    * damping step is `(85 · mass) div 100` (damping is quantized to a 1/100
+    * grid). Every intermediate is an integer, so the result is independent
+    * of summation order — earlier DOUBLE formulations (12 dp per-iteration
+    * rounding) were only probabilistically engine-portable: a partial sum
+    * landing within an ulp of a decimal half-boundary rounds to different
+    * grid points under Spark's vs the oracle's aggregation order.
+    * Quantization cost: each contribution floors away < 1e-12, so a node's
+    * per-iteration rank deficit is < in-degree × 1e-12 — far below any
+    * analytical use and, unlike FP residue, deterministic.
+    *
+    * Returns (node, deg, pr_norm_e12, pr_norm): pr_norm_e12 = pr_fix × N
+    * exactly (≈ PrScale for an average-importance node), and pr_norm =
+    * that as DOUBLE / 1e12 (≈ 1.0) — one IEEE division of identical
+    * integer operands, hence still bit-identical across engines.
+    * BIGINT headroom: pr_fix ≤ PrScale, so pr_norm_e12 ≤ PrScale × N —
+    * exact up to N ~ 9·10⁶ nodes; beyond that emit pr_fix unscaled.
+    */
   def pagerank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val dampNum = math.round(damping * 100).toInt
+    require(dampNum > 0 && dampNum < 100, s"damping must be on (0,1) in 1/100 steps, got $damping")
+    val teleportNum = PrScale / 100 * (100 - dampNum) // exact: PrScale % 100 == 0
     // ONE materialization of the edge pipeline; iterations re-scan it.
     // (Measured: pre-repartitioning on src before this checkpoint buys
     // nothing — the checkpointed frame comes back as a bare RDD scan
@@ -74,29 +92,28 @@ object Graph {
       .localCheckpoint(true)
     val n = broadcast(deg.agg(count(lit(1)).as("n")))
     var pr = deg.crossJoin(n)
-      .select(col("node"), col("deg"), (lit(1.0) / col("n")).as("pr"))
+      .select(col("node"), col("deg"), expr(s"${PrScale}L div n").as("pr_fix"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // `div` (IntegralDivide) and DuckDB's `//` both truncate; all
+      // operands here are non-negative, so truncation == floor on both.
       val contrib = sym.join(pr.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("pr") / col("deg")).as("__mass"))
+        .agg(sum(expr("pr_fix div deg")).as("__mass"))
       // inner join is total: symmetry puts every node on some dst side.
       // Per-iteration checkpoint truncates the growing lineage (same
       // discipline as Dedup.clusters) — without it, evaluating iteration
       // k re-runs every earlier round's joins.
-      // teleport is computed as (1.0 - damping) IN-ENGINE on both sides
-      // (the oracle replays `1.0::DOUBLE - 0.85::DOUBLE`): a Scala-side
-      // `lit(1.0 - damping)` would be 1 ulp off DuckDB's parse of the
-      // decimal literal 0.15, breaking the bit-identical-doubles
-      // invariant the unrounded pr_norm emission depends on.
       pr = deg.join(contrib, "node").crossJoin(n)
         .select(col("node"), col("deg"),
-          round((lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("__mass"), 12)
-            .as("pr"))
+          (expr(s"${teleportNum}L div n") + expr(s"($dampNum * __mass) div 100"))
+            .as("pr_fix"))
         .localCheckpoint(true)
     }
     pr.crossJoin(n)
-      .select(col("node"), col("deg"), (col("pr") * col("n")).as("pr_norm"))
+      .select(col("node"), col("deg"),
+        (col("pr_fix") * col("n")).as("pr_norm_e12"),
+        ((col("pr_fix") * col("n")).cast("double") / lit(1.0e12)).as("pr_norm"))
   }
 
   /** Per-node degrees of the symmetrized graph — the profiling pass run
@@ -129,9 +146,11 @@ object Graph {
 
     // 3-round damped PageRank over the part co-purchase graph, emitted
     // per-node so the oracle verifies every rank, not a summary. The
-    // oracle unrolls the same three iterations as CTEs; both engines
-    // round each iteration to 12 dp (same doubles on both sides), and
-    // the final ×N product stays unrounded (see pagerank's Scaladoc).
+    // oracle unrolls the same three FIXED-POINT iterations as CTEs —
+    // every compared value is integer arithmetic (BIGINT // BIGINT on
+    // non-negative operands == Spark's `div`), so there is no
+    // summation-order or rounding-tie hazard; pr_norm is one IEEE
+    // division of identical integer operands (see pagerank's Scaladoc).
     GraftQuery.of("graph_pagerank",
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e1 AS (
@@ -142,23 +161,25 @@ object Graph {
         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
         |pr0 AS (
-        |  SELECT node, deg, 1.0::DOUBLE / n.n AS pr FROM deg CROSS JOIN n),
+        |  SELECT node, deg, 1000000000000 // n.n AS pr_fix FROM deg CROSS JOIN n),
         |pr1 AS (
         |  SELECT d.node, d.deg,
-        |    round((1.0::DOUBLE - 0.85::DOUBLE) / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
+        |    150000000000 // n.n + (85 * CAST(sum(p.pr_fix // p.deg) AS BIGINT)) // 100 AS pr_fix
         |  FROM e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.node = e.dst
         |  CROSS JOIN n GROUP BY d.node, d.deg, n.n),
         |pr2 AS (
         |  SELECT d.node, d.deg,
-        |    round((1.0::DOUBLE - 0.85::DOUBLE) / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
+        |    150000000000 // n.n + (85 * CAST(sum(p.pr_fix // p.deg) AS BIGINT)) // 100 AS pr_fix
         |  FROM e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.node = e.dst
         |  CROSS JOIN n GROUP BY d.node, d.deg, n.n),
         |pr3 AS (
         |  SELECT d.node, d.deg,
-        |    round((1.0::DOUBLE - 0.85::DOUBLE) / n.n + 0.85::DOUBLE * sum(p.pr / p.deg), 12) AS pr
+        |    150000000000 // n.n + (85 * CAST(sum(p.pr_fix // p.deg) AS BIGINT)) // 100 AS pr_fix
         |  FROM e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.node = e.dst
         |  CROSS JOIN n GROUP BY d.node, d.deg, n.n)
-        |SELECT node, CAST(deg AS BIGINT) AS deg, pr * n.n AS pr_norm
+        |SELECT node, CAST(deg AS BIGINT) AS deg,
+        |  CAST(pr_fix * n.n AS BIGINT) AS pr_norm_e12,
+        |  CAST(pr_fix * n.n AS DOUBLE) / 1e12 AS pr_norm
         |FROM pr3 CROSS JOIN n ORDER BY node""".stripMargin) { (s, d) =>
       pagerank(coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey"))
         .orderBy(col("node"))

@@ -32,8 +32,8 @@ class GraphSpec extends AnyFunSuite {
     // After one round: pr(1)=pr(3)=0.05+0.85/6, pr(2)=0.05+0.85*2/3.
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     val pr1 = Graph.pagerank(edges, iters = 1).orderBy("node").collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    // pr_norm is unrounded (12dp grid × N), so compare to 1e-9
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // fixed-point floors lose < in-degree × 1e-12 per node, so 1e-9 holds
     assert(math.abs(pr1(1L) - 0.575) < 1e-9) // (0.05 + 0.85/6) * 3
     assert(math.abs(pr1(3L) - 0.575) < 1e-9)
     assert(math.abs(pr1(2L) - 1.85) < 1e-9)  // (0.05 + 0.85*2/3) * 3
@@ -44,7 +44,7 @@ class GraphSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .toDF("src", "dst")
     val out = Graph.pagerank(edges, iters = 3).collect()
-    val total = out.map(_.getDouble(2)).sum / out.length // mean of pr*N = 1
+    val total = out.map(_.getDouble(3)).sum / out.length // mean of pr*N = 1
     assert(math.abs(total - 1.0) < 1e-6)
   }
 

@@ -235,6 +235,51 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(r => Option(r.getString(0))).toSet == Set(Some("plain"), None))
   }
 
+  test("editVerifiedPairsUtf8 counts code points, not bytes (CJK)") {
+    val s = spark
+    import s.implicits._
+    // 機械学習 (4 cp, 12 bytes) vs 機械学習モデル (7 cp, 21 bytes):
+    // code-point lev = 3 insertions over max len 7; a byte-counting path
+    // would see lev 9 over byte-length 21 and emit a different sim.
+    val docs = docsDf(1L -> "機械学習", 2L -> "機械学習モデル")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editVerifiedPairsUtf8(docs, tau = 0.0,
+      candidates = Some(cand)).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(2) == 0.571429) // round(1 − 3/7, 6)
+  }
+
+  test("editVerifiedPairsUtf8 is code-point level, not grapheme level (combining marks)") {
+    val s = spark
+    import s.implicits._
+    // "cafe" + U+0301 combining acute (5 code points) vs precomposed
+    // "café" (4 code points): one rendered glyph apart, but code-point
+    // lev = 2 (substitute e→é, delete the combining mark) over max 5.
+    val docs = docsDf(1L -> "cafe\u0301", 2L -> "caf\u00e9")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editVerifiedPairsUtf8(docs, tau = 0.0,
+      candidates = Some(cand)).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(2) == 0.6) // round(1 − 2/5, 6)
+  }
+
+  test("edit similarity is invariant under injective non-ASCII relabeling") {
+    // the property the dedup_edit_pairs_utf8 oracle pairing rests on
+    val ascii = docsDf(
+      1L -> "the cat sat on the mat today",
+      2L -> "the cat sat on that mat today")
+    val relabeled = ascii.withColumn("text",
+      translate(col("text"), "etao", "éθαø"))
+    val s = spark
+    import s.implicits._
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val a = Dedup.editVerifiedPairsUtf8(ascii, tau = 0.0, candidates = Some(cand))
+      .collect()(0).getDouble(2)
+    val b = Dedup.editVerifiedPairsUtf8(relabeled, tau = 0.0, candidates = Some(cand))
+      .collect()(0).getDouble(2)
+    assert(a == b)
+  }
+
   test("LSH mega-bucket cap drops degenerate buckets, keeps genuine near-dup pairs") {
     // 6 identical spam docs (one mega bucket) + a genuine near-dup pair
     // sharing 19 of 20 distinct tokens (Jaccard 19/21 ≈ 0.905, above the

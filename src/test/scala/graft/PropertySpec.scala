@@ -188,25 +188,27 @@ class PropertySpec extends AnyFunSuite {
     (1L to 3L).foreach { seed =>
       val edges = edgeGen.apply(Gen.Parameters.default, Seed(seed)).get.distinct
       val got = graft.ops.Graph.pagerank(edges.toDF("src", "dst"), iters = 3)
-        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-      // driver-side reference of the same damped iteration (12dp rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // driver-side reference of the same FIXED-POINT damped iteration —
+      // pure integer arithmetic, compared EXACTLY (the engine spec is
+      // deterministic, so the test demands bit equality, not tolerance)
       val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-      val n = deg.size
-      def rnd12(x: Double) = BigDecimal(x)
-        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
-      var pr = deg.keys.map(_ -> 1.0 / n).toMap
+      val n = deg.size.toLong
+      var pr = deg.keys.map(_ -> graft.ops.Graph.PrScale / n).toMap
       (1 to 3).foreach { _ =>
         val mass = sym.groupBy(_._2).view.mapValues(
           _.map { case (srcN, _) => pr(srcN) / deg(srcN) }.sum).toMap
-        pr = pr.keys.map(k => k -> rnd12((1.0 - 0.85) / n + 0.85 * mass(k))).toMap
+        pr = pr.keys.map(k =>
+          k -> (graft.ops.Graph.PrScale / 100 * 15 / n + 85 * mass(k) / 100)).toMap
       }
       val expected = pr.view.mapValues(_ * n).toMap
       assert(got.keySet == expected.keySet, s"seed=$seed")
       got.foreach { case (k, v) =>
-        assert(math.abs(v - expected(k)) < 1e-9, s"seed=$seed node=$k $v vs ${expected(k)}")
+        assert(v == expected(k), s"seed=$seed node=$k $v vs ${expected(k)}")
       }
-      assert(math.abs(got.values.sum / n - 1.0) < 1e-9, s"seed=$seed mass")
+      // mass conserved up to the documented < in-degree × 1e-12 floor loss
+      assert(math.abs(got.values.sum.toDouble / n / 1e12 - 1.0) < 1e-9, s"seed=$seed mass")
     }
   }
 
