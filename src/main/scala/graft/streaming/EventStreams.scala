@@ -147,6 +147,49 @@ object EventStreams {
       }
     },
 
+    // The PRODUCTION sink path: the same windowed aggregation written by
+    // writeStream.format("parquet") in APPEND mode with a checkpoint dir —
+    // exactly-once file commit through the sink's offset/commit logs — then
+    // re-read as a batch frame for the oracle compare. Append mode only
+    // emits windows the watermark has closed, so with hourlyAgg's 2-hour
+    // delay the emitted set is windows with end ≤ max(ts) − 2h (the
+    // AvailableNow final no-data micro-batch performs that last eviction);
+    // the oracle applies the same cut analytically. Sink + checkpoint dirs
+    // are recreated per run so every invocation exercises a full fresh
+    // commit sequence, not a no-op restart against an old commit log.
+    GraftQuery.of("stream_sink_parquet_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n,
+        |  round(sum("value"), 4) AS sum_value
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |      <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val base = new java.io.File(s"/tmp/graft_sink/${new java.io.File(d).getName}/stream_hourly_parquet")
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
+      val out = s"$base/data"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+      try {
+        val q = hourlyAgg(raw).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", s"$base/checkpoint")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      s.read.parquet(out)
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    },
+
     // Streaming exact dedup: stateful fingerprint aggregation over a
     // file-stream read of the documents table (update-mode min-keeper per
     // fingerprint — deterministic regardless of file/batch arrival order,
