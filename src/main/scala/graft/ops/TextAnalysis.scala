@@ -38,6 +38,106 @@ object TextAnalysis {
   private def profileCountSql(vals: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), x -> ${inList(vals)}))"
 
+  /** Symbol-wrapper delimiter for [[bpeTrain]]'s string encoding (chr(1):
+    * absent from [a-z]+ words by construction).
+    */
+  private val BpeD = "\u0001"
+
+  /** BPE vocabulary trainer: `rounds` iterations of the classic merge loop
+    * (count adjacent symbol pairs → adopt the most frequent pair as a new
+    * symbol → re-segment), returning the learned merge table
+    * (round, lhs, rhs, pair_count) — the artifact a tokenizer build ships.
+    *
+    * Distributed shape: the working set is the DISTINCT-WORD relation
+    * (symbol-sequence, corpus frequency) — the standard trainer reduction,
+    * which caps state at the corpus vocabulary regardless of corpus size —
+    * and each round is ONE pair-count shuffle plus a 1-row top-pair
+    * collect (a scalar crossing to the driver, same discipline as the
+    * k-means codebook in [[graft.ops.Similarity]]), with a per-round
+    * localCheckpoint truncating lineage exactly like [[Graph.pagerank]].
+    *
+    * The re-segmentation trick: a word's symbol sequence is encoded as a
+    * single string with every symbol wrapped in chr(1) delimiters
+    * ("ab","c" → ␁ab␁␁c␁), so merging pair (a,b) is a LITERAL
+    * `replace(ws, ␁a␁␁b␁ → ␁ab␁)` — string replace scans left-to-right
+    * over non-overlapping occurrences, which is precisely BPE's greedy
+    * merge order ([a,a,a] → [aa,a]), and the per-symbol double delimiter
+    * keeps adjacent merge sites independent ([a,b,a,b] merges both). Both
+    * engines share these replace semantics, so the oracle replays the
+    * same rounds as unrolled CTEs. Ties on pair count break
+    * deterministically by (lhs, rhs) ascending on both sides.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    var words = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), lit("(.)"), lit(BpeD + "$1" + BpeD)).as("ws"),
+        col("cnt"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = words
+        .select(col("cnt"), split(btrim(col("ws"), lit(BpeD)), BpeD + BpeD).as("syms"))
+        .select(col("cnt"),
+          explode(arrays_zip(col("syms"),
+            slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0)))
+              .as("nxt"))).as("p"))
+        .filter(col("p.nxt").isNotNull)
+        .groupBy(col("p.syms").as("a"), col("p.nxt").as("b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(desc("pc"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, pc))
+        words = words
+          .select(replace(col("ws"), lit(BpeD + a + BpeD + BpeD + b + BpeD),
+            lit(BpeD + a + b + BpeD)).as("ws"), col("cnt"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** The [[bpeTrain]] oracle: `rounds` unrolled CTE rounds of the same
+    * pair-count → top-1 → replace loop (DuckDB's `replace`/`list_zip`
+    * /`regexp_replace` mirror the engine semantics; see bpeTrain's doc).
+    */
+  private[ops] def bpeTrainOracleSql(rounds: Int): String = {
+    val ctes = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT z[1] AS a, z[2] AS b, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+         |    SELECT cnt, unnest(list_zip(syms, syms[2:])) AS z FROM (
+         |      SELECT cnt, str_split(trim(ws, chr(1)), chr(1)||chr(1)) AS syms
+         |      FROM w${k - 1}))
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |t$k AS (SELECT a, b, pc FROM p$k ORDER BY pc DESC, a, b LIMIT 1),
+         |w$k AS (
+         |  SELECT replace(ws, chr(1)||a||chr(1)||chr(1)||b||chr(1),
+         |                 chr(1)||a||b||chr(1)) AS ws, cnt
+         |  FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
+    }.mkString(",\n")
+    val emit = (1 to rounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS round, a AS lhs, b AS rhs, pc AS pair_count FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH wcnt AS (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents) GROUP BY w),
+       |w0 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(1)||'\\1'||chr(1), 'g') AS ws, cnt
+       |  FROM wcnt),
+       |$ctes
+       |$emit
+       |ORDER BY round""".stripMargin
+  }
+
   /** TF-IDF top-`k` terms per document over a (doc_id, text) frame.
     * Powers the `text_tfidf_top_terms` query AND is callable directly (the
     * unit tests drive THIS function). Tokenize once; ONE shuffle for
@@ -285,6 +385,17 @@ object TextAnalysis {
         |SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
       tfidfTopTerms(documents(s, d))
+    },
+
+    // The full BPE merge LOOP (not just the candidate ranking below): 8
+    // driver-steered rounds of count-pairs → adopt-top-merge → re-segment
+    // over the distinct-word working set, emitting the learned merge
+    // table. The oracle unrolls the identical 8 rounds as CTEs — every
+    // pair count, tie-break, and greedy re-segmentation is replayed and
+    // hash-compared, so the loop's fixpoint behavior (merged symbols
+    // feeding later rounds' counts) is what's verified, not a summary.
+    GraftQuery.of("text_bpe_train", bpeTrainOracleSql(8)) { (s, d) =>
+      bpeTrain(documents(s, d), 8)
     },
 
     // Corpus-wide top-20 bigrams — the vocabulary-building/merge-candidate

@@ -235,6 +235,42 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(r => Option(r.getString(0))).toSet == Set(Some("plain"), None))
   }
 
+  test("bpeTrain matches a driver-side greedy BPE reference, including tie-breaks") {
+    // crafted corpus: "aaab" ×3, "abab" ×2, "ba" ×1 — round 1 has a
+    // genuine tie landscape and round 2+ depend on merged symbols from
+    // round 1, so a loop that re-counted raw chars would diverge
+    val docs = docsDf(
+      0L -> "aaab aaab",
+      1L -> "aaab abab",
+      2L -> "abab ba")
+    val got = TextAnalysis.bpeTrain(docs, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+    // reference: greedy left-to-right merge over (distinct word → count)
+    var words: Map[Vector[String], Long] =
+      Seq("aaab", "aaab", "aaab", "abab", "abab", "ba")
+        .groupBy(identity).map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+    def mergeWord(w: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == a && w(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += w(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = (1 to 4).map { r =>
+      val counts = words.toSeq.flatMap { case (w, c) =>
+        w.zip(w.drop(1)).map(p => p -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((a, b), pc) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      words = words.toSeq.map { case (w, c) => mergeWord(w, a, b) -> c }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (r.toLong, a, b, pc)
+    }
+    assert(got.toSeq == expected)
+  }
+
   test("editVerifiedPairsUtf8 counts code points, not bytes (CJK)") {
     val s = spark
     import s.implicits._
