@@ -225,6 +225,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(500))
   }
 
+  test("registry sweep: every query plan is free of unwhitelisted cartesian/nested-loop joins") {
+    // The whitelist is every query whose plan legitimately carries a
+    // BroadcastNestedLoopJoin, each because a genuinely BOUNDED frame
+    // (scalar aggregate or broadcast probe/codebook set) crosses into a
+    // data-sized scan — the shapes the per-query tests above lock in
+    // detail. Anything else containing a CartesianProduct or BNLJ is a
+    // data×data blowup waiting for scale, and fails here the day it
+    // appears. The assertion is two-sided: a whitelisted query whose
+    // plan LOSES its BNLJ fails too, so the list cannot go stale.
+    val whitelisted = Map(
+      "events_funnel" -> "1-row per-stage counts cross into the funnel",
+      "graph_pagerank" -> "1-row N frame joins every rank row",
+      "pipeline_mix_weights" -> "1-row corpus totals frame",
+      "pipeline_weighted_sample" -> "1-row per-stratum target frame",
+      "sim_knn_brute" -> "broadcast probe set x corpus scan (the exact baseline)",
+      "sim_knn_ivf" -> "broadcast trained codebook",
+      "sim_knn_probes" -> "broadcast external probe set",
+      "sim_recall_lsh_multi" -> "broadcast brute-force truth set for recall",
+      "text_tfidf_top_terms" -> "1-row ndocs frame in the idf term")
+    // stream_* excluded: their returned frame is a localCheckpointed
+    // result (bare RDD scan — nothing to inspect) and construction runs
+    // the streaming query; their operator plans are locked by
+    // StreamingSpec and the batch twins swept here.
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("stream_"))
+    val offenders = names.filterNot(whitelisted.contains).filter { name =>
+      val p = planOf(name)
+      p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+    }
+    assert(offenders.isEmpty,
+      s"data-sized cross/nested-loop joins appeared in: ${offenders.mkString(", ")}")
+    val stale = whitelisted.keys.toSeq.sorted.filter { name =>
+      val p = planOf(name)
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+    }
+    assert(stale.isEmpty, s"whitelist entries no longer needed: ${stale.mkString(", ")}")
+  }
+
   test("shuffle-order window sorts within hash shards only (no global sort before rank)") {
     val p = planOf("pipeline_shuffle_order")
     assert(p.contains("Window"), p.take(2000))
