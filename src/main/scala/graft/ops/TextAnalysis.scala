@@ -69,6 +69,14 @@ object TextAnalysis {
     */
   def bpeTrain(docs: DataFrame, rounds: Int = 8): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainMerges(docs, rounds).toDF("round", "lhs", "rhs", "pair_count")
+  }
+
+  /** The merge list behind [[bpeTrain]], for callers that APPLY the learned
+    * merges ([[bpeEncode]]) rather than ship the table.
+    */
+  def bpeTrainMerges(docs: DataFrame, rounds: Int = 8): Seq[(Long, String, String, Long)] = {
     var words = docs
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -101,16 +109,42 @@ object TextAnalysis {
         r += 1
       }
     }
-    import spark.implicits._
-    merges.result().toDF("round", "lhs", "rhs", "pair_count")
+    merges.result()
+  }
+
+  /** Tokenize the corpus with a learned merge list: per word, the same
+    * wrapped-string encoding as the trainer, then the merges applied as a
+    * CHAIN OF LITERAL replace()s — `rounds` codegen'd string ops fused
+    * into the scan, no joins, no shuffle until the per-doc count. Symbol
+    * count falls out of the encoding arithmetically (delimiters/2), so
+    * re-splitting isn't needed. Returns (doc_id, n_words, n_tokens).
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val ws = merges.foldLeft(
+      regexp_replace(col("w"), lit("(.)"), lit(BpeD + "$1" + BpeD))) {
+      case (acc, (a, b)) =>
+        replace(acc, lit(BpeD + a + BpeD + BpeD + b + BpeD), lit(BpeD + a + b + BpeD))
+    }
+    docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .select(col("doc_id"),
+        ((length(ws) - length(replace(ws, lit(BpeD), lit("")))) / lit(2))
+          .cast("long").as("n_sym"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** The [[bpeTrain]] oracle: `rounds` unrolled CTE rounds of the same
     * pair-count → top-1 → replace loop (DuckDB's `replace`/`list_zip`
     * /`regexp_replace` mirror the engine semantics; see bpeTrain's doc).
     */
-  private[ops] def bpeTrainOracleSql(rounds: Int): String = {
-    val ctes = (1 to rounds).map { k =>
+  /** The shared trainer CTE chain (w0 … w`rounds`, with per-round pair
+    * counts p_k and adopted merges t_k), used by both oracle builders.
+    */
+  private def bpeCtesSql(rounds: Int): String = {
+    val perRound = (1 to rounds).map { k =>
       s"""p$k AS (
          |  SELECT z[1] AS a, z[2] AS b, CAST(sum(cnt) AS BIGINT) AS pc FROM (
          |    SELECT cnt, unnest(list_zip(syms, syms[2:])) AS z FROM (
@@ -123,19 +157,46 @@ object TextAnalysis {
          |                 chr(1)||a||b||chr(1)) AS ws, cnt
          |  FROM w${k - 1} CROSS JOIN t$k)""".stripMargin
     }.mkString(",\n")
-    val emit = (1 to rounds)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS round, a AS lhs, b AS rhs, pc AS pair_count FROM t$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH wcnt AS (
+    s"""wcnt AS (
        |  SELECT w, count(*) AS cnt FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
        |    FROM documents) GROUP BY w),
        |w0 AS (
        |  SELECT regexp_replace(w, '(.)', chr(1)||'\\1'||chr(1), 'g') AS ws, cnt
        |  FROM wcnt),
-       |$ctes
+       |$perRound""".stripMargin
+  }
+
+  private[ops] def bpeTrainOracleSql(rounds: Int): String = {
+    val emit = (1 to rounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS round, a AS lhs, b AS rhs, pc AS pair_count FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtesSql(rounds)}
        |$emit
        |ORDER BY round""".stripMargin
+  }
+
+  /** The [[bpeEncode]] oracle: the trainer CTEs feed the learned merges
+    * back in as scalar subqueries, applied as the same nested literal
+    * replace chain over every word of every document.
+    */
+  private[ops] def bpeEncodeOracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).foldLeft("ws0") { (acc, k) =>
+      s"""replace($acc,
+         |  chr(1)||(SELECT a FROM t$k)||chr(1)||chr(1)||(SELECT b FROM t$k)||chr(1),
+         |  chr(1)||(SELECT a FROM t$k)||(SELECT b FROM t$k)||chr(1))""".stripMargin
+    }
+    s"""WITH ${bpeCtesSql(rounds)},
+       |docw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, $chain AS ws FROM (
+       |    SELECT doc_id, regexp_replace(w, '(.)', chr(1)||'\\1'||chr(1), 'g') AS ws0
+       |    FROM docw))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum((len(ws) - len(replace(ws, chr(1), ''))) // 2) AS BIGINT) AS n_tokens
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** TF-IDF top-`k` terms per document over a (doc_id, text) frame.
@@ -396,6 +457,17 @@ object TextAnalysis {
     // feeding later rounds' counts) is what's verified, not a summary.
     GraftQuery.of("text_bpe_train", bpeTrainOracleSql(8)) { (s, d) =>
       bpeTrain(documents(s, d), 8)
+    },
+
+    // Train → APPLY: tokenize the corpus with the 8 learned merges and
+    // emit per-document word/token counts — the composition a tokenizer
+    // build actually ships (the merge table alone is inert). The encode
+    // pass is 8 literal replaces fused into one codegen'd scan; the
+    // oracle re-derives the same merges in its CTEs and applies them as
+    // scalar-subquery replaces, so train and apply are verified TOGETHER.
+    GraftQuery.of("text_bpe_encode", bpeEncodeOracleSql(8)) { (s, d) =>
+      val docs = documents(s, d)
+      bpeEncode(docs, bpeTrainMerges(docs, 8).map(m => (m._2, m._3)))
     },
 
     // Corpus-wide top-20 bigrams — the vocabulary-building/merge-candidate

@@ -271,6 +271,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("bpeEncode: zero merges counts chars; each merge only shrinks token counts") {
+    val docs = docsDf(0L -> "aaab abab", 1L -> "ba")
+    val none = TextAnalysis.bpeEncode(docs, Nil).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(none == Map(0L -> 8L, 1L -> 2L)) // chars of [a-z]+ words
+    val merges = TextAnalysis.bpeTrainMerges(docs, 3).map(m => (m._2, m._3))
+    val enc = TextAnalysis.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(enc(0L) < none(0L)) // "aa"/"ab"-class merges must bite
+    enc.foreach { case (id, n) => assert(n >= 1 && n <= none(id)) }
+  }
+
   test("editVerifiedPairsUtf8 counts code points, not bytes (CJK)") {
     val s = spark
     import s.implicits._
