@@ -53,13 +53,22 @@ object Bench {
       spark.range(1000).select(col("id"), pmod(col("id"), org.apache.spark.sql.functions.lit(7)).as("k"))
         .coalesce(1).write.mode("overwrite").parquet(src)
       val schema = spark.read.parquet(src).schema
+      // same state-partition count as the harness stream entries — a
+      // canary committing 32 deltas/batch while the entries commit 5
+      // would inflate ~6x more under the same host quota and mis-scale
+      // the very attribution it exists for
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        graft.streaming.EventStreams.StreamStatePartitions)
       val t0 = System.nanoTime()
-      val q = spark.readStream.schema(schema).parquet(src)
-        .groupBy(col("k")).agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName("graft_stream_canary")
-        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = try {
+        val q = spark.readStream.schema(schema).parquet(src)
+          .groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName("graft_stream_canary")
+          .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.catalog.dropTempView("graft_stream_canary")
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)

@@ -181,10 +181,17 @@ object TextAnalysis {
     * replace chain over every word of every document.
     */
   private[ops] def bpeEncodeOracleSql(rounds: Int): String = {
+    // coalesce('') guards merge exhaustion: on a corpus whose pairs run
+    // out before `rounds`, t_k is EMPTY, the scalar subquery is NULL, and
+    // a bare replace(ws, NULL, NULL) would NULL-poison every document.
+    // With '' the pattern degenerates to four consecutive chr(1)s, which
+    // no wrapped string contains (delimiter runs are length ≤ 2), so the
+    // exhausted rounds are no-ops — matching the engine, which applies
+    // only the merges actually learned.
     val chain = (1 to rounds).foldLeft("ws0") { (acc, k) =>
       s"""replace($acc,
-         |  chr(1)||(SELECT a FROM t$k)||chr(1)||chr(1)||(SELECT b FROM t$k)||chr(1),
-         |  chr(1)||(SELECT a FROM t$k)||(SELECT b FROM t$k)||chr(1))""".stripMargin
+         |  chr(1)||coalesce((SELECT a FROM t$k), '')||chr(1)||chr(1)||coalesce((SELECT b FROM t$k), '')||chr(1),
+         |  chr(1)||coalesce((SELECT a FROM t$k), '')||coalesce((SELECT b FROM t$k), '')||chr(1))""".stripMargin
     }
     s"""WITH ${bpeCtesSql(rounds)},
        |docw AS (

@@ -36,7 +36,7 @@ object EventStreams {
     * ~6× less fixed cost. Production sizing would match the key cardinality,
     * not this harness constant.
     */
-  private val StreamStatePartitions = "5"
+  private[graft] val StreamStatePartitions = "5"
 
   /** Runs `plan` as one AvailableNow pass into a memory sink, applies
     * `finish` to the sink table, eagerly materializes the (bounded) result,
@@ -54,24 +54,71 @@ object EventStreams {
     *    maintenance task, so stopping here is always safe.
     *
     * The shuffle-partition conf is capped only around `start()`; the batch
-    * finisher runs under the session's normal setting.
+    * finisher runs under the session's normal setting. View drop and
+    * provider stop sit in a `finally`: an error path that skipped them
+    * would quietly re-create the accumulation this helper exists to
+    * prevent, one failed query at a time.
     */
   private def runToResult(s: org.apache.spark.sql.SparkSession, plan: DataFrame,
       sink: String, mode: OutputMode)(finish: DataFrame => DataFrame): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
     try {
-      val q = plan.writeStream.format("memory").queryName(sink)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
-        Option(q.lastProgress).foreach(p => println(
-          s"[stream] $sink batchId=${p.batchId} durationMs=${p.durationMs}"))
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    val out = finish(s.table(sink)).localCheckpoint(true)
-    s.catalog.dropTempView(sink)
-    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    out
+      try {
+        val q = plan.writeStream.format("memory").queryName(sink)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+          Option(q.lastProgress).foreach(p => println(
+            s"[stream] $sink batchId=${p.batchId} durationMs=${p.durationMs}"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      finish(s.table(sink)).localCheckpoint(true)
+    } finally {
+      s.catalog.dropTempView(sink)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    }
+  }
+
+  /** The PRODUCTION sink path behind `stream_sink_parquet_hourly` (and
+    * driven directly by StreamingSpec with its own sink root): a
+    * file-stream read of `$sfDir`'s events through [[hourlyAgg]], written
+    * by `writeStream.format("parquet")` + checkpoint under `base` in
+    * APPEND mode — exactly-once file commit through the sink's
+    * offset/commit/`_spark_metadata` logs — then re-read as a batch frame
+    * in the oracle's column shape. Append emits only watermark-closed
+    * windows (the AvailableNow final no-data micro-batch performs the
+    * last eviction), so the emitted set is windows with
+    * end ≤ max(ts) − 2h. Same conf-cap / debug-hook / provider-stop
+    * discipline as [[runToResult]]; the sink directory is the caller's to
+    * clean up (the registered query materializes and deletes it).
+    */
+  private[graft] def hourlyToParquetSink(s: org.apache.spark.sql.SparkSession,
+      sfDir: String, base: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = s.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = s"$base/data"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    try {
+      try {
+        val q = hourlyAgg(raw).writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", s"$base/checkpoint")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+          Option(q.lastProgress).foreach(p => println(
+            s"[stream] parquet-sink batchId=${p.batchId} durationMs=${p.durationMs}"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    s.read.parquet(out)
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
   }
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark. */
@@ -165,29 +212,13 @@ object EventStreams {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
         |      <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val base = new java.io.File(s"/tmp/graft_sink/${new java.io.File(d).getName}/stream_hourly_parquet")
-      org.apache.commons.io.FileUtils.deleteQuietly(base)
-      val out = s"$base/data"
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
-      try {
-        val q = hourlyAgg(raw).writeStream
-          .format("parquet").option("path", out)
-          .option("checkpointLocation", s"$base/checkpoint")
-          .outputMode(OutputMode.Append())
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-      s.read.parquet(out)
-        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-          col("event_type"), col("n"),
-          round(col("sum_value"), 4).as("sum_value"))
-        .orderBy(col("hour_start"), col("event_type"))
+      // a PER-PROCESS unique sink root: a fixed shared path would let two
+      // concurrent sessions on the same SF delete each other's live
+      // checkpoint mid-commit (Verify alongside Bench is a normal local
+      // workflow); eager materialization below makes deletion safe here
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sink").toFile
+      try hourlyToParquetSink(s, d, base.toString).localCheckpoint(true)
+      finally org.apache.commons.io.FileUtils.deleteQuietly(base)
     },
 
     // Streaming exact dedup: stateful fingerprint aggregation over a

@@ -234,6 +234,13 @@ class PlanSpec extends AnyFunSuite {
     // data×data blowup waiting for scale, and fails here the day it
     // appears. The assertion is two-sided: a whitelisted query whose
     // plan LOSES its BNLJ fails too, so the list cannot go stale.
+    //
+    // SCOPE: this sees each query's FINAL plan. Iterative operators
+    // (pagerank, clusters, bpeTrain) checkpoint per round, so their
+    // interior round plans are truncated to RDD scans here — those
+    // interiors are locked by their dedicated tests above and by the
+    // shared helpers being the same code every round. Driver-composed
+    // results (text_bpe_train's merge table) reduce to LocalTableScan.
     val whitelisted = Map(
       "events_funnel" -> "1-row per-stage counts cross into the funnel",
       "graph_pagerank" -> "1-row N frame joins every rank row",

@@ -100,12 +100,15 @@ class StreamingSpec extends AnyFunSuite {
   test("parquet-sink streaming query commits through _spark_metadata (exactly-once file sink)") {
     val s = spark
     val sf = "/root/testdata/sf0.001"
-    val rows = graft.SparkEntry.queries("stream_sink_parquet_hourly")(s, sf).count()
-    assert(rows > 0)
-    // the file sink's transactional commit log is what distinguishes this
-    // path from a plain batch write — its presence proves the query went
-    // through the sink's offset/commit protocol, not DataFrameWriter
-    val meta = new java.io.File("/tmp/graft_sink/sf0.001/stream_hourly_parquet/data/_spark_metadata")
-    assert(meta.isDirectory && meta.listFiles().nonEmpty, meta.toString)
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_spec").toFile
+    try {
+      val rows = graft.streaming.EventStreams.hourlyToParquetSink(s, sf, base.toString).count()
+      assert(rows > 0)
+      // the file sink's transactional commit log is what distinguishes this
+      // path from a plain batch write — its presence proves the query went
+      // through the sink's offset/commit protocol, not DataFrameWriter
+      val meta = new java.io.File(base, "data/_spark_metadata")
+      assert(meta.isDirectory && meta.listFiles().nonEmpty, meta.toString)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
 }
