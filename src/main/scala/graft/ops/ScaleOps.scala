@@ -301,5 +301,44 @@ object ScaleOps {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Bloom-pruned semi join: the runtime row-level-filtering pattern made
+    // explicit. The build side's keys fold into a bloom filter (Spark's
+    // own BloomFilterAggregate — a bounded sketch, collected like a
+    // codebook), the fact scan drops non-members BEFORE any shuffle via
+    // might_contain, and the surviving rows go through the EXACT LeftSemi
+    // join that eliminates the bloom's false positives. Semantically
+    // invariant by construction — the oracle IS the plain semi join — so
+    // what the hash verifies is that the pruning path loses and invents
+    // nothing. At 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the ~selectivity fraction that can
+    // possibly match; Spark's AQE injects the same shape automatically
+    // only under join-strategy limits, and an engine-level operator wants
+    // it on demand.
+    GraftQuery.of("q_bloom_semi_join",
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.Bridge
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      // honest sizing: one scalar count job, then one 1-row bloom build —
+      // both bounded artifacts crossing to the driver (codebook discipline)
+      val nKeys = math.max(1L, urgent.count())
+      val bloom = urgent
+        .agg(Bridge.bloomFilterAgg(col("o_orderkey"), nKeys).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+        .filter(Bridge.mightContain(bloom, col("l_orderkey")))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
     })
 }

@@ -221,6 +221,36 @@ object EventStreams {
       finally org.apache.commons.io.FileUtils.deleteQuietly(base)
     },
 
+    // Stream-STATIC broadcast enrichment: the standard production pattern
+    // of joining a stream to a slowly-changing dimension snapshot — the
+    // static side broadcasts once and every micro-batch probes it with no
+    // stream-side shuffle before the aggregation. LEFT join (stream
+    // user_ids beyond the customer table keep flowing, segment 'UNKNOWN'),
+    // complete-mode segment totals compared against the identical batch
+    // join SQL.
+    GraftQuery.of("stream_enrich_static",
+      """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |  count(*) AS n_events,
+        |  round(sum(e."value"), 4) AS sum_value
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+      val cust = graft.ops.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = raw
+        .join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      val sink = s"stream_enrich_${graft.ops.Tables.viewSuffix(d)}"
+      runToResult(s, enriched, sink, OutputMode.Complete()) { t =>
+        t.select(col("segment"), col("n_events"),
+            round(col("sum_value"), 4).as("sum_value"))
+          .orderBy(col("segment"))
+      }
+    },
+
     // Streaming exact dedup: stateful fingerprint aggregation over a
     // file-stream read of the documents table (update-mode min-keeper per
     // fingerprint — deterministic regardless of file/batch arrival order,

@@ -17,6 +17,29 @@ object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Spark's internal bloom-filter expressions (the machinery behind
+    * runtime row-level filtering), exposed as Columns for explicit
+    * build-side→probe-side pruning. Not in the public function registry,
+    * hence surfaced through the bridge like the Column⇄Expression
+    * converters above.
+    */
+  def bloomFilterAgg(child: Column, expectedItems: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(child), expectedItems).toAggregateExpression())
+
+  /** `might_contain(bloomBytes, value)` over a DRIVER-COLLECTED serialized
+    * bloom (a Literal, satisfying the expression's constant-input
+    * requirement) — the sketch is bounded (~KBs–MBs), the same class of
+    * artifact as a broadcast codebook.
+    */
+  def mightContain(bloomBytes: Array[Byte], value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        ExpressionUtils.expression(value)))
+
   /** Register a function builder on a LIVE session's registry (the
     * post-construction counterpart of `SparkSessionExtensions
     * .injectFunction`, which only applies while a session is being built).

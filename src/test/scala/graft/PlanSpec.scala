@@ -269,6 +269,17 @@ class PlanSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"whitelist entries no longer needed: ${stale.mkString(", ")}")
   }
 
+  test("bloom semi join: might_contain prunes the fact scan, exact semi join verifies") {
+    val p = planOf("q_bloom_semi_join")
+    // the bloom probe must sit in the scan-side filter (pre-shuffle
+    // pruning), and the verifying join must be a hash semi join — bloom
+    // pruning that degraded to a nested loop would defeat its purpose
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("shuffle-order window sorts within hash shards only (no global sort before rank)") {
     val p = planOf("pipeline_shuffle_order")
     assert(p.contains("Window"), p.take(2000))
