@@ -135,6 +135,46 @@ object Events {
       sessionize(events(s, d))
     },
 
+    // Native SESSION windows (session_window(ts, gap)): the interval-merge
+    // machinery Spark uses for streaming session state, run in batch —
+    // physically distinct from the lag-window sessionize above (window
+    // coalescing aggregation, not a ranked window), so both derivations
+    // are registered and must agree with their oracles independently.
+    // Emitted bounds are exact integer micros (start = min event time,
+    // end = last event time + gap). A new session opens when the gap is
+    // >= the 30-min window (session end is EXCLUSIVE in Spark: an event
+    // at exactly last+gap does not extend), hence the oracle's `>=` where
+    // the lag-window query above uses `>` — the two queries' session
+    // counts may legitimately differ on measure-zero exact-gap data.
+    GraftQuery.of("events_session_window",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+         |g AS (
+         |  SELECT user_id, us,
+         |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+         |           >= ${SessionGapSeconds}000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id, us,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM g)
+         |SELECT user_id, min(us) AS start_us,
+         |  max(us) + ${SessionGapSeconds}000000 AS end_us,
+         |  count(*) AS n_events
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, start_us""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$SessionGapSeconds seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+
     // Tumbling 1-hour window aggregation (batch twin of a streaming
     // window(ts, "1 hour") aggregate; date_trunc ≡ tumbling window start).
     // PIVOT: one column per event type (explicit value list keeps the

@@ -221,6 +221,36 @@ object EventStreams {
       finally org.apache.commons.io.FileUtils.deleteQuietly(base)
     },
 
+    // Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark):
+    // unlike stream_dedup_exact's running min-keeper — whose fingerprint
+    // state grows with the corpus forever — this state expires with the
+    // event-time watermark, the only shape whose memory survives an
+    // unbounded stream. The input is the events stream unioned with a
+    // second read of ITSELF (genuine duplicate rows for the dedup to
+    // drop; both copies carry the same event time, so they always fall
+    // inside one watermark window). Append mode emits each first-seen
+    // row; the batch finisher counts per type, and the oracle counts
+    // DISTINCT event_ids — equal exactly when the dedup dropped every
+    // duplicate and nothing else.
+    GraftQuery.of("stream_dedup_watermarked",
+      """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def src() = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = src().unionByName(src())
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"))
+      val sink = s"stream_ddwm_${graft.ops.Tables.viewSuffix(d)}"
+      runToResult(s, deduped, sink, OutputMode.Append()) { t =>
+        t.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy(col("event_type"))
+      }
+    },
+
     // Stream-STATIC broadcast enrichment: the standard production pattern
     // of joining a stream to a slowly-changing dimension snapshot — the
     // static side broadcasts once and every micro-batch probes it with no
