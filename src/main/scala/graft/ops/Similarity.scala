@@ -76,6 +76,45 @@ object Similarity {
   def knnBrute(emb: DataFrame, nProbes: Int, k: Int): DataFrame =
     knnBrute(emb, selfProbes(emb, nProbes), k, excludeSelf = true)
 
+  /** Scalar-quantized (int8) kNN — the COMPRESSION tier of large-scale
+    * vector search: each vector quantizes to per-vector-max-scaled int8
+    * codes (round(x·127/maxabs) — direction preserved, magnitude
+    * normalized to the ±127 box, 4× smaller than float32 and the memory-
+    * bandwidth term that dominates a 100 TB corpus scan), candidates rank
+    * by the EXACT INTEGER code dot product (≤ 64·127² — order-independent
+    * arithmetic, so the k·mult candidate cut has no float-boundary hazard
+    * on either engine), and the survivors re-rank by exact float cosine.
+    * Same output contract as [[knnBrute]]; quantization quality is
+    * asserted as recall-vs-brute in the unit tests.
+    */
+  def knnSq8(emb: DataFrame, nProbes: Int, k: Int, mult: Int = 4): DataFrame = {
+    val enc = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("maxabs",
+        expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+      // all-zero vector pinned to all-zero codes (127·0/0 is NaN, and a
+      // NULL code array would null the dot instead of scoring 0)
+      .withColumn("codes",
+        expr("""CASE WHEN maxabs = 0.0 THEN transform(embedding, x -> 0L)
+               |     ELSE transform(embedding,
+               |            x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / maxabs) AS BIGINT))
+               |END""".stripMargin))
+    val probes = enc.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("codes").as("pc"))
+    val cands = enc.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("codes").as("nc"))
+    val wA = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adot").desc, col("neighbor_id"))
+    cands.crossJoin(broadcast(probes))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("adot",
+        expr("aggregate(zip_with(pc, nc, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= k * mult)
+      .withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6))
+      .transform(topK(_, k))
+  }
+
   /** Deterministic ±1 hyperplane component from an md5-seeded family. */
   private def seedSign(seed: String): Double = {
     val digest = MessageDigest.getInstance("MD5")
@@ -555,6 +594,43 @@ object Similarity {
          |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
          |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
       knnBrute(embeddings(s, d), nProbes = 5, k = 10)
+    },
+
+    // int8 scalar-quantized kNN: integer code-dot candidate cut (exact on
+    // both engines by construction), exact cosine re-rank — the oracle
+    // replays quantization, candidate window, and re-rank end to end.
+    GraftQuery.of("sim_knn_sq8",
+      """WITH enc AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id, e,
+        |    CASE WHEN maxabs = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(e, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT))
+        |    END AS c
+        |  FROM enc),
+        |sc AS (
+        |  SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+        |    CAST(list_dot_product(p.c::DOUBLE[], n.c::DOUBLE[]) AS BIGINT) AS adot,
+        |    p.e AS pe, n.e AS ne
+        |  FROM codes p, codes n
+        |  WHERE p.vec_id < 5 AND n.vec_id <> p.vec_id),
+        |ac AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY adot DESC, neighbor_id) AS arn
+        |  FROM sc),
+        |ex AS (
+        |  SELECT probe_id, neighbor_id,
+        |    round(list_cosine_similarity(pe, ne), 6) AS sim
+        |  FROM ac WHERE arn <= 40),
+        |r AS (
+        |  SELECT probe_id, neighbor_id, sim, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM ex)
+        |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
+        |FROM r WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      knnSq8(embeddings(s, d), nProbes = 5, k = 10)
     },
 
     // Brute-force top-5 for EXTERNAL probe vectors (a user-supplied probe

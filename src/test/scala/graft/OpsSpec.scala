@@ -108,6 +108,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 scalar-quantized kNN: high recall vs brute force, exact sims on returned pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val bruteRows = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()
+    val sq8Rows = Similarity.knnSq8(emb, nProbes = 5, k = 10).collect()
+    val brute = bruteRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = sq8Rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & sq8).size.toDouble / brute.size
+    // int8 quantization perturbs cosine by ~1e-2; with a 4x candidate
+    // multiplier recall should sit far above the bucketed-ANN floor
+    assert(recall >= 0.7, s"recall=$recall")
+    // re-rank is exact: any returned pair's sim equals the brute sim
+    val bruteSim = bruteRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    sq8Rows.foreach { r =>
+      bruteSim.get((r.getLong(0), r.getLong(1))).foreach(s => assert(s == r.getDouble(3)))
+    }
+  }
+
   test("multi-table LSH OR-amplification: recall >= single-table, sims exact") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()

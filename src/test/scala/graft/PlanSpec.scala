@@ -249,6 +249,7 @@ class PlanSpec extends AnyFunSuite {
       "sim_knn_brute" -> "broadcast probe set x corpus scan (the exact baseline)",
       "sim_knn_ivf" -> "broadcast trained codebook",
       "sim_knn_probes" -> "broadcast external probe set",
+      "sim_knn_sq8" -> "broadcast probe codes x corpus scan (int8 candidate gen)",
       "sim_recall_lsh_multi" -> "broadcast brute-force truth set for recall",
       "text_tfidf_top_terms" -> "1-row ndocs frame in the idf term")
     // stream_* excluded: their returned frame is a localCheckpointed
