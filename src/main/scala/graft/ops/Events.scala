@@ -67,6 +67,26 @@ object Events {
     counts.reduce(_ crossJoin _)
   }
 
+  /** SCD type-2 build: collapse each user's event_type changelog into
+    * versioned validity intervals — change rows via a null-safe lag test
+    * (the first row always opens version 1), then version / valid_to_us
+    * from row_number + lead over the change rows. Every window shares ONE
+    * partition key (user_id): a single key-shuffle plus per-user sorts.
+    * The open (current) version carries valid_to_us NULL. Powers the
+    * registered `events_scd2` query AND is callable on any events-schema
+    * frame (the unit tests drive THIS function, not a reimplementation).
+    */
+  def scd2(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        row_number().over(w).cast("long").as("version"),
+        lead(unix_micros(col("ts")), 1).over(w).as("valid_to_us"))
+  }
+
   /** CDC snapshot compaction: latest row per (user_id, event_type) as a
     * `max_by` struct argmax keyed on (ts, event_id) — map-side partial
     * agg, ONE key shuffle, no ranked window. Shared by the batch query
@@ -276,5 +296,37 @@ object Events {
     GraftQuery.of("events_compact_latest", CompactLatestOracleSql) { (s, d) =>
       compactLatest(events(s, d))
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // SCD type-2 dimension build from a changelog: per user, each run of
+    // consecutive identical event_type values collapses to one versioned
+    // validity interval — change rows are detected with a lag window
+    // (null-safe: the first row always opens version 1), then
+    // version / valid_to come from row_number + lead over the change rows.
+    // All three windows share ONE partition key (user_id), so the whole
+    // build is a single key-shuffle plus per-user sorts — the standard
+    // shape for deriving a slowly-changing dimension from a 100 TB event
+    // log. The open (current) version carries valid_to_us NULL. Intervals
+    // compare as exact integer microseconds; the user_id % 10 slice keeps
+    // the emitted dimension bounded.
+    GraftQuery.of("events_scd2",
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE user_id % 10 = 0
+        |), chg AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e
+        |), starts AS (
+        |  SELECT * FROM chg WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  CAST(lead(epoch_us(ts)) OVER w AS BIGINT) AS valid_to_us
+        |FROM starts
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      scd2(events(s, d).filter(pmod(col("user_id"), lit(10L)) === 0))
+        .orderBy(col("user_id"), col("version"))
     })
 }

@@ -152,6 +152,22 @@ object Pipeline {
       .withColumn("shard", floor((col("__run") - col("n_tokens")) / budget))
   }
 
+  /** Snapshot diff: classify every key across two (key, fingerprint)
+    * snapshot projections as added / removed / changed / unchanged via one
+    * FULL OUTER equi-join on the key. Only (key, 60-bit hash) pairs move —
+    * the caller projects content down to a fingerprint before calling, so
+    * at 100 TB the join shuffles ~16 bytes/row per side. Powers the
+    * registered `pipeline_snapshot_diff` query AND is callable on any
+    * keyed pair of frames (the unit tests drive THIS function).
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, key: String = "doc_id"): DataFrame =
+    old.as("o").join(neu.as("n"), col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .select(coalesce(col(s"o.$key"), col(s"n.$key")).as(key),
+        when(col(s"o.$key").isNull, "added")
+          .when(col(s"n.$key").isNull, "removed")
+          .when(col("o.h") =!= col("n.h"), "changed")
+          .otherwise("unchanged").as("status"))
+
   /** Benchmark decontamination: a document is contaminated if it shares
     * ANY `n`-token shingle with the benchmark set. Shingles are hashed to
     * 60-bit ints; the benchmark shingle set is tiny by construction
@@ -351,6 +367,47 @@ object Pipeline {
       weightedUniformSample(documents(s, d))
         .select(col("lang"), col("doc_id"))
         .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // Snapshot diff (table versioning / CDC derivation): classify every
+    // key across two corpus snapshots as added / removed / changed /
+    // unchanged by FULL OUTER joining the snapshots on the key and
+    // comparing 60-bit content fingerprints — never the content itself.
+    // At 100 TB the join moves only (key, hash) pairs (~16 bytes/row),
+    // one key-shuffle per side; the text column is dropped at the scan.
+    // Both snapshots derive deterministically from the documents table
+    // (old: doc_id % 10 ≠ 3; new: doc_id % 7 ≠ 2, with docs ≡ 0 mod 5
+    // rewritten), so the oracle reconstructs them exactly; per-status
+    // bit_xor of the key set verifies the exact membership of each
+    // class, not just its size.
+    GraftQuery.of("pipeline_snapshot_diff", {
+      val ho = h60Sql("text")
+      val hn = h60Sql("CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END")
+      s"""WITH old AS (
+         |  SELECT doc_id, $ho AS h FROM documents WHERE doc_id % 10 <> 3),
+         |new AS (
+         |  SELECT doc_id, $hn AS h FROM documents WHERE doc_id % 7 <> 2),
+         |d AS (
+         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN o.h <> n.h THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM old o FULL JOIN new n ON o.doc_id = n.doc_id)
+         |SELECT status, count(*) AS n_docs, CAST(bit_xor(doc_id) AS BIGINT) AS xor_ids
+         |FROM d GROUP BY status ORDER BY status""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val old = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+        .select(col("doc_id"), md5hash60(col("text")).as("h"))
+      val neu = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 2)
+        .select(col("doc_id"), md5hash60(
+          when(pmod(col("doc_id"), lit(5L)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h"))
+      snapshotDiff(old, neu)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(doc_id)").as("xor_ids"))
+        .orderBy(col("status"))
     },
 
     // Incremental aggregate maintenance (materialized-view refresh): the

@@ -51,7 +51,70 @@ object ScaleOps {
       .drop("__side")
   }
 
+  /** Drops a catalog table AND its warehouse directory: the in-memory
+    * catalog forgets tables between JVMs but the warehouse directory
+    * persists, and `saveAsTable` refuses a location it did not create.
+    */
+  private[graft] def dropTableAndDir(s: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val dir = new java.io.File(s"spark-warehouse/$table")
+    if (dir.exists()) {
+      java.nio.file.Files.walk(dir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+  }
+
+  /** Co-located bucketed join: both sides written `bucketBy(8, key)` +
+    * `sortBy` into the catalog, re-read, and merge-joined on the bucket
+    * key. Because the bucket layouts agree, the SortMergeJoin consumes
+    * the buckets DIRECTLY — zero Exchange in the join subtree (locked by
+    * PlanSpec) — which at 100 TB is the difference between re-shuffling
+    * the fact table on every join and paying the layout cost once at
+    * write time. The merge hint pins SMJ so the test proves the
+    * bucket-co-location path, not a broadcast fallback.
+    */
+  private[graft] def bucketedOrdersCustomer(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    // PER-PROCESS unique table names: a fixed name would let two
+    // concurrent sessions on the same SF (Verify alongside Bench is a
+    // normal local workflow) overwrite each other's live bucket files.
+    val suf = viewSuffix(d) + "_" + java.lang.ProcessHandle.current().pid()
+    val (tOrd, tCust) = (s"graft_bk_ord_$suf", s"graft_bk_cust_$suf")
+    dropTableAndDir(s, tOrd)
+    dropTableAndDir(s, tCust)
+    orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(tOrd)
+    customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable(tCust)
+    s.table(tOrd).hint("merge")
+      .join(s.table(tCust).hint("merge"), col("o_custkey") === col("c_custkey"))
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+
+    // Co-located bucketed join under the oracle hash: the full
+    // write-bucketed → catalog read → shuffle-free merge join → aggregate
+    // path (see bucketedOrdersCustomer). Aggregates are integer-only
+    // (count + BIGINT key sum) so no float summation order can differ.
+    GraftQuery.of("q_bucketed_join",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      // eager materialize, then drop the per-process bucket tables —
+      // a lazy return frame would leak one warehouse tree per run
+      val suf = viewSuffix(d) + "_" + java.lang.ProcessHandle.current().pid()
+      try bucketedOrdersCustomer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).cast("long").as("sum_keys"))
+        .orderBy(col("c_mktsegment"))
+        .localCheckpoint(true)
+      finally Seq(s"graft_bk_ord_$suf", s"graft_bk_cust_$suf")
+        .foreach(t => dropTableAndDir(s, t))
+    },
 
     // Point-in-time enrichment: every event carries the id/value of the
     // user's most recent purchase at-or-before it. The oracle replays the
@@ -301,6 +364,39 @@ object ScaleOps {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Order-independent bucketed table checksum (anti-entropy / replica
+    // verification): every row folds to a 60-bit md5 fingerprint of its
+    // canonical string form, rows hash into 16 buckets, and each bucket
+    // reduces to (count, XOR of row hashes). XOR is commutative and
+    // associative, so the fingerprint is independent of row order,
+    // partitioning, and merge order — two replicas of a 100 TB table can
+    // each compute this with ONE scan + map-side partial aggregation
+    // (16-row result, nothing sorted, nothing moved but partials) and
+    // compare bucket-by-bucket to locate divergence, Merkle-style.
+    // Doubles are deliberately excluded from the row form (engines render
+    // them differently); the timestamp folds in as its wall-clock string —
+    // o_orderdate is TIMESTAMP_NTZ, so formatting is timezone-free on both
+    // engines where an epoch conversion would depend on the session zone.
+    GraftQuery.of("q_table_checksum", {
+      val h = GraftQuery.h60Sql(
+        "o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || o_orderstatus" +
+          " || '|' || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' || o_orderpriority")
+      s"""SELECT o_orderkey % 16 AS bucket, count(*) AS n_rows,
+         |  CAST(bit_xor($h) AS BIGINT) AS fp
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      val rowStr = concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"), date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        col("o_orderpriority"))
+      orders(s, d)
+        .select(pmod(col("o_orderkey"), lit(16L)).as("bucket"), md5hash60(rowStr).as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("fp"))
+        .orderBy(col("bucket"))
     },
 
     // Bloom-pruned semi join: the runtime row-level-filtering pattern made

@@ -511,4 +511,43 @@ class OpsSpec extends AnyFunSuite {
     val kept = Dedup.corpusKeep(docs).select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.sameElements(Array(0L, 2L)))
   }
+
+  test("scd2 collapses runs, versions changes in order, leaves current open") {
+    val rows = Seq(
+      // user 1: view, view (run collapses), click, view — 3 versions
+      Row(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"),
+      Row(2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "view"),
+      Row(3L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "click"),
+      Row(4L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 1L, "view"),
+      // user 2: one event — a single open version
+      Row(5L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "signup"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000L
+    val out = Events.scd2(spark.createDataFrame(rows.asJava, schema))
+      .orderBy(col("user_id"), col("version")).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(out.toSeq == Seq(
+      // v1 opens at the FIRST event of the run; v2's open closes it
+      (1L, 1L, "view", us("2024-01-01 10:00:00"), Some(us("2024-01-01 10:10:00"))),
+      (1L, 2L, "click", us("2024-01-01 10:10:00"), Some(us("2024-01-01 10:20:00"))),
+      (1L, 3L, "view", us("2024-01-01 10:20:00"), None), // current stays open
+      (2L, 1L, "signup", us("2024-01-01 12:00:00"), None)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    def snap(rows: (Long, Long)*) = {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("h", LongType)))
+      spark.createDataFrame(rows.map { case (k, h) => Row(k, h) }.asJava, schema)
+    }
+    val old = snap(1L -> 10L, 2L -> 20L, 3L -> 30L)
+    val neu = snap(2L -> 20L, 3L -> 31L, 4L -> 40L)
+    val out = Pipeline.snapshotDiff(old, neu)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
 }

@@ -104,6 +104,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_bucketed_join helper: zero Exchange in the merge-join subtree") {
+    val j = graft.ops.ScaleOps.bucketedOrdersCustomer(spark, sf)
+    try {
+      val out = new ByteArrayOutputStream()
+      Console.withOut(out) { j.explain("formatted") }
+      val p = out.toString("UTF-8")
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n${p.take(2000)}")
+    } finally {
+      val suf = graft.ops.Tables.viewSuffix(sf) + "_" + java.lang.ProcessHandle.current().pid()
+      Seq(s"graft_bk_ord_$suf", s"graft_bk_cust_$suf")
+        .foreach(t => graft.ops.ScaleOps.dropTableAndDir(spark, t))
+    }
+  }
+
   test("LSH bucket join is an equi-join on the bucket key (hash join, no cartesian)") {
     val p = planOf("sim_knn_lsh")
     assert(!p.contains("CartesianProduct"), p.take(2000))
