@@ -116,6 +116,64 @@ object Graph {
         ((col("pr_fix") * col("n")).cast("double") / lit(1.0e12)).as("pr_norm"))
   }
 
+  /** Doulion-sparsified, degree-oriented triangle count — the two classic
+    * scale techniques composed (Tsourakakis et al., KDD'09 edge sparsification;
+    * Schank–Wagner degree orientation):
+    *
+    *  1. keep each undirected edge iff h60(src|dst) ≡ 0 (mod invProb) —
+    *     deterministic hash sampling, so both engines see the SAME
+    *     subgraph and the count is exactly reproducible (no RNG); each
+    *     triangle survives with probability p³, so count · invProb³ is
+    *     the unbiased Doulion estimate of the full-graph count;
+    *  2. orient every surviving edge from the endpoint with the lower
+    *     (degree, node) key to the higher — out-degrees are then bounded
+    *     by O(√m), so the wedge join (the quadratic step) is
+    *     sum-of-outdeg² instead of sum-of-deg², the difference between
+    *     feasible and explosive on power-law graphs.
+    *
+    * Shapes: degree attach is a broadcast join (deg is |nodes| rows);
+    * wedge generation is ONE equi-join on the shared apex u; closure is
+    * ONE equi-join on the wedge's (v, w) against the oriented edge set.
+    * The orientation key packs as deg·2⁴⁰ + node (lexicographic order ==
+    * numeric order while node < 2⁴⁰ — true for any key space this engine
+    * addresses; beyond that, compare structs).
+    *
+    * Returns one row: (n_edges_sampled, n_tri_sampled, est_total).
+    */
+  def triangles(edges: DataFrame, invProb: Int): DataFrame = {
+    import graft.functions.Md5Hash60.md5hash60
+    val sampled = edges.filter(
+      pmod(md5hash60(concat_ws("|", col("src").cast("string"), col("dst").cast("string"))),
+        lit(invProb.toLong)) === 0)
+      .localCheckpoint(true) // pinned: consumed by deg, wedge, and closure
+    val deg = sampled.select(col("src").as("n"))
+      .union(sampled.select(col("dst").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val Pack = 1L << 40
+    val keyed = sampled
+      .join(broadcast(deg.select(col("n").as("src"), col("deg").as("sdeg"))), "src")
+      .join(broadcast(deg.select(col("n").as("dst"), col("deg").as("ddeg"))), "dst")
+      .select(col("src"), col("dst"),
+        (col("sdeg") * Pack + col("src")).as("skey"),
+        (col("ddeg") * Pack + col("dst")).as("dkey"))
+    val oriented = keyed.select(
+      when(col("skey") < col("dkey"), col("src")).otherwise(col("dst")).as("u"),
+      when(col("skey") < col("dkey"), col("dst")).otherwise(col("src")).as("v"),
+      greatest(col("skey"), col("dkey")).as("vkey"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"), col("a.u") === col("b.u"))
+      .filter(col("a.vkey") < col("b.vkey"))
+      .select(col("a.v").as("x"), col("b.v").as("y"))
+    val tri = wedges
+      .join(oriented, col("x") === col("u") && col("y") === col("v"), "left_semi")
+      .agg(count(lit(1)).as("n_tri_sampled"))
+    val nEdges = broadcast(sampled.agg(count(lit(1)).as("n_edges_sampled")))
+    tri.crossJoin(nEdges)
+      .select(col("n_edges_sampled"), col("n_tri_sampled"),
+        (col("n_tri_sampled") * lit(invProb.toLong * invProb * invProb)).as("est_total"))
+  }
+
   /** Per-node degrees of the symmetrized graph — the profiling pass run
     * before any iterative graph algorithm (skew check: a power-law hub
     * says "salt or cap before you join").
@@ -142,6 +200,44 @@ object Graph {
       degrees(coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey"))
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("deg"))
+    },
+
+    // Doulion-sparsified degree-oriented triangle count on the co-purchase
+    // graph (see triangles): deterministic h60 edge sampling at p = 1/8,
+    // so the oracle reconstructs the identical subgraph and the exact
+    // sampled count + the ·8³ unbiased estimate are both hash-compared.
+    GraftQuery.of("graph_triangles", {
+      val h = GraftQuery.h60Sql("src::VARCHAR || '|' || dst::VARCHAR")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e1 AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM li a JOIN li b USING (l_orderkey)
+         |  WHERE a.l_partkey < b.l_partkey),
+         |samp AS (SELECT src, dst FROM e1 WHERE $h % 8 = 0),
+         |deg AS (SELECT n, count(*) AS deg FROM (
+         |    SELECT src AS n FROM samp UNION ALL SELECT dst AS n FROM samp)
+         |  GROUP BY 1),
+         |o AS (
+         |  SELECT CASE WHEN skey < dkey THEN src ELSE dst END AS u,
+         |    CASE WHEN skey < dkey THEN dst ELSE src END AS v,
+         |    greatest(skey, dkey) AS vkey
+         |  FROM (
+         |    SELECT s.src, s.dst,
+         |      ds.deg * 1099511627776 + s.src AS skey,
+         |      dd.deg * 1099511627776 + s.dst AS dkey
+         |    FROM samp s JOIN deg ds ON ds.n = s.src JOIN deg dd ON dd.n = s.dst)),
+         |w AS (
+         |  SELECT a.v AS x, b.v AS y FROM o a JOIN o b ON a.u = b.u
+         |  WHERE a.vkey < b.vkey),
+         |t AS (
+         |  SELECT count(*) AS n_tri FROM w
+         |  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y))
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_edges_sampled,
+         |  CAST(t.n_tri AS BIGINT) AS n_tri_sampled,
+         |  CAST(t.n_tri * 512 AS BIGINT) AS est_total
+         |FROM t""".stripMargin
+    }) { (s, d) =>
+      triangles(coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey"), invProb = 8)
     },
 
     // 3-round damped PageRank over the part co-purchase graph, emitted

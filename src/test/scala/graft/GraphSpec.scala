@@ -39,6 +39,21 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(pr1(2L) - 1.85) < 1e-9)  // (0.05 + 0.85*2/3) * 3
   }
 
+  test("triangles counts exactly at invProb=1: K4 has 4, a path has 0") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 6 edges, C(4,3)=4 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.triangles(k4, invProb = 1).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((6L, 4L, 4L)))
+    // path 1—2—3—4: wedges exist but none close
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangles(path, invProb = 1).collect()(0).getLong(1) == 0L)
+    // triangle + pendant edge: exactly 1, regardless of orientation ties
+    val tp = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Graph.triangles(tp, invProb = 1).collect()(0).getLong(1) == 1L)
+  }
+
   test("pagerank conserves total mass across iterations") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))

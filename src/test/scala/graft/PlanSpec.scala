@@ -259,6 +259,7 @@ class PlanSpec extends AnyFunSuite {
     val whitelisted = Map(
       "events_funnel" -> "1-row per-stage counts cross into the funnel",
       "graph_pagerank" -> "1-row N frame joins every rank row",
+      "graph_triangles" -> "1-row sampled-edge count frame crosses into the count",
       "pipeline_mix_weights" -> "1-row corpus totals frame",
       "pipeline_weighted_sample" -> "1-row per-stratum target frame",
       "sim_knn_brute" -> "broadcast probe set x corpus scan (the exact baseline)",
