@@ -121,6 +121,28 @@ object EventStreams {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** Watermarked stream-stream interval join: views ⋈ the same user's
+    * purchases within [view, view + 1 h]. Both sides watermarked 2 h; the
+    * range bound on the purchase timestamp is what lets the join state
+    * evict (a buffered view stops waiting once the purchase watermark
+    * passes v_ts + 1 h). Inner join ⇒ each matched pair emits exactly
+    * once, as soon as both sides arrive. Inputs are any events-schema
+    * frames (the unit tests drive THIS function through MemoryStreams;
+    * the registered query feeds it file-stream reads).
+    */
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "2 hours")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    v.join(p, expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"))
+      .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
+  }
+
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
@@ -278,6 +300,39 @@ object EventStreams {
         t.select(col("segment"), col("n_events"),
             round(col("sum_value"), 4).as("sum_value"))
           .orderBy(col("segment"))
+      }
+    },
+
+    // Watermarked STREAM-STREAM interval join: views joined to the same
+    // user's purchases within [view, view + 1 h] — the production
+    // attribution shape. Both sides carry a 2-hour watermark and the join
+    // condition bounds p_ts to a range of v_ts, which is exactly what lets
+    // the state store evict: a buffered view can stop waiting once the
+    // purchase-side watermark passes v_ts + 1 h (without the range bound,
+    // both sides buffer forever). Append mode emits each matched pair
+    // exactly once; the batch finisher only counts per user. The oracle is
+    // the identical batch self-join with epoch_us arithmetic (integer
+    // microseconds on both engines — ts is micro-resolution, so the
+    // ns-domain and micros-domain comparisons agree).
+    GraftQuery.of("stream_stream_join",
+      """SELECT v.user_id, count(*) AS n_pairs
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      def src() = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val joined = viewPurchaseJoin(
+        src().filter(col("event_type") === "view"),
+        src().filter(col("event_type") === "purchase"))
+      val sink = s"stream_ssj_${graft.ops.Tables.viewSuffix(d)}"
+      runToResult(s, joined, sink, OutputMode.Append()) { t =>
+        t.groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
       }
     },
 

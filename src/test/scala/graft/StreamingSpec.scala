@@ -44,6 +44,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream join matches inside [view, view+1h], same user only") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    def shape(src: MemoryStream[(Long, Timestamp, Long)]) =
+      src.toDF().toDF("event_id", "ts", "user_id")
+    val query = EventStreams.viewPurchaseJoin(shape(views), shape(purchases))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L),
+        (2L, ts("2024-01-01 09:00:00"), 8L))
+      purchases.addData(
+        (10L, ts("2024-01-01 11:00:00"), 7L), // exactly +1h → inclusive match
+        (11L, ts("2024-01-01 11:00:01"), 7L), // 1s past the bound → no match
+        (12L, ts("2024-01-01 09:59:59"), 7L), // before the view → no match
+        (13L, ts("2024-01-01 10:30:00"), 8L), // wrong window for user 8's view
+        (14L, ts("2024-01-01 09:30:00"), 8L)) // in-window, same user → match
+      query.processAllAvailable()
+      val out = spark.table("ssj_out").orderBy("user_id", "p_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSeq == Seq((7L, 1L, 10L), (8L, 2L, 14L)))
+    } finally query.stop()
+  }
+
   test("file-source stream over the real events table equals the batch aggregation") {
     val s = spark
     // same nanos handling as graft.ops.Tables.events, streaming flavor
