@@ -115,6 +115,65 @@ object Similarity {
       .transform(topK(_, k))
   }
 
+  /** Product-quantized (PQ) kNN — the EXTREME-compression tier of vector
+    * search (Jégou et al., TPAMI'11): the 64-dim vector splits into `m`
+    * subspaces, each sub-vector quantizes to the id of its nearest
+    * sub-codebook centroid, so a stored vector is `m` small codes
+    * (m=4, ksub=16 → 4 nibbles — 2 bytes vs 256 bytes of float32).
+    * Ranking scores each probe against the RECONSTRUCTION (the
+    * concatenation of coded centroids): cosine(q, x̂) — the asymmetric
+    * distance computation, probes stay full-precision. The k·mult ADC
+    * survivors re-rank by exact cosine, same contract as [[knnSq8]].
+    *
+    * The sub-codebooks are md5-order corpus samples (same deterministic
+    * quantizer discipline as [[knnIvf]] — a Lloyd-trained codebook drops
+    * in per subspace); encode is a partial-agg `max_by` argmax per
+    * (vector, subspace) — at corpus scale the quadratic step is
+    * corpus × ksub·m TINY-dim cosines with no shuffle (broadcast
+    * codebook), and the reconstruction join is keyed on (m, cid).
+    */
+  def knnPq(emb: DataFrame, nProbes: Int, k: Int, m: Int = 4, ksub: Int = 16,
+      mult: Int = 8): DataFrame = {
+    import graft.functions.Md5Hash60.md5hash60
+    val sub = Dim / m
+    require(m * sub == Dim, s"m=$m must divide $Dim")
+    val fe = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fe"))
+    val ms = array((0 until m).map(lit(_)): _*)
+    val cents = broadcast(
+      fe.orderBy(md5hash60(col("vec_id").cast("string")), col("vec_id")).limit(ksub)
+        .select(col("vec_id").as("cid"), col("fe"))
+        .withColumn("m", explode(ms))
+        .select(col("m"), col("cid"), expr(s"slice(fe, m * $sub + 1, $sub)").as("ce")))
+    // encode: nearest sub-centroid per (vector, subspace) — 6dp-rounded
+    // cosine, ties to the lower cid (the assignNearest ordering)
+    val codes = fe
+      .withColumn("m", explode(ms))
+      .join(cents, Seq("m"))
+      .withColumn("csim",
+        round(cosineSim(expr(s"slice(fe, m * $sub + 1, $sub)"), col("ce")), 6))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        first(col("fe")).as("fe"))
+    val xhat = codes.join(cents, Seq("m", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("fe")).as("ne"),
+        expr("flatten(transform(array_sort(collect_list(struct(m, ce))), s -> s.ce))")
+          .as("xhat"))
+    val probes = broadcast(fe.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("fe").as("pe")))
+    val wA = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim_hat").desc, col("neighbor_id"))
+    xhat.select(col("vec_id").as("neighbor_id"), col("ne"), col("xhat"))
+      .crossJoin(probes)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim_hat", round(cosineSim(col("pe"), col("xhat")), 6))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= k * mult)
+      .withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6))
+      .transform(topK(_, k))
+  }
+
   /** Deterministic ±1 hyperplane component from an md5-seeded family. */
   private def seedSign(seed: String): Double = {
     val digest = MessageDigest.getInstance("MD5")
@@ -631,6 +690,53 @@ object Similarity {
         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
         |FROM r WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
       knnSq8(embeddings(s, d), nProbes = 5, k = 10)
+    },
+
+    // Product-quantized kNN: 4 sub-codebooks of 16 md5-sampled centroids,
+    // per-subspace nearest-centroid codes, ADC ranking against the
+    // reconstruction, exact re-rank of the 4k survivors. The oracle
+    // replays codebook, encode (same 6dp rounding + cid tie-break), the
+    // reconstruction concat, and both rankings end to end.
+    GraftQuery.of("sim_knn_pq", {
+      val h = GraftQuery.h60Sql("vec_id::VARCHAR")
+      s"""WITH fe AS (SELECT vec_id, embedding::DOUBLE[] AS fe FROM embeddings),
+         |samp AS (SELECT vec_id AS cid, fe FROM fe ORDER BY $h, vec_id LIMIT 16),
+         |cents AS (
+         |  SELECT m, cid, fe[m*16+1 : m*16+16] AS ce
+         |  FROM samp, (SELECT unnest(range(0, 4)) AS m)),
+         |codes AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT f.vec_id, c.m, c.cid,
+         |      row_number() OVER (PARTITION BY f.vec_id, c.m
+         |        ORDER BY round(list_cosine_similarity(
+         |          f.fe[c.m*16+1 : c.m*16+16], c.ce), 6) DESC, c.cid) AS rn
+         |    FROM fe f, cents c)
+         |  WHERE rn = 1),
+         |xhat AS (
+         |  SELECT vec_id, flatten(list(ce ORDER BY m)) AS xhat
+         |  FROM codes JOIN cents USING (m, cid) GROUP BY vec_id),
+         |probes AS (SELECT vec_id AS probe_id, fe AS pe FROM fe WHERE vec_id < 5),
+         |adc AS (
+         |  SELECT p.probe_id, x.vec_id AS neighbor_id, p.pe,
+         |    round(list_cosine_similarity(p.pe, x.xhat), 6) AS sim_hat
+         |  FROM xhat x, probes p WHERE x.vec_id <> p.probe_id),
+         |ac AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim_hat DESC, neighbor_id) AS arn
+         |  FROM adc),
+         |ex AS (
+         |  SELECT a.probe_id, a.neighbor_id,
+         |    round(list_cosine_similarity(a.pe, f.fe), 6) AS sim
+         |  FROM ac a JOIN fe f ON f.vec_id = a.neighbor_id
+         |  WHERE a.arn <= 80),
+         |r AS (
+         |  SELECT probe_id, neighbor_id, sim, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM ex)
+         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
+         |FROM r WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin
+    }) { (s, d) =>
+      knnPq(embeddings(s, d), nProbes = 5, k = 10)
     },
 
     // Brute-force top-5 for EXTERNAL probe vectors (a user-supplied probe

