@@ -298,6 +298,42 @@ object Events {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // Time-series resample with gap fill: per-event-type hourly counts on
+    // a DENSE hour spine (every hour between the corpus min and max, zero
+    // where nothing happened) — what a feature pipeline or anomaly
+    // detector consumes; the raw groupBy emits no row for an empty hour.
+    // The spine is sequence()-generated from a 1-row min/max aggregate and
+    // crossed with the (tiny, bounded) type dimension — both sides are
+    // bounded spines, not data-sized frames — then the actual counts LEFT
+    // join in on (hour, type). One data shuffle total (the hourly
+    // groupBy); the spine build is O(hours × types).
+    GraftQuery.of("events_resample_1h",
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM events),
+        |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hh FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |agg AS (
+        |  SELECT date_trunc('hour', ts) AS hh, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(h.hh, '%Y-%m-%d %H:%M:%S') AS hour_start, t.event_type,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN agg a ON a.hh = h.hh AND a.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+        .select(date_trunc("hour", col("ts")).as("hh"), col("event_type"))
+      val hours = ev.agg(min(col("hh")).as("h0"), max(col("hh")).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hh"))
+      val types = ev.select(col("event_type")).distinct()
+      val agg = ev.groupBy(col("hh"), col("event_type")).agg(count(lit(1)).as("n"))
+      hours.crossJoin(broadcast(types))
+        .join(agg, Seq("hh", "event_type"), "left")
+        .select(date_format(col("hh"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hour_start"), col("event_type"))
+    },
+
     // SCD type-2 dimension build from a changelog: per user, each run of
     // consecutive identical event_type values collapses to one versioned
     // validity interval — change rows are detected with a lag window

@@ -93,7 +93,71 @@ object ScaleOps {
       .join(s.table(tCust).hint("merge"), col("o_custkey") === col("c_custkey"))
   }
 
+  /** Zone-map (min/max) index + pruned scan — the data-skipping pattern
+    * every lake format (Iceberg/Delta/Hudi zone maps, parquet row-group
+    * stats) builds on, made explicit as an engine operator:
+    *
+    *  1. lay the data out SORTED on the filter column
+    *     (`repartitionByRange` + `sortWithinPartitions` → each output
+    *     file covers a narrow `l_shipdate` band);
+    *  2. build the zone map: per-file (min, max) of the sort column —
+    *     a bounded artifact (one row per file, like a codebook);
+    *  3. answer a range query by reading ONLY the files whose
+    *     [min, max] overlaps the predicate, then applying the exact
+    *     filter inside.
+    *
+    * At 100 TB this is the difference between scanning the lake and
+    * scanning predicate-proportional bytes; correctness never depends on
+    * the pruning (the exact filter still runs), which is why the sampled
+    * range boundaries being nondeterministic is fine — the oracle checks
+    * the ANSWER, the unit test asserts files were actually skipped.
+    * Returns (all files, selected files, pruned+filtered frame).
+    */
+  private[graft] def zonemapScan(s: org.apache.spark.sql.SparkSession, d: String,
+      lo: String, hi: String): (Seq[String], Seq[String], DataFrame) = {
+    val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/lineitem_by_shipdate"
+    lineitem(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(out)
+    val stats = s.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"))
+      .collect()
+    val (loT, hiT) = (java.time.LocalDateTime.parse(lo + "T00:00:00"),
+      java.time.LocalDateTime.parse(hi + "T00:00:00"))
+    val all = stats.map(_.getString(0)).toSeq
+    val sel = stats.filter { r =>
+      val (mn, mx) = (r.getAs[java.time.LocalDateTime]("mn"),
+        r.getAs[java.time.LocalDateTime]("mx"))
+      !mx.isBefore(loT) && mn.isBefore(hiT) // zone overlaps [lo, hi)
+    }.map(_.getString(0)).toSeq
+    val exact = (df: DataFrame) => df.filter(
+      col("l_shipdate") >= expr(s"TIMESTAMP_NTZ '$lo 00:00:00'") &&
+        col("l_shipdate") < expr(s"TIMESTAMP_NTZ '$hi 00:00:00'"))
+    val pruned = if (sel.isEmpty) exact(s.read.parquet(out).limit(0))
+      else exact(s.read.parquet(sel: _*))
+    (all, sel, pruned)
+  }
+
   def queries: Seq[GraftQuery] = Seq(
+
+    // Zone-map-pruned range scan under the oracle hash (see zonemapScan):
+    // the oracle runs the plain filter over the source table, so the green
+    // row proves the pruned file set loses and invents nothing.
+    GraftQuery.of("sink_zonemap_prune",
+      """SELECT count(*) AS n_rows, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS first_day,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS last_day
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin) { (s, d) =>
+      val (_, _, pruned) = zonemapScan(s, d, "1997-01-01", "1997-07-01")
+      pruned.agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("first_day"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_day"))
+    },
 
     // Co-located bucketed join under the oracle hash: the full
     // write-bucketed → catalog read → shuffle-free merge join → aggregate

@@ -258,6 +258,7 @@ class PlanSpec extends AnyFunSuite {
     // results (text_bpe_train's merge table) reduce to LocalTableScan.
     val whitelisted = Map(
       "events_funnel" -> "1-row per-stage counts cross into the funnel",
+      "events_resample_1h" -> "bounded hour spine x 5-row type dimension",
       "graph_pagerank" -> "1-row N frame joins every rank row",
       "graph_triangles" -> "1-row sampled-edge count frame crosses into the count",
       "pipeline_mix_weights" -> "1-row corpus totals frame",
@@ -265,6 +266,7 @@ class PlanSpec extends AnyFunSuite {
       "sim_knn_brute" -> "broadcast probe set x corpus scan (the exact baseline)",
       "sim_knn_ivf" -> "broadcast trained codebook",
       "sim_knn_probes" -> "broadcast external probe set",
+      "sim_knn_pq" -> "broadcast sub-codebook + broadcast probes x corpus scan",
       "sim_knn_sq8" -> "broadcast probe codes x corpus scan (int8 candidate gen)",
       "sim_recall_lsh_multi" -> "broadcast brute-force truth set for recall",
       "text_tfidf_top_terms" -> "1-row ndocs frame in the idf term")

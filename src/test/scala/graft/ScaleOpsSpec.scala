@@ -117,6 +117,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaBatch == viaExpr)
   }
 
+  test("zone-map scan actually skips files AND returns the exact filter result") {
+    val sf = "/root/testdata/sf0.001"
+    val (all, sel, pruned) = ScaleOps.zonemapScan(spark, sf, "1997-01-01", "1997-07-01")
+    // the sorted layout gives each of the 8 files a ~10-month shipdate
+    // band; a 6-month predicate must not need them all
+    assert(all.size == 8, s"expected 8 zone files, got ${all.size}")
+    assert(sel.nonEmpty && sel.size < all.size,
+      s"no pruning: selected ${sel.size} of ${all.size}")
+    val direct = graft.ops.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+        col("l_shipdate") < expr("TIMESTAMP_NTZ '1997-07-01 00:00:00'"))
+    assert(pruned.count() == direct.count())
+    assert(pruned.agg(sum(col("l_orderkey"))).head().getLong(0) ==
+      direct.agg(sum(col("l_orderkey"))).head().getLong(0))
+  }
+
   test("salted join equals the plain join") {
     val plain = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .join(graft.ops.Tables.orders(spark, "/root/testdata/sf0.001"),
