@@ -102,6 +102,22 @@ object Events {
         unix_micros(col("__l.ts")).as("last_us"),
         col("__l.value").as("last_value"))
 
+  /** Re-argmax of [[compactLatest]]-shaped rows on the same
+    * (last_us, last_event_id) order — the MERGE operation of the compact
+    * snapshot: associative and idempotent, so any partial compactions
+    * (per micro-batch, per source, per day) combine to the same snapshot.
+    * Shared by the streaming finisher and the foreachBatch upsert sink.
+    */
+  def remaxCompact(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(
+        struct(col("last_event_id"), col("last_us"), col("last_value")),
+        struct(col("last_us"), col("last_event_id"))).as("__l"))
+      .select(col("user_id"), col("event_type"),
+        col("__l.last_event_id").as("last_event_id"),
+        col("__l.last_us").as("last_us"),
+        col("__l.last_value").as("last_value"))
+
   /** The ranked-window oracle replay of [[compactLatest]] — ONE
     * definition shared by the batch and streaming registrations so the
     * stream-batch equivalence contract can't drift against a stale copy.

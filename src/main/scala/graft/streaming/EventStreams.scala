@@ -409,15 +409,53 @@ object EventStreams {
       val compacted = graft.ops.Events.compactLatest(raw)
       val sink = s"stream_compact_${graft.ops.Tables.viewSuffix(d)}"
       runToResult(s, compacted, sink, OutputMode.Update()) { t =>
-        t.groupBy(col("user_id"), col("event_type"))
-          .agg(max_by(
-            struct(col("last_event_id"), col("last_us"), col("last_value")),
-            struct(col("last_us"), col("last_event_id"))).as("__l"))
-          .select(col("user_id"), col("event_type"),
-            col("__l.last_event_id").as("last_event_id"),
-            col("__l.last_us").as("last_us"),
-            col("__l.last_value").as("last_value"))
+        graft.ops.Events.remaxCompact(t)
           .orderBy(col("user_id"), col("event_type"))
       }
+    },
+
+    // foreachBatch IDEMPOTENT UPSERT sink — the production "MERGE INTO a
+    // keyed snapshot" pattern, built on plain parquet: every micro-batch
+    // compacts itself (Events.compactLatest), merges with the current
+    // snapshot via the associative re-argmax (Events.remaxCompact), and
+    // writes a NEW batchId-versioned snapshot directory before flipping a
+    // pointer file — so a replayed batch (failure between write and
+    // checkpoint commit) just rewrites its own version, never corrupts
+    // the snapshot it read: exactly-once by idempotence. The final
+    // snapshot is read back under THE batch oracle
+    // (Events.CompactLatestOracleSql) — one definition, zero drift.
+    GraftQuery.of("stream_upsert_sink",
+      graft.ops.Events.CompactLatestOracleSql) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val base = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
+      val latest = new java.io.File(base, "LATEST")
+      try {
+        val q = raw.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ss = batch.sparkSession
+            val compacted = graft.ops.Events.compactLatest(batch)
+            val merged =
+              if (!latest.exists()) compacted
+              else graft.ops.Events.remaxCompact(
+                ss.read.parquet(s"$base/v${new String(
+                  java.nio.file.Files.readAllBytes(latest.toPath)).trim}")
+                  .unionByName(compacted))
+            merged.write.mode("overwrite").parquet(s"$base/v$batchId")
+            // pointer flips only after the version is fully written
+            java.nio.file.Files.write(latest.toPath,
+              batchId.toString.getBytes("UTF-8"))
+            ()
+          }
+          .option("checkpointLocation", s"$base/checkpoint")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val v = new String(java.nio.file.Files.readAllBytes(latest.toPath)).trim
+        s.read.parquet(s"$base/v$v")
+          .orderBy(col("user_id"), col("event_type"))
+          .localCheckpoint(true)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(base)
     })
 }

@@ -558,6 +558,22 @@ class OpsSpec extends AnyFunSuite {
       (2L, 1L, "signup", us("2024-01-01 12:00:00"), None)))
   }
 
+  test("remaxCompact merge: compact(parts) merged == compact(whole), idempotent") {
+    val ev = Tables.events(spark, sf)
+    val whole = Events.compactLatest(ev)
+      .orderBy(col("user_id"), col("event_type")).collect()
+    val parts = Events.remaxCompact(
+      Events.compactLatest(ev.filter(col("event_id") % 3 === 0))
+        .unionByName(Events.compactLatest(ev.filter(col("event_id") % 3 =!= 0))))
+      .orderBy(col("user_id"), col("event_type")).collect()
+    assert(parts.toSeq == whole.toSeq)
+    // idempotent: re-merging the snapshot with itself changes nothing
+    val twice = Events.remaxCompact(
+      Events.compactLatest(ev).unionByName(Events.compactLatest(ev)))
+      .orderBy(col("user_id"), col("event_type")).collect()
+    assert(twice.toSeq == whole.toSeq)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
     def snap(rows: (Long, Long)*) = {
       val schema = StructType(Seq(
