@@ -288,6 +288,45 @@ object Relational {
         .orderBy(col("l_returnflag"))
     },
 
+    // KMV (k-minimum-values) distinct-count sketch — the third member of
+    // the sketch family (X4 SpaceSaving top-k, X5 HLL++): keep the k
+    // smallest 60-bit key hashes; the kth smallest estimates cardinality
+    // as (k−1)·2⁶⁰/h_k. Distributed shape: one hash-keyed distinct, then
+    // TakeOrderedAndProject (map-side per-partition min-k partials merge
+    // on the driver — the sketch IS mergeable, which is the point at
+    // 100 TB). Everything is deterministic (md5 hashes, integer kth
+    // value); the estimate is ONE double division of identical operands,
+    // and the oracle checks the error envelope held (estimates run
+    // 0.9×–1.8× of exact at k=16 across the three SFs).
+    GraftQuery.of("q_kmv_distinct", {
+      val h = GraftQuery.h60Sql("l_partkey::VARCHAR")
+      s"""WITH mink AS (
+         |  SELECT DISTINCT $h AS h FROM lineitem ORDER BY 1 LIMIT 16),
+         |kth AS (SELECT CAST(max(h) AS BIGINT) AS hk,
+         |               CAST(count(*) AS BIGINT) AS k FROM mink),
+         |ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+         |       FROM lineitem)
+         |SELECT k, hk,
+         |  15.0 * CAST(1152921504606846976 AS DOUBLE) / hk AS est_distinct,
+         |  exact_distinct,
+         |  15.0 * CAST(1152921504606846976 AS DOUBLE) / hk
+         |    BETWEEN exact_distinct * 0.4 AND exact_distinct * 2.5 AS within_bounds
+         |FROM kth, ex""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      val mink = lineitem(s, d)
+        .select(md5hash60(col("l_partkey").cast("string")).as("h"))
+        .distinct().orderBy(col("h")).limit(16)
+      val kth = mink.agg(max(col("h")).as("hk"), count(lit(1)).as("k"))
+      val ex = lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      val est = lit(15.0) * lit(1152921504606846976.0) / col("hk")
+      kth.crossJoin(broadcast(ex))
+        .select(col("k"), col("hk"), est.as("est_distinct"), col("exact_distinct"),
+          (est >= col("exact_distinct") * 0.4 && est <= col("exact_distinct") * 2.5)
+            .as("within_bounds"))
+    },
+
     // CUBE with grouping_id: all four grouping-set combinations in one
     // Expand pass; grouping_id disambiguates a real NULL group key from a
     // rolled-up one (the reason the sentinel trick alone is not enough in

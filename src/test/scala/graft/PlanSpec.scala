@@ -262,6 +262,7 @@ class PlanSpec extends AnyFunSuite {
       "graph_pagerank" -> "1-row N frame joins every rank row",
       "graph_triangles" -> "1-row sampled-edge count frame crosses into the count",
       "pipeline_mix_weights" -> "1-row corpus totals frame",
+      "q_kmv_distinct" -> "1-row kth-hash frame x 1-row exact-count frame",
       "pipeline_weighted_sample" -> "1-row per-stratum target frame",
       "sim_knn_brute" -> "broadcast probe set x corpus scan (the exact baseline)",
       "sim_knn_ivf" -> "broadcast trained codebook",
