@@ -495,6 +495,55 @@ object Dedup {
       lshCandidatePairs(documents(s, d))
     },
 
+    // MinHash estimator quality, measured IN the engine (the dedup twin of
+    // sim_recall_lsh_multi): per LSH candidate pair, the number of
+    // agreeing signature components (matches/16 IS the MinHash estimate
+    // of Jaccard — E[matches] = 16·J) next to the exact token-set
+    // intersection/union sizes. All three emitted values are INTEGERS, so
+    // the sketch-quality number is hash-checked, not a README claim; the
+    // consumer divides. Shape: the candidate edges key-join the signature
+    // frame (both derived from the same one-shuffle sig build), token
+    // sets resolve via the same broadcast the verifier uses.
+    GraftQuery.of("dedup_minhash_jaccard_est", {
+      val matchSum = (0 until NumPerms)
+        .map(p => f"CASE WHEN sa.mh$p%02d = sb.mh$p%02d THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $lshEdgesSqlCtes
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST($matchSum AS BIGINT) AS sig_matches,
+         |  CAST(len(list_intersect(ta.tokset, tb.tokset)) AS BIGINT) AS inter_cnt,
+         |  CAST(len(ta.tokset) + len(tb.tokset)
+         |       - len(list_intersect(ta.tokset, tb.tokset)) AS BIGINT) AS union_cnt
+         |FROM pairs p
+         |JOIN sig sa ON sa.doc_id = p.doc_a
+         |JOIN sig sb ON sb.doc_id = p.doc_b
+         |JOIN tsets ta ON ta.doc_id = p.doc_a
+         |JOIN tsets tb ON tb.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val sig = minhashSignature(shingles1(docs))
+      val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+      val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+      val toksets = docs.select(col("doc_id"),
+        expr("array_sort(array_distinct(split(text, ' ')))").as("tokset"))
+      val matches = (0 until NumPerms)
+        .map(p => when(col(f"a_mh$p%02d") === col(f"b_mh$p%02d"), 1).otherwise(0))
+        .reduce(_ + _)
+      val inter = size(array_intersect(col("ta"), col("tb")))
+      lshCandidateEdges(docs)
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .join(broadcast(toksets.select(col("doc_id").as("doc_a"), col("tokset").as("ta"))),
+          "doc_a")
+        .join(broadcast(toksets.select(col("doc_id").as("doc_b"), col("tokset").as("tb"))),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          matches.cast("long").as("sig_matches"),
+          inter.cast("long").as("inter_cnt"),
+          (size(col("ta")) + size(col("tb")) - inter).cast("long").as("union_cnt"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // LSH candidates under the ORDER-SENSITIVE verifier: normalized edit
     // distance instead of token-set Jaccard. The oracle reuses the shared
     // candidate CTE chain up through `pairs` (the unused `verified` CTE

@@ -67,6 +67,38 @@ object Events {
     counts.reduce(_ crossJoin _)
   }
 
+  /** Hourly volume anomaly sweep: hours whose event count sits more than 3
+    * sample standard deviations from the per-type mean. The 3σ test
+    * |cnt − μ| > 3σ is evaluated ENTIRELY in integer arithmetic by squaring
+    * both sides over the common denominator —
+    *   (cnt·n − Σ)²·(n−1) > 9·n·(n·Σx² − Σ²)
+    * — so no float mean/stddev (whose summation order differs across
+    * engines/partitionings) ever exists; counts are BIGINTs and every
+    * product stays far inside 2⁶³ at any realistic hourly-count scale.
+    * Shape: one (type, hour) groupBy of the fact table, a per-type stats
+    * frame (rows = #types) broadcast back, and a per-row integer
+    * predicate. Powers the registered `events_anomaly_zscore` query AND
+    * is callable on any events-schema frame (the unit tests drive THIS
+    * function, not a reimplementation).
+    */
+  def hourlyAnomalies(ev: DataFrame): DataFrame = {
+    val h = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val st = h.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+    val dev = col("cnt") * col("n") - col("s")
+    h.join(broadcast(st), "event_type")
+      .filter(dev * dev * (col("n") - 1) >
+        lit(9L) * col("n") * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_type"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("cnt"), col("n").as("n_hours"), dev.as("dev_num"),
+        (col("cnt") * col("n") > col("s")).as("is_high"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   /** SCD type-2 build: collapse each user's event_type changelog into
     * versioned validity intervals — change rows via a null-safe lag test
     * (the first row always opens version 1), then version / valid_to_us
@@ -249,6 +281,36 @@ object Events {
         .orderBy(col("hour_start"), col("event_type"))
     },
 
+    // Hourly volume anomaly detection — the monitoring sweep every ingest
+    // pipeline runs over its own event counts: hours whose count sits more
+    // than 3 sample standard deviations from the per-type mean. The 3σ
+    // test |cnt − μ| > 3σ is evaluated ENTIRELY in integer arithmetic by
+    // squaring both sides over the common denominator —
+    //   (cnt·n − Σ)²·(n−1) > 9·n·(n·Σx² − Σ²)
+    // — so no float mean/stddev (whose summation order differs across
+    // engines) ever exists; counts are BIGINTs and every product fits
+    // far inside 2⁶³ at any realistic hourly-count scale. Shape: one
+    // (type, hour) groupBy of the fact table, a 5-row stats frame
+    // broadcast back, and a per-row integer predicate.
+    GraftQuery.of("events_anomaly_zscore",
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS ss
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  h.cnt, st.n AS n_hours, h.cnt * st.n - st.s AS dev_num,
+        |  h.cnt * st.n > st.s AS is_high
+        |FROM h JOIN st USING (event_type)
+        |WHERE (h.cnt * st.n - st.s) * (h.cnt * st.n - st.s) * (st.n - 1)
+        |      > 9 * st.n * (st.n * st.ss - st.s * st.s)
+        |ORDER BY h.event_type, hour_start""".stripMargin) { (s, d) =>
+      hourlyAnomalies(events(s, d))
+    },
+
+    // (unreachable placeholder retained for diff clarity)
     // Strict ordered funnel (view → click → purchase): stage N counts users
     // whose earliest stage-N event happens strictly after their earliest
     // completed stage-(N-1) time — the standard product-analytics

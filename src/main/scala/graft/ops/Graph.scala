@@ -182,6 +182,42 @@ object Graph {
     symmetrize(edges)
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
 
+  /** Common-neighbor / Jaccard link prediction over undirected (src, dst)
+    * edges: for every node pair sharing ≥ 1 neighbor, the count of common
+    * neighbors, the neighborhood-union size (|N(x)| + |N(y)| − common),
+    * and whether the pair is already an edge — the classic "predict the
+    * missing link" primitive (collaborative filtering, related-document
+    * suggestion). Emitted as exact INTEGER numerator/denominator, never
+    * the float ratio, so the comparison is order-independent.
+    *
+    * Shapes: ONE wedge self-equi-join on the shared apex (cost
+    * sum-of-deg² — on a power-law graph, cap or salt hub apexes first,
+    * exactly the guard [[degrees]] exists to size; the co-purchase graph
+    * here is hub-free per graph_degree_hist), degree attach via broadcast
+    * (|nodes| rows), the existing-edge flag via one LEFT equi-join on the
+    * oriented pair, and a TakeOrderedAndProject top-k cut on the total
+    * order (common DESC, x, y).
+    */
+  def commonNeighbors(edges: DataFrame, k: Int): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint(true) // consumed 3× below
+    val wedges = sym.as("a")
+      .join(sym.as("b"), col("a.src") === col("b.src"))
+      .filter(col("a.dst") < col("b.dst"))
+    val common = wedges
+      .groupBy(col("a.dst").as("x"), col("b.dst").as("y"))
+      .agg(count(lit(1)).as("common_cnt"))
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    common
+      .join(broadcast(deg.select(col("node").as("x"), col("deg").as("deg_x"))), "x")
+      .join(broadcast(deg.select(col("node").as("y"), col("deg").as("deg_y"))), "y")
+      .join(edges.select(col("src"), col("dst"), lit(true).as("__e")),
+        col("x") === col("src") && col("y") === col("dst"), "left")
+      .select(col("x"), col("y"), col("common_cnt"),
+        (col("deg_x") + col("deg_y") - col("common_cnt")).as("union_cnt"),
+        coalesce(col("__e"), lit(false)).as("is_edge"))
+      .orderBy(col("common_cnt").desc, col("x"), col("y")).limit(k)
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Degree distribution of the co-purchase graph: the skew profile that
@@ -238,6 +274,31 @@ object Graph {
          |FROM t""".stripMargin
     }) { (s, d) =>
       triangles(coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey"), invProb = 8)
+    },
+
+    // Common-neighbor / Jaccard link prediction on the co-purchase graph
+    // (see commonNeighbors): top-20 non-hub pairs by shared-neighbor
+    // count, with exact integer Jaccard numerator/denominator and the
+    // already-an-edge flag. Deterministic total-order cut, so the top-k
+    // boundary can't tie-break differently across engines.
+    GraftQuery.of("graph_common_neighbors",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e1 AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey),
+        |e AS (SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1),
+        |w AS (
+        |  SELECT a.dst AS x, b.dst AS y, count(*) AS common_cnt
+        |  FROM e a JOIN e b ON a.src = b.src
+        |  WHERE a.dst < b.dst GROUP BY 1, 2),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1)
+        |SELECT w.x, w.y, common_cnt,
+        |  dx.deg + dy.deg - common_cnt AS union_cnt,
+        |  EXISTS (SELECT 1 FROM e1 WHERE e1.src = w.x AND e1.dst = w.y) AS is_edge
+        |FROM w JOIN deg dx ON dx.node = w.x JOIN deg dy ON dy.node = w.y
+        |ORDER BY common_cnt DESC, w.x, w.y LIMIT 20""".stripMargin) { (s, d) =>
+      commonNeighbors(coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey"), 20)
     },
 
     // 3-round damped PageRank over the part co-purchase graph, emitted

@@ -327,6 +327,58 @@ object Relational {
             .as("within_bounds"))
     },
 
+    // Count-Min sketch frequency estimation — the sketch family's POINT-
+    // FREQUENCY member (X4 SpaceSaving = top-k, X5 HLL++ = cardinality,
+    // KMV = cardinality): a D=4 × W=16 integer matrix where row i
+    // increments bucket h_i(token) per occurrence, and the estimate for a
+    // term is min_i of its D buckets — always ≥ the true count, with the
+    // overcount bounded by collisions. The matrix is mergeable by plain
+    // addition (constant memory per partition at any scale). Hash rows
+    // are md5-derived, so both engines build the IDENTICAL sketch and the
+    // estimates — not just the envelope — are hash-compared. Shape: the
+    // token count is the standard one-shuffle map-side-combine groupBy;
+    // the sketch is then derived from that vocabulary-sized frame by
+    // additivity (bucket sum = Σ cnt over colliding tokens), which equals
+    // the direct per-occurrence increments a streaming build would do.
+    GraftQuery.of("q_cms_freq_est", {
+      val hb = (e: String) => s"${GraftQuery.h60Sql(e)} % 16"
+      s"""WITH tok AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+         |  FROM documents),
+         |tc AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         |r AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |sk AS (
+         |  SELECT i, ${hb("i::VARCHAR || '|' || tok")} AS b,
+         |    CAST(sum(cnt) AS BIGINT) AS bsum
+         |  FROM tc CROSS JOIN r GROUP BY 1, 2),
+         |probes AS (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT 10)
+         |SELECT p.tok AS term, max(p.cnt) AS true_cnt, min(s.bsum) AS cms_est,
+         |  min(s.bsum) - max(p.cnt) AS overcount
+         |FROM probes p CROSS JOIN r
+         |JOIN sk s ON s.i = r.i AND s.b = ${hb("r.i::VARCHAR || '|' || p.tok")}
+         |GROUP BY p.tok ORDER BY true_cnt DESC, term""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      def bucket(i: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+        pmod(md5hash60(concat(i.cast("string"), lit("|"), tok)), lit(16L))
+      val rows = explode(array((0 to 3).map(lit): _*))
+      val tc = documents(s, d)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val sk = tc.select(col("cnt"), rows.as("i"), col("tok"))
+        .select(col("i"), bucket(col("i"), col("tok")).as("b"), col("cnt"))
+        .groupBy(col("i"), col("b")).agg(sum(col("cnt")).as("bsum"))
+      val probes = tc.orderBy(col("cnt").desc, col("tok")).limit(10)
+      probes.select(col("tok"), col("cnt"), rows.as("i"))
+        .withColumn("b", bucket(col("i"), col("tok")))
+        .join(sk, Seq("i", "b"))
+        .groupBy(col("tok").as("term"))
+        .agg(max(col("cnt")).as("true_cnt"), min(col("bsum")).as("cms_est"))
+        .select(col("term"), col("true_cnt"), col("cms_est"),
+          (col("cms_est") - col("true_cnt")).as("overcount"))
+        .orderBy(col("true_cnt").desc, col("term"))
+    },
+
     // CUBE with grouping_id: all four grouping-set combinations in one
     // Expand pass; grouping_id disambiguates a real NULL group key from a
     // rolled-up one (the reason the sentinel trick alone is not enough in
@@ -590,6 +642,83 @@ object Relational {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("revenue"))
         .orderBy(col("n_name"))
+    },
+
+    // Volume shipping between two nations (TPC-H Q7 shape): the fact table
+    // probes FOUR broadcast dimensions (supplier, customer via orders, and
+    // nation twice under different roles) before one groupBy on the tiny
+    // (supp_nation, cust_nation, year) key — the classic snowflake where
+    // the only data-sized shuffle is the final 3-column aggregation.
+    // Nation filters are pushed INTO the broadcast builds, so the fact-side
+    // hash probes discard non-qualifying rows without materializing the
+    // full join row.
+    GraftQuery.of("q7_volume_shipping",
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(sum(volume), 4) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |          AND n2.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8'))
+        |      OR (n1.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8')
+        |          AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4'))))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val groupA = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+      val groupB = Seq("NATION_5", "NATION_6", "NATION_7", "NATION_8")
+      val both = groupA ++ groupB
+      val n1 = nation(s, d).filter(col("n_name").isin(both: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = nation(s, d).filter(col("n_name").isin(both: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      lineitem(s, d)
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation").isin(groupA: _*) && col("cust_nation").isin(groupB: _*)) ||
+            (col("supp_nation").isin(groupB: _*) && col("cust_nation").isin(groupA: _*)))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // Large-quantity orders (TPC-H Q18 shape): the "join against your own
+    // aggregate" pattern — per-order quantity totals with a HAVING cut,
+    // then the qualifying key set (small after the cut) joins back to
+    // orders/customer. Both the aggregate and the join key on l_orderkey/
+    // o_orderkey, so AQE can reuse the same hash partitioning; quantities
+    // are integral doubles, so sum() is exact and needs no rounding.
+    GraftQuery.of("q18_large_orders",
+      """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  sum_qty
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 180) big ON o_orderkey = l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      val big = lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 180)
+      orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
     },
 
     // Window function — top order per customer, deterministic tie-break.

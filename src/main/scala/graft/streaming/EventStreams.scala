@@ -143,6 +143,35 @@ object EventStreams {
       .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
   }
 
+  /** Per-user FIRST-TOUCH stage times (first view / first click / first
+    * purchase) as one stateful aggregation — the streaming funnel's state.
+    * Each conditional min is associative, commutative, and idempotent, so
+    * re-minimizing update-mode emissions per user reconstructs the exact
+    * final state under ANY micro-batch split or arrival order (the unit
+    * test delivers a later stage in an earlier batch to pin this).
+    */
+  def firstTouch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t0"),
+        min(when(col("event_type") === "click", col("ts"))).as("t1"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t2"))
+
+  /** Re-min + ordered-conversion finisher over [[firstTouch]] emissions:
+    * one row (n_view, n_view_click, n_view_click_purchase) under the
+    * first-touch ordering t_view < t_click < t_purchase.
+    */
+  def firstTouchFunnel(emissions: DataFrame): DataFrame =
+    emissions.groupBy(col("user_id"))
+      .agg(min(col("t0")).as("t0"), min(col("t1")).as("t1"),
+        min(col("t2")).as("t2"))
+      .agg(
+        count(when(col("t0").isNotNull, 1)).as("n_view"),
+        count(when(col("t0").isNotNull && col("t1").isNotNull &&
+          col("t1") > col("t0"), 1)).as("n_view_click"),
+        count(when(col("t0").isNotNull && col("t1").isNotNull &&
+          col("t1") > col("t0") && col("t2").isNotNull &&
+          col("t2") > col("t1"), 1)).as("n_view_click_purchase"))
+
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
@@ -334,6 +363,42 @@ object EventStreams {
         t.groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
           .orderBy(col("user_id"))
       }
+    },
+
+    // Streaming FIRST-TOUCH funnel: per-user first view / first click /
+    // first purchase as ONE update-mode stateful aggregation (three
+    // conditional mins in a single groupBy(user_id) state row), with the
+    // ordered-conversion predicate evaluated by the batch finisher over
+    // the final per-user triples. First-touch ordering (t_view < t_click
+    // < t_purchase on FIRST timestamps) is deliberately the streaming
+    // contract here: min is associative, commutative, and idempotent, so
+    // the result is invariant to how AvailableNow splits or re-orders the
+    // input — whereas the batch events_funnel's GATED semantics (first
+    // click AFTER the first view, first purchase after THAT click) would
+    // need per-stage timestamp buffers to absorb late events, a chain of
+    // stateful operators streaming update mode doesn't allow. Both
+    // definitions are registered, each under its own oracle.
+    GraftQuery.of("stream_funnel",
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(ts) FILTER (WHERE event_type = 'view') AS t0,
+        |    min(ts) FILTER (WHERE event_type = 'click') AS t1,
+        |    min(ts) FILTER (WHERE event_type = 'purchase') AS t2
+        |  FROM events GROUP BY 1)
+        |SELECT
+        |  CAST(count(*) FILTER (WHERE t0 IS NOT NULL) AS BIGINT) AS n_view,
+        |  CAST(count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+        |    AND t1 > t0) AS BIGINT) AS n_view_click,
+        |  CAST(count(*) FILTER (WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+        |    AND t1 > t0 AND t2 IS NOT NULL AND t2 > t1) AS BIGINT)
+        |    AS n_view_click_purchase
+        |FROM f""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sink = s"stream_funnel_${graft.ops.Tables.viewSuffix(d)}"
+      runToResult(s, firstTouch(raw), sink, OutputMode.Update())(firstTouchFunnel)
     },
 
     // Streaming exact dedup: stateful fingerprint aggregation over a

@@ -574,6 +574,55 @@ class OpsSpec extends AnyFunSuite {
     assert(twice.toSeq == whole.toSeq)
   }
 
+  test("commonNeighbors: counts, union sizes, and edge flags on a known graph") {
+    // graph: triangle 1-2-3 plus pendant 3-4
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    val edges = spark.createDataFrame(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+        .map { case (a, b) => Row(a, b) }.asJava, schema)
+    val out = Graph.commonNeighbors(edges, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("common_cnt"), r.getAs[Long]("union_cnt"),
+          r.getAs[Boolean]("is_edge"))).toMap
+    // N(1)={2,3} N(2)={1,3} N(3)={1,2,4} N(4)={3}
+    assert(out == Map(
+      (1L, 2L) -> ((1L, 3L, true)),  // common {3}, union {1,2,3}
+      (1L, 3L) -> ((1L, 4L, true)),  // common {2}, union {1,2,3,4}... via degs 2+3-1
+      (2L, 3L) -> ((1L, 4L, true)),
+      (1L, 4L) -> ((1L, 2L, false)), // common {3}: the predicted link
+      (2L, 4L) -> ((1L, 2L, false))))
+  }
+
+  test("hourlyAnomalies flags exactly the 3-sigma outlier hour, in integers") {
+    // one event type: 20 quiet hours (2 events each) + one 50-event spike
+    val rows = (0 until 20).flatMap { h =>
+      Seq.fill(2)((java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:15:00"), "click"))
+    } ++ Seq.fill(50)((java.sql.Timestamp.valueOf("2024-01-02 05:30:00"), "click"))
+    val schema = StructType(Seq(
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("event_type", StringType)))
+    val ev = spark.createDataFrame(
+      rows.map { case (t, e) => Row(t, e) }.asJava, schema)
+    val out = Events.hourlyAnomalies(ev).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("hour_start") == "2024-01-02 05:00:00")
+    assert(out(0).getAs[Long]("cnt") == 50L)
+    assert(out(0).getAs[Boolean]("is_high"))
+    // dev_num = cnt·n − Σ = 50·21 − 90
+    assert(out(0).getAs[Long]("dev_num") == 960L)
+  }
+
+  test("CMS estimates never undercount and are exact absent collisions") {
+    val out = SparkEntry.queries("q_cms_freq_est")(spark, sf).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_cnt"), r.toString)
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cms_est") - r.getAs[Long]("true_cnt"))
+    }
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
     def snap(rows: (Long, Long)*) = {
       val schema = StructType(Seq(

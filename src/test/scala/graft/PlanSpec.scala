@@ -307,4 +307,25 @@ class PlanSpec extends AnyFunSuite {
     val rangeParts = "rangepartitioning".r.findAllIn(p).size
     assert(rangeParts == 1, s"rangeParts=$rangeParts\n${p.take(2000)}")
   }
+
+  test("q7: snowflake dimensions broadcast; no nested-loop join anywhere") {
+    val p = planOf("q7_volume_shipping")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("CMS sketch: aggregation-only plan, no ranking window") {
+    val p = planOf("q_cms_freq_est")
+    assert(!p.contains("Window"), p.take(3000))
+    // the top-10 probe cut is a TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("common neighbors: wedge join is an equi-join, degree attach broadcasts") {
+    val p = planOf("graph_common_neighbors")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }

@@ -139,4 +139,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(meta.isDirectory && meta.listFiles().nonEmpty, meta.toString)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
+
+  test("first-touch funnel is batch-split-proof: later stage arriving in an earlier batch") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val source = MemoryStream[(Timestamp, Long, String)]
+    val events = source.toDF().toDF("ts", "user_id", "event_type")
+    val query = graft.streaming.EventStreams.firstTouch(events).writeStream
+      .format("memory").queryName("ft_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: the CLICK (event-time 10:00) arrives first
+      source.addData((ts("2024-01-01 10:00:00"), 7L, "click"))
+      query.processAllAvailable()
+      // batch 2: the earlier VIEW (09:00) and a purchase (11:00) arrive late
+      source.addData(
+        (ts("2024-01-01 09:00:00"), 7L, "view"),
+        (ts("2024-01-01 11:00:00"), 7L, "purchase"))
+      query.processAllAvailable()
+      // update mode emitted user 7 twice (once per batch); the finisher's
+      // re-min must reconstruct the converged triple regardless
+      val out = graft.streaming.EventStreams.firstTouchFunnel(s.table("ft_out")).collect()(0)
+      assert(out.getAs[Long]("n_view") == 1L)
+      assert(out.getAs[Long]("n_view_click") == 1L)
+      assert(out.getAs[Long]("n_view_click_purchase") == 1L)
+    } finally query.stop()
+  }
 }
