@@ -281,6 +281,59 @@ object Events {
         .orderBy(col("hour_start"), col("event_type"))
     },
 
+    // SLIDING (hopping) windows — 1-hour windows advancing every 15
+    // minutes, so each event lands in exactly 4 windows: the smoothing
+    // shape rate monitors and trailing-hour dashboards use. Physically
+    // this is Spark's Expand operator (4 rows per input BEFORE the
+    // partial aggregation — the map-side combine then collapses them), a
+    // genuinely different plan from the tumbling date_trunc groupBy. The
+    // oracle replays window assignment arithmetically: the 4 starts are
+    // the 15-min truncation of ts minus k·15 min, k = 0..3 (every start
+    // is ≤ ts and > ts − 1 h by construction).
+    GraftQuery.of("events_sliding_window",
+      """WITH w AS (
+        |  SELECT event_type,
+        |    unnest(list_transform(range(0, 4), k ->
+        |      to_timestamp((epoch_us(ts) // 900000000) * 900
+        |                   - k * 900)::TIMESTAMP)) AS win_start
+        |  FROM events)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
+    // MAP-typed aggregation surface: each user's per-type event counts
+    // assembled into a MAP column (map_from_entries over sorted entries)
+    // and emitted through to_json — the "feature bundle per key" shape
+    // (user profiles, per-doc tag bags) that downstream feature stores
+    // consume. Sorting the entry array BEFORE map construction pins the
+    // JSON key order, so the rendered string is deterministic and the
+    // oracle can rebuild it with an ordered string_agg. Shape: two
+    // key-shuffles ((user, type) then user), map built per row after the
+    // final combine.
+    GraftQuery.of("events_type_count_map",
+      """SELECT user_id,
+        |  '{' || string_agg('"' || event_type || '":' || cnt, ',' ORDER BY event_type)
+        |      || '}' AS type_counts
+        |FROM (SELECT user_id, event_type, count(*) AS cnt
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(to_json(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("cnt"))))))
+          .as("type_counts"))
+        .orderBy(col("user_id"))
+    },
+
     // Hourly volume anomaly detection — the monitoring sweep every ingest
     // pipeline runs over its own event counts: hours whose count sits more
     // than 3 sample standard deviations from the per-type mean. The 3σ

@@ -167,6 +167,53 @@ object Multimodal {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // Audio-frame energy plumbing: the payload's byte stream framed as
+    // fixed 64-sample windows with hop 32 (the STFT/VAD batch shape — a
+    // real pipeline would decode PCM first; here the payload bytes stand
+    // in for samples, same as the other stubbed codecs), per frame the
+    // energy (sum of sample values) and peak — both exact integers. The
+    // first 4 frames per payload bound the explode; full framing is the
+    // same plan with the sequence bound swapped. Per-frame work is a
+    // codegen'd scalar fold — no shuffle until the final ORDER BY.
+    GraftQuery.of("mm_audio_energy",
+      """SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(list_sum(l) AS BIGINT) AS energy,
+        |  CAST(list_max(l) AS BIGINT) AS peak
+        |FROM (
+        |  SELECT media_id, frame_idx,
+        |    list_transform(range(1, 65), i ->
+        |      unicode(substring(fr, i::INTEGER, 1))) AS l
+        |  FROM (
+        |    SELECT doc_id AS media_id, frame_idx,
+        |      substring(text, (frame_idx * 32 + 1)::INTEGER, 64) AS fr
+        |    FROM (
+        |      -- only full windows: a ragged tail frame would read
+        |      -- past-the-end chars, where the engines' empty-substring
+        |      -- codepoint conventions differ (unicode('') = -1 here,
+        |      -- ascii('') = 0 in Spark)
+        |      SELECT doc_id, text,
+        |        unnest([0, 1, 2, 3]) AS frame_idx,
+        |        CASE WHEN length(text) >= 64
+        |             THEN (length(text) - 64) // 32 + 1 ELSE 0 END AS n_frames
+        |      FROM documents)
+        |    WHERE frame_idx < n_frames))
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text"),
+          explode(expr("sequence(0, 3)")).as("frame_idx"),
+          expr("CASE WHEN length(text) >= 64 THEN (length(text) - 64) div 32 + 1 " +
+            "ELSE 0 END").as("n_frames"))
+        .filter(col("frame_idx") < col("n_frames"))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          expr("substring(text, frame_idx * 32 + 1, 64)").as("fr"))
+        .select(col("media_id"), col("frame_idx"),
+          expr("transform(sequence(1, 64), i -> ascii(substring(fr, i, 1)))").as("l"))
+        .select(col("media_id"), col("frame_idx"),
+          expr("aggregate(l, 0L, (acc, x) -> acc + x)").as("energy"),
+          expr("array_max(l)").cast("long").as("peak"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
     // Cross-modal join: documents ⋈ embeddings on id, per-language mean
     // vector norm — the text-metadata × vector-store join every multimodal
     // corpus runs; norms are exact per row (fixed-order sum), the

@@ -379,6 +379,76 @@ object Relational {
         .orderBy(col("true_cnt").desc, col("term"))
     },
 
+    // Equi-width numeric histogram — the profiling sweep run before any
+    // bucketing/binning decision: 16 buckets over the column's own
+    // [min, max], bucket index by explicit floor arithmetic. The bounds
+    // come from a 1-row aggregate broadcast back over the scan (two
+    // passes — the first is a columnar min/max that at rest would come
+    // free from zone maps, cf. sink_zonemap_prune). The bucket expression
+    // is the IDENTICAL IEEE tree on both engines ((x−mn)/(mx−mn)·16,
+    // floored), so bucket assignment is deterministic; the max value
+    // clamps into the last bucket.
+    GraftQuery.of("q_numeric_histogram",
+      """WITH m AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |           FROM lineitem)
+        |SELECT CAST(least(15, CAST(floor((l_extendedprice - mn) / (mx - mn) * 16)
+        |                           AS BIGINT)) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM lineitem, m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val m = lineitem(s, d).agg(min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"))
+      lineitem(s, d).crossJoin(broadcast(m))
+        .select(least(lit(15L),
+          floor((col("l_extendedprice") - col("mn")) / (col("mx") - col("mn")) * 16))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+
+    // Rank-statistics window surface: quartile bucket (ntile), percent_rank,
+    // and cume_dist per customer order history — the remaining ranked-window
+    // functions q_window_top_order/q_window_running don't cover. Both
+    // ratios are integer-derived ((rank−1)/(n−1), ≤-count/n), so round(…, 6)
+    // is grid-exact across engines; ntile's uneven-bucket boundary rule
+    // (first buckets get the extra rows) agrees between Spark and DuckDB.
+    GraftQuery.of("q_window_rank_stats",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // EXACT money aggregation on the DECIMAL path — the principled
+    // alternative to the round-to-the-true-grid idiom the double-typed
+    // queries use: cast prices to DECIMAL(18,2) at the scan and sum
+    // exactly (Spark Decimal128 partials are integer arithmetic in
+    // cents — order-independent by construction, no rounding step at
+    // all). At 100 TB this is how a finance-grade pipeline stores the
+    // column in the first place.
+    GraftQuery.of("q_decimal_exact_money",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,2))
+        |    AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(30,2)").as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // CUBE with grouping_id: all four grouping-set combinations in one
     // Expand pass; grouping_id disambiguates a real NULL group key from a
     // rolled-up one (the reason the sentinel trick alone is not enough in

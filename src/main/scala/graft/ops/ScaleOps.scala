@@ -267,6 +267,33 @@ object ScaleOps {
         .orderBy(col("lang"))
     },
 
+    // Small-file COMPACTION — the maintenance pass every streaming/
+    // incremental ingest owes its lake: first deliberately fragment the
+    // events table (repartition(16) under a partitionBy writer ⇒ up to
+    // 16 files per partition directory), then compact by clustering on
+    // the partition column (repartition(col) ⇒ each directory rewritten
+    // as ONE file) — the spec asserts the file count actually collapsed.
+    // The oracle checks the compacted copy against the source, so the
+    // rewrite provably loses and invents nothing. At 100 TB this runs
+    // per-partition-predicate (compact only directories past a file-count
+    // threshold), same two plans.
+    GraftQuery.of("sink_compaction",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/events_compaction"
+      events(s, d).repartition(16)
+        .write.mode("overwrite").partitionBy("event_type").parquet(s"$base/small")
+      val frag = s.read.parquet(s"$base/small")
+      frag.repartition(col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(s"$base/compact")
+      s.read.parquet(s"$base/compact")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+
     // JSONL sink round-trip: the interchange format training pipelines
     // actually emit. Write documents as JSON lines, read back under the
     // ORIGINAL schema (no inference — a 100 TB re-read must not re-type

@@ -263,6 +263,7 @@ class PlanSpec extends AnyFunSuite {
       "graph_triangles" -> "1-row sampled-edge count frame crosses into the count",
       "pipeline_mix_weights" -> "1-row corpus totals frame",
       "q_kmv_distinct" -> "1-row kth-hash frame x 1-row exact-count frame",
+      "q_numeric_histogram" -> "1-row min/max bounds frame crosses into the scan",
       "pipeline_weighted_sample" -> "1-row per-stratum target frame",
       "sim_knn_brute" -> "broadcast probe set x corpus scan (the exact baseline)",
       "sim_knn_ivf" -> "broadcast trained codebook",
@@ -320,6 +321,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(3000))
     // the top-10 probe cut is a TakeOrderedAndProject, not a global sort
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("sliding windows plan through Expand (window replication), not a join") {
+    val p = planOf("events_sliding_window")
+    assert(p.contains("Expand"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("audio framing is a scalar pipeline: no shuffle before the output sort") {
+    val p = planOf("mm_audio_energy")
+    val hashParts = "hashpartitioning".r.findAllIn(p).size
+    assert(hashParts == 0, s"hashParts=$hashParts\n${p.take(2000)}")
+    assert(!p.contains("Window"), p.take(2000))
   }
 
   test("common neighbors: wedge join is an equi-join, degree attach broadcasts") {

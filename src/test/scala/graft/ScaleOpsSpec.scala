@@ -133,6 +133,30 @@ class ScaleOpsSpec extends AnyFunSuite {
       direct.agg(sum(col("l_orderkey"))).head().getLong(0))
   }
 
+  test("compaction collapses the fragmented layout to one file per partition dir") {
+    val sf = "/root/testdata/sf0.001"
+    // the registered query writes both layouts as a side effect
+    SparkEntry.queries("sink_compaction")(spark, sf).collect()
+    val base = new java.io.File(s"/tmp/graft_sink/${new java.io.File(sf).getName}/events_compaction")
+    def partFiles(dir: String): Map[String, Int] =
+      new java.io.File(base, dir).listFiles().filter(_.isDirectory).map { p =>
+        p.getName -> p.listFiles().count(_.getName.startsWith("part-"))
+      }.toMap
+    val small = partFiles("small")
+    val compact = partFiles("compact")
+    assert(small.keySet == compact.keySet, s"$small vs $compact")
+    // fragmented: several files per event_type dir; compacted: exactly one
+    assert(small.values.forall(_ > 1), s"fragmentation did not happen: $small")
+    assert(compact.values.forall(_ == 1), s"compaction left multiple files: $compact")
+  }
+
+  test("sliding windows place every event in exactly 4 windows") {
+    val sf = "/root/testdata/sf0.001"
+    val total = SparkEntry.queries("events_sliding_window")(spark, sf)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total == 4L * graft.ops.Tables.events(spark, sf).count())
+  }
+
   test("salted join equals the plain join") {
     val plain = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .join(graft.ops.Tables.orders(spark, "/root/testdata/sf0.001"),
