@@ -85,7 +85,7 @@ object Dedup {
     "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
       "i -> concat_ws(' ', slice(toks, i, 3)))"
 
-  private val shinglesSqlCte =
+  private[ops] val shinglesSqlCte =
     """sh AS (
       |  SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
       |    i -> array_to_string(t[i : i + 2], ' '))) AS shingle

@@ -99,6 +99,47 @@ object Events {
       .orderBy(col("event_type"), col("hour_start"))
   }
 
+  /** Event-type transition counts (first-order Markov statistics): per-user
+    * time-ordered lag pairs counted corpus-wide, first events transitioning
+    * from '<START>'. Powers `events_transition_matrix` AND is callable on
+    * any events-schema frame (unit tests drive THIS function).
+    */
+  def transitionMatrix(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .groupBy(coalesce(col("prev"), lit("<START>")).as("prev_type"),
+        col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Point-in-time lookup of purchases against the value-tier SCD2
+    * dimension derived from the same stream (tier = HIGH/LOW/NONE from the
+    * event value, collapsed by [[scd2]] — one definition). Each purchase
+    * resolves the version whose half-open [valid_from, valid_to) interval
+    * contains its timestamp: a user_id equi-join with a bounded residual
+    * filter (versions per key are few), never a nested-loop range join.
+    * Intervals are disjoint by construction, so each purchase matches
+    * exactly once. Powers `events_scd2_lookup`; unit tests drive THIS
+    * function.
+    */
+  def scd2Lookup(ev: DataFrame): DataFrame = {
+    val tiered = ev.withColumn("event_type",
+      when(col("value").isNull, "NONE")
+        .when(col("value") >= 0.5, "HIGH").otherwise("LOW"))
+    val dim = scd2(tiered).select(col("user_id"),
+      col("event_type").as("tier"), col("valid_from_us"),
+      col("version"), col("valid_to_us"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .join(dim, Seq("user_id"))
+      .filter(col("ts_us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+      .select(col("event_id"), col("user_id"), col("tier"), col("version"))
+      .orderBy(col("event_id"))
+  }
+
   /** SCD type-2 build: collapse each user's event_type changelog into
     * versioned validity intervals — change rows via a null-safe lag test
     * (the first row always opens version 1), then version / valid_to_us
@@ -476,6 +517,62 @@ object Events {
     // log. The open (current) version carries valid_to_us NULL. Intervals
     // compare as exact integer microseconds; the user_id % 10 slice keeps
     // the emitted dimension bounded.
+    // Event-type TRANSITION MATRIX — the first-order Markov statistic
+    // behind session behavior models and "next action" features: per-user
+    // time-ordered lag pairs (prev → next) counted corpus-wide, first
+    // events from the '<START>' state. One user_id shuffle for the lag
+    // window (unique (ts, event_id) order — deterministic), then a tiny
+    // (|types|+1)² groupBy.
+    GraftQuery.of("events_transition_matrix",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT coalesce(prev, '<START>') AS prev_type, event_type AS next_type,
+        |  count(*) AS n
+        |FROM seq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      transitionMatrix(events(s, d))
+    },
+
+    // TEMPORAL (point-in-time) lookup against an SCD2 dimension — the
+    // join every warehouse runs after building type-2 history: each fact
+    // row resolves the dimension version valid AT ITS OWN TIMESTAMP. The
+    // dimension here is a value-tier (HIGH/LOW/NONE) changelog derived
+    // from the same stream and collapsed by THE scd2 builder (one
+    // definition); purchases then join on user_id with the half-open
+    // interval predicate inside — versions per key are few, so the
+    // residual filter after the equi-join is bounded, never a
+    // nested-loop range join. Intervals are half-open and disjoint by
+    // construction, so every fact row matches exactly one version.
+    GraftQuery.of("events_scd2_lookup",
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN "value" IS NULL THEN 'NONE'
+        |         WHEN "value" >= 0.5 THEN 'HIGH' ELSE 'LOW' END AS tier
+        |  FROM events WHERE user_id % 10 = 0
+        |), chg AS (
+        |  SELECT user_id, event_id, ts, tier,
+        |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM e
+        |), starts AS (
+        |  SELECT * FROM chg WHERE prev IS NULL OR prev <> tier
+        |), dim AS (
+        |  SELECT user_id, tier,
+        |    CAST(epoch_us(ts) AS BIGINT) AS vf,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    CAST(lead(epoch_us(ts)) OVER w AS BIGINT) AS vt
+        |  FROM starts
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), p AS (
+        |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, dim.tier, dim.version
+        |FROM p JOIN dim ON dim.user_id = p.user_id
+        |  AND p.ts_us >= dim.vf AND (dim.vt IS NULL OR p.ts_us < dim.vt)
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      scd2Lookup(events(s, d).filter(pmod(col("user_id"), lit(10L)) === 0))
+    },
+
     GraftQuery.of("events_scd2",
       """WITH e AS (
         |  SELECT user_id, event_id, ts, event_type FROM events

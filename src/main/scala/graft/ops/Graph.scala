@@ -190,11 +190,14 @@ object Graph {
     * suggestion). Emitted as exact INTEGER numerator/denominator, never
     * the float ratio, so the comparison is order-independent.
     *
-    * Shapes: ONE wedge self-equi-join on the shared apex (cost
-    * sum-of-deg² — on a power-law graph, cap or salt hub apexes first,
-    * exactly the guard [[degrees]] exists to size; the co-purchase graph
-    * here is hub-free per graph_degree_hist), degree attach via broadcast
-    * (|nodes| rows), the existing-edge flag via one LEFT equi-join on the
+    * Shapes: ONE wedge self-equi-join on the shared apex — cost is
+    * sum-of-deg², so profile with [[degrees]] first: on a power-law
+    * graph cap/salt the hub apexes; on a uniformly DENSE graph (the
+    * co-purchase graph: mean degree ~120 at sf0.1, no hub/non-hub
+    * split to cut) sample edges deterministically first, which divides
+    * the wedge count by 1/p² (the registered query does, at p = 1/8 —
+    * measured 298M → 4.6M wedges). Degree attach via broadcast (|nodes|
+    * rows), the existing-edge flag via one LEFT equi-join on the
     * oriented pair, and a TakeOrderedAndProject top-k cut on the total
     * order (common DESC, x, y).
     */
@@ -276,29 +279,44 @@ object Graph {
       triangles(coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey"), invProb = 8)
     },
 
-    // Common-neighbor / Jaccard link prediction on the co-purchase graph
-    // (see commonNeighbors): top-20 non-hub pairs by shared-neighbor
-    // count, with exact integer Jaccard numerator/denominator and the
-    // already-an-edge flag. Deterministic total-order cut, so the top-k
-    // boundary can't tie-break differently across engines.
-    GraftQuery.of("graph_common_neighbors",
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e1 AS (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM li a JOIN li b USING (l_orderkey)
-        |  WHERE a.l_partkey < b.l_partkey),
-        |e AS (SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1),
-        |w AS (
-        |  SELECT a.dst AS x, b.dst AS y, count(*) AS common_cnt
-        |  FROM e a JOIN e b ON a.src = b.src
-        |  WHERE a.dst < b.dst GROUP BY 1, 2),
-        |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1)
-        |SELECT w.x, w.y, common_cnt,
-        |  dx.deg + dy.deg - common_cnt AS union_cnt,
-        |  EXISTS (SELECT 1 FROM e1 WHERE e1.src = w.x AND e1.dst = w.y) AS is_edge
-        |FROM w JOIN deg dx ON dx.node = w.x JOIN deg dy ON dy.node = w.y
-        |ORDER BY common_cnt DESC, w.x, w.y LIMIT 20""".stripMargin) { (s, d) =>
-      commonNeighbors(coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey"), 20)
+    // Common-neighbor / Jaccard link prediction on the DETERMINISTICALLY
+    // SAMPLED co-purchase graph (see commonNeighbors): the co-purchase
+    // graph is uniformly dense (sf0.1: 20k nodes, mean degree ~120, max
+    // 222 — no hub/non-hub split for a degree cap to exploit), so the
+    // wedge join over the full graph is Σdeg² ≈ 3·10⁸ rows. The scale
+    // tool for a dense graph is Doulion-style edge sampling — the SAME
+    // h60 p=1/8 idiom as graph_triangles, so both engines see the
+    // identical subgraph and wedges drop by p² = 64×. Sampled common
+    // counts are unbiased up to ·1/p² (each shared neighbor survives
+    // with p²); counts, union sizes, and the edge flag all refer to the
+    // sampled subgraph and are exact integers under the total-order
+    // top-20 cut.
+    GraftQuery.of("graph_common_neighbors", {
+      val h = GraftQuery.h60Sql("src::VARCHAR || '|' || dst::VARCHAR")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM li a JOIN li b USING (l_orderkey)
+         |  WHERE a.l_partkey < b.l_partkey),
+         |e1 AS (SELECT src, dst FROM e0 WHERE $h % 8 = 0),
+         |e AS (SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1),
+         |w AS (
+         |  SELECT a.dst AS x, b.dst AS y, count(*) AS common_cnt
+         |  FROM e a JOIN e b ON a.src = b.src
+         |  WHERE a.dst < b.dst GROUP BY 1, 2),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1)
+         |SELECT w.x, w.y, common_cnt,
+         |  dx.deg + dy.deg - common_cnt AS union_cnt,
+         |  EXISTS (SELECT 1 FROM e1 WHERE e1.src = w.x AND e1.dst = w.y) AS is_edge
+         |FROM w JOIN deg dx ON dx.node = w.x JOIN deg dy ON dy.node = w.y
+         |ORDER BY common_cnt DESC, w.x, w.y LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      val sampled = coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+        .filter(pmod(md5hash60(
+          concat_ws("|", col("src").cast("string"), col("dst").cast("string"))),
+          lit(8L)) === 0)
+      commonNeighbors(sampled, 20)
     },
 
     // 3-round damped PageRank over the part co-purchase graph, emitted

@@ -267,6 +267,26 @@ object ScaleOps {
         .orderBy(col("lang"))
     },
 
+    // Join-strategy CONTROL surface: the same fact⋈fact join as
+    // q_salted_join's baseline, pinned to a SHUFFLED HASH join via the
+    // hint — at scale the choice between sort-merge (two sorts, spills
+    // gracefully) and shuffled-hash (no sorts, build side must fit a
+    // partition's memory) is a real knob, and this query proves the
+    // engine exposes it: the oracle is the plain join (strategy never
+    // changes results), PlanSpec asserts the physical operator actually
+    // switched.
+    GraftQuery.of("q_shuffle_hash_join",
+      """SELECT o_orderpriority, count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Small-file COMPACTION — the maintenance pass every streaming/
     // incremental ingest owes its lake: first deliberately fragment the
     // events table (repartition(16) under a partitionBy writer ⇒ up to

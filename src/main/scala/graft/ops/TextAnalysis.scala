@@ -238,6 +238,39 @@ object TextAnalysis {
 
   def queries: Seq[GraftQuery] = Seq(
 
+    // BOILERPLATE detection — the pre-training scrub for repeated site
+    // chrome/license headers: a doc's 3-shingles that occur in more than
+    // 10% of the corpus (document frequency, not raw count) are
+    // boilerplate; emitted per doc as exact integer counts (total
+    // distinct shingles, boilerplate shingles). The frequency threshold
+    // compares as INTEGERS (10·df > ndocs). Shapes: the doc-frequency
+    // pass is one shingle-keyed groupBy over the distinct (doc, shingle)
+    // relation ([[graft.ops.Dedup.shingles3]] — one definition), counts
+    // rejoin on the shingle key; at 100 TB the frequent set (tiny by
+    // Zipf) would broadcast back instead, same as the decontamination
+    // semi-join.
+    GraftQuery.of("text_boilerplate_flags",
+      s"""WITH ${graft.ops.Dedup.shinglesSqlCte},
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |df AS (SELECT shingle, count(*) AS df FROM ds GROUP BY 1),
+         |nd AS (SELECT count(*) AS ndocs FROM documents)
+         |SELECT ds.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(CASE WHEN 10 * df.df > nd.ndocs THEN 1 END) AS BIGINT)
+         |    AS n_boiler
+         |FROM ds JOIN df USING (shingle) CROSS JOIN nd
+         |GROUP BY ds.doc_id ORDER BY ds.doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val ds = graft.ops.Dedup.shingles3(docs).distinct()
+      val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val nd = broadcast(docs.agg(count(lit(1)).as("ndocs")))
+      ds.join(df, "shingle").crossJoin(nd)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(lit(10) * col("df") > col("ndocs"), 1)).as("n_boiler"))
+        .orderBy(col("doc_id"))
+    },
+
     // Token statistics: counts, distinct counts, mean token length.
     GraftQuery.of("text_token_stats",
       """SELECT doc_id,

@@ -623,6 +623,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  private def fullEventsDf(rows: (Long, String, String, java.lang.Double)*) = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      rows.zipWithIndex.map { case ((u, t, e, v), i) =>
+        Row(i.toLong + 1, java.sql.Timestamp.valueOf(t), u, e, v)
+      }.asJava, schema)
+  }
+
+  test("transitionMatrix counts lag pairs per user, first events from <START>") {
+    val ev = fullEventsDf(
+      (1L, "2024-01-01 10:00:00", "view", 0.1),
+      (1L, "2024-01-01 10:05:00", "click", 0.1),
+      (1L, "2024-01-01 10:10:00", "view", 0.1),
+      (2L, "2024-01-01 10:00:00", "view", 0.1))
+    val out = Events.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("<START>", "view") -> 2L, ("view", "click") -> 1L, ("click", "view") -> 1L))
+  }
+
+  test("scd2Lookup resolves each purchase to the tier version valid at its timestamp") {
+    val ev = fullEventsDf(
+      (1L, "2024-01-01 10:00:00", "view", 0.9),     // HIGH opens v1
+      (1L, "2024-01-01 10:30:00", "click", 0.2),    // LOW opens v2
+      (1L, "2024-01-01 10:45:00", "purchase", 0.7), // HIGH opens v3 (its own version)
+      (1L, "2024-01-01 11:00:00", "purchase", 0.1), // LOW opens v4
+      (1L, "2024-01-01 11:30:00", "purchase", 0.05)) // LOW continues v4
+    val out = Events.scd2Lookup(ev).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out == Map(3L -> (("HIGH", 3L)), 4L -> (("LOW", 4L)), 5L -> (("LOW", 4L))))
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
     def snap(rows: (Long, Long)*) = {
       val schema = StructType(Seq(

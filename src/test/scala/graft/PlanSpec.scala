@@ -264,6 +264,7 @@ class PlanSpec extends AnyFunSuite {
       "pipeline_mix_weights" -> "1-row corpus totals frame",
       "q_kmv_distinct" -> "1-row kth-hash frame x 1-row exact-count frame",
       "q_numeric_histogram" -> "1-row min/max bounds frame crosses into the scan",
+      "text_boilerplate_flags" -> "1-row ndocs frame for the frequency threshold",
       "pipeline_weighted_sample" -> "1-row per-stratum target frame",
       "sim_knn_brute" -> "broadcast probe set x corpus scan (the exact baseline)",
       "sim_knn_ivf" -> "broadcast trained codebook",
@@ -335,6 +336,19 @@ class PlanSpec extends AnyFunSuite {
     val hashParts = "hashpartitioning".r.findAllIn(p).size
     assert(hashParts == 0, s"hashParts=$hashParts\n${p.take(2000)}")
     assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("shuffle_hash hint actually switches the physical join operator") {
+    val p = planOf("q_shuffle_hash_join")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("scd2 temporal lookup is a keyed equi-join with a residual interval filter") {
+    val p = planOf("events_scd2_lookup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("Window"), p.take(2000)) // the scd2 build inside
   }
 
   test("common neighbors: wedge join is an equi-join, degree attach broadcasts") {
