@@ -197,6 +197,35 @@ object Pipeline {
 
   def queries: Seq[GraftQuery] = Seq(
 
+    // DATASET CARD — the one-row summary block every published training
+    // set ships (docs, languages, sources, token/char volume, exact-dup
+    // rate): all integer-exact, composed from the families above in one
+    // scan + one fingerprint-keyed distinct (the only shuffle beyond the
+    // scalar aggregates; normFingerprint is THE dedup definition, not a
+    // copy). dup_rows = docs − distinct fingerprints is the headline
+    // contamination number a data consumer checks first.
+    GraftQuery.of("pipeline_dataset_card",
+      """SELECT count(*) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |    AS BIGINT) AS n_distinct_fp,
+        |  count(*) - CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |    AS BIGINT) AS dup_rows
+        |FROM documents""".stripMargin) { (s, d) =>
+      val fp = graft.ops.Dedup.normFingerprint(col("text"))
+      documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(expr("size(split(text, ' '))")).cast("long").as("total_tokens"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        countDistinct(fp).as("n_distinct_fp"),
+        (count(lit(1)) - countDistinct(fp)).as("dup_rows"))
+    },
+
     // 80/10/10 hash split with per-split stats — green iff every row
     // lands in the same band on both engines.
     GraftQuery.of("pipeline_hash_split", {

@@ -214,6 +214,73 @@ object ScaleOps {
         .orderBy(col("event_id"))
     },
 
+    // FORWARD as-of join — "next purchase AT or AFTER each event" — the
+    // mirror of events_asof_purchase's backward lookup (label horizons,
+    // time-to-conversion features). Same union + ONE key-shuffle +
+    // running last(ignoreNulls) machinery (asofJoin — one definition),
+    // driven on NEGATED epoch micros so ascending frame order means
+    // descending time; the oracle orders by ts DESC directly. Ties at
+    // equal timestamp resolve to the max event_id on both engines.
+    GraftQuery.of("events_asof_forward",
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_id AS r_eid, value AS r_val
+        |  FROM events WHERE event_type = 'purchase'
+        |), un AS (
+        |  SELECT user_id, ts, event_id, event_type, 1 AS side,
+        |    NULL::BIGINT AS r_eid, NULL::DOUBLE AS r_val
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, NULL, 0, r_eid, r_val FROM r
+        |), filled AS (
+        |  SELECT *,
+        |    last_value(r_eid IGNORE NULLS) OVER w AS next_purchase_id,
+        |    last_value(r_val IGNORE NULLS) OVER w AS next_purchase_value
+        |  FROM un
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, event_type,
+        |  next_purchase_id, next_purchase_value
+        |FROM filled WHERE side = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d).withColumn("__negts", -unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+      asofJoin(ev, purchases, key = Seq("user_id"), time = "__negts",
+        tieBreak = "event_id", rightVals = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("asof_event_id").as("next_purchase_id"),
+          col("asof_value").as("next_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Right-to-be-forgotten REWRITE — the GDPR/CCPA deletion pass a lake
+    // owes its users: materialize the table, then rewrite it MINUS a
+    // deletion-request set via one broadcast LEFT ANTI join (the request
+    // list is a table, not a predicate — production receives ids, not
+    // rules), and re-read the rewritten copy. The emitted per-type counts
+    // carry a victims_left column the oracle pins to 0 — the re-read
+    // PROVES the deletion, it doesn't trust the writer. At 100 TB the
+    // rewrite touches only files whose zone maps/blooms might contain a
+    // victim (cf. sink_zonemap_prune / q_bloom_semi_join).
+    GraftQuery.of("sink_gdpr_delete",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(count(CASE WHEN user_id % 20 = 0 THEN 1 END) AS BIGINT)
+        |    AS victims_left
+        |FROM events WHERE user_id % 20 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/events_gdpr"
+      events(s, d).write.mode("overwrite").parquet(s"$base/full")
+      val full = s.read.parquet(s"$base/full")
+      val victims = full.select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(20L)) === 0)
+      full.join(broadcast(victims), Seq("user_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$base/clean")
+      s.read.parquet(s"$base/clean")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(pmod(col("user_id"), lit(20L)) === 0, 1)).as("victims_left"))
+        .orderBy(col("event_type"))
+    },
+
     // End-to-end corpus-cleaning pipeline, composed entirely from the
     // registered operator families: quality gate (length + type-token
     // ratio) → exact-dedup keeper selection → per-language survivor

@@ -272,6 +272,38 @@ object EventStreams {
       finally org.apache.commons.io.FileUtils.deleteQuietly(base)
     },
 
+    // Streaming SLIDING windows — the streaming twin of
+    // events_sliding_window (1-hour windows every 15 min, each event in
+    // exactly 4): the same window() Expand shape under a watermark,
+    // complete-mode counts compared against the batch arithmetic oracle.
+    // Sliding state is 4× tumbling state per key — the reason production
+    // sizes the hop, not just the width.
+    GraftQuery.of("stream_sliding_window",
+      """WITH w AS (
+        |  SELECT event_type,
+        |    unnest(list_transform(range(0, 4), k ->
+        |      to_timestamp((epoch_us(ts) // 900000000) * 900
+        |                   - k * 900)::TIMESTAMP)) AS win_start
+        |  FROM events)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val slid = raw.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+      val sink = s"stream_sliding_${graft.ops.Tables.viewSuffix(d)}"
+      runToResult(s, slid, sink, OutputMode.Complete()) { t =>
+        t.select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"), col("n"))
+          .orderBy(col("win_start"), col("event_type"))
+      }
+    },
+
     // Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark):
     // unlike stream_dedup_exact's running min-keeper — whose fingerprint
     // state grows with the corpus forever — this state expires with the

@@ -157,6 +157,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(total == 4L * graft.ops.Tables.events(spark, sf).count())
   }
 
+  test("gdpr delete: victims present in the full copy, absent from the rewrite") {
+    val sf = "/root/testdata/sf0.001"
+    SparkEntry.queries("sink_gdpr_delete")(spark, sf).collect()
+    val base = s"/tmp/graft_sink/${new java.io.File(sf).getName}/events_gdpr"
+    def victims(dir: String) =
+      spark.read.parquet(s"$base/$dir")
+        .filter(pmod(col("user_id"), lit(20L)) === 0).count()
+    assert(victims("full") > 0, "no deletion requests in testdata — test is vacuous")
+    assert(victims("clean") == 0)
+  }
+
+  test("forward as-of matches a direct per-event subquery derivation") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.ops.Tables.events(spark, sf)
+    val out = SparkEntry.queries("events_asof_forward")(spark, sf)
+      .filter(col("event_id") < 50).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    // independent derivation: min-ts purchase at/after each event, max id on ties
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    val expect = ev.filter(col("event_id") < 50).as("e")
+      .join(p, col("e.user_id") === col("pu") && col("pts") >= col("e.ts"), "left")
+      .groupBy(col("e.event_id").as("eid"))
+      .agg(max_by(col("pid"), struct(lit(0) - unix_micros(col("pts")), col("pid"))).as("want"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(out == expect)
+  }
+
   test("salted join equals the plain join") {
     val plain = graft.ops.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .join(graft.ops.Tables.orders(spark, "/root/testdata/sf0.001"),
