@@ -16,7 +16,7 @@ object SparkEntry {
     * (dedup, similarity search, text analysis, events, multimodal).
     */
   val registry: Seq[GraftQuery] =
-    Relational.queries ++ DwcQueries.queries ++ ArchiveQueries.queries ++
+    Relational.queries ++ TpcH.queries ++ DwcQueries.queries ++ ArchiveQueries.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Events.queries ++ Multimodal.queries ++ ScaleOps.queries ++ Graph.queries ++
       SqlSurface.queries ++ Pipeline.queries ++

@@ -1,0 +1,386 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** The remaining TPC-H query shapes (Q1/Q3/Q5/Q7/Q18 live in Relational),
+  * adapted to the driver's trimmed synthetic schema: there is no partsupp
+  * table and no l_shipmode/l_commitdate/l_receiptdate/p_container/c_phone
+  * columns, so each query keeps the REFERENCE SHAPE (the join topology,
+  * correlation pattern, and aggregation the benchmark exercises) with the
+  * predicate re-based onto columns that exist. Q2/Q9/Q11/Q16/Q20 are
+  * partsupp-centric and intentionally absent.
+  *
+  * Scale/parity notes:
+  *  - every dimension side (part/supplier/customer/nation/region and the
+  *    derived "qualifying keys" sets) is broadcast, so the only data-sized
+  *    shuffles are fact-fact joins keyed on l_orderkey and final groupBys;
+  *  - correlated EXISTS/IN subqueries are decorrelated BY HAND into
+  *    semi/anti joins or per-key aggregates — the same plan Catalyst's
+  *    RewriteCorrelatedScalarSubquery would pick, but stated explicitly so
+  *    the 100 TB plan is visible in the code;
+  *  - float-sum outputs round to the exact decimal grid of the true value
+  *    (prices 2dp, discounted products 4dp) — order-insensitive and
+  *    hash-stable across engines; ratio-shaped outputs (Q8 market share,
+  *    Q14 promo share) emit numerator AND denominator instead of the
+  *    quotient, whose last-ulp would depend on summation order;
+  *  - Q22's "above average balance" threshold is compared in exact integer
+  *    cents (bal_cents * n > sum_cents) — an FP average comparison could
+  *    flip on engines' summation order for customers within an ulp of it.
+  */
+object TpcH {
+
+  def queries: Seq[GraftQuery] = Seq(
+
+    // Q4 — order-priority checking: EXISTS(lineitem late vs the order's
+    // own date) over a one-quarter order window. The correlated EXISTS is
+    // a LEFT SEMI join whose condition carries the non-equi date compare;
+    // at 100 TB both sides shuffle once on the order key (or the filtered
+    // quarter of orders broadcasts).
+    GraftQuery.of("q4_order_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+        .join(lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Q6 — forecast revenue change: pure scan + filter + scalar agg. The
+    // whole query is one WholeStageCodegen span over the parquet scan with
+    // every predicate pushed down; discount×price lives on the 4dp grid.
+    GraftQuery.of("q6_forecast_revenue",
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Q8 — national market share: the 7-table snowflake (lineitem at the
+    // center; part/supplier/orders/customer/nation×2/region around it).
+    // Every dimension broadcasts, orders is the one shuffle partner; the
+    // share itself is emitted as (nation_volume, total_volume) — dividing
+    // two order-sensitive double sums and rounding would be the exact grid
+    // hazard the FP rules forbid.
+    GraftQuery.of("q8_market_share",
+      """SELECT o_year,
+        |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END), 4)
+        |    AS nation_volume,
+        |  round(sum(volume), 4) AS total_volume
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+      val n1 = nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val n2 = nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("c_rk") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_3",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))), 4)
+            .as("nation_volume"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("total_volume"))
+        .orderBy(col("o_year"))
+    },
+
+    // Q10 — returned-item reporting: one-quarter orders × returned lines,
+    // customer+nation broadcast, top-20 by revenue (TakeOrderedAndProject —
+    // no global sort); c_custkey tie-break keeps the cut deterministic.
+    GraftQuery.of("q10_returned_items",
+      """SELECT c_custkey, c_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(orders(s, d)
+          .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+
+    // Q12 — shipping-mode priority counts, re-based: the schema has no
+    // l_shipmode, so the two-way split is SLOW/FAST by ship delay (≥60
+    // days after order). Same shape: fact-fact join, CASE-pivoted counts.
+    GraftQuery.of("q12_ship_buckets",
+      """SELECT ship_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM (SELECT o_orderpriority,
+        |  CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 60
+        |    THEN 'SLOW' ELSE 'FAST' END AS ship_bucket
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(datediff(col("l_shipdate"), col("o_orderdate")) >= 60, "SLOW")
+            .otherwise("FAST").as("ship_bucket"),
+          when(hi, 1).otherwise(0).as("is_hi"))
+        .groupBy(col("ship_bucket"))
+        .agg(sum(col("is_hi")).cast("long").as("high_line_count"),
+          sum(lit(1) - col("is_hi")).cast("long").as("low_line_count"))
+        .orderBy(col("ship_bucket"))
+    },
+
+    // Q13 — customer order-count distribution: LEFT join keeps the
+    // zero-order customers (the whole point of Q13), with the filter in
+    // the JOIN CONDITION, not the WHERE (a WHERE would turn it inner).
+    // Two cascading aggregations, each a narrowing shuffle.
+    GraftQuery.of("q13_cust_distribution",
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // Q14 — promo revenue share over one month: part broadcast into the
+    // date-pruned lineitem scan; numerator and denominator emitted
+    // separately (the 100×promo/total quotient is order-sensitive FP).
+    GraftQuery.of("q14_promo_revenue",
+      """SELECT round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4) AS promo_revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-09-01" && col("l_shipdate") < "1996-10-01")
+        .join(broadcast(part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))), 4)
+            .as("promo_revenue"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("total_revenue"))
+    },
+
+    // Q15 — top supplier: the revenue "view" is aggregated ONCE and
+    // reused for both the max and the equality probe (Spark: the agg
+    // DataFrame is referenced twice; with the 4dp rounding the equality
+    // is a grid compare, not an FP tie). The scalar max arrives via a
+    // broadcast cross-join — no second shuffle.
+    GraftQuery.of("q15_top_supplier",
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(broadcast(supplier(s, d)), col("s_suppkey") === col("supplier_no"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // Q17 — small-quantity-order revenue: the correlated `l_quantity <
+    // 0.2 * avg(quantity per part)` decorrelated into a per-part avg that
+    // only aggregates lineitems of CANDIDATE parts (semi-join first — the
+    // full-table per-part aggregate Catalyst would build is wasted work
+    // at 100 TB when the brand/size cut keeps ~1% of parts). Quantity
+    // sums are integral doubles, so the avg is exact on both engines.
+    GraftQuery.of("q17_small_qty",
+      """SELECT round(sum(l_extendedprice), 2) AS total_price, count(*) AS n_small
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1' AND p_size < 10
+        |AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, d) =>
+      val cand = part(s, d).filter(col("p_brand") === "Brand#1" && col("p_size") < 10)
+        .select("p_partkey")
+      val avgQ = lineitem(s, d)
+        .join(broadcast(cand), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("avg_pk"))
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_cut"))
+      lineitem(s, d)
+        .join(broadcast(cand), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(avgQ), col("l_partkey") === col("avg_pk"))
+        .filter(col("l_quantity") < col("qty_cut"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+          count(lit(1)).as("n_small"))
+    },
+
+    // Q19 — disjunctive predicate pushdown: three brand/size/quantity
+    // conjuncts OR-ed together. The part side prunes to the union of the
+    // three brand sets BEFORE the broadcast; the per-arm quantity bounds
+    // evaluate post-join inside the hash probe.
+    GraftQuery.of("q19_disjunctive_join",
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin) { (s, d) =>
+      val arm1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 11
+      val arm2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+        col("l_quantity") >= 10 && col("l_quantity") <= 20
+      val arm3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity") >= 20 && col("l_quantity") <= 30
+      lineitem(s, d)
+        .join(broadcast(part(s, d)
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+          .select("p_partkey", "p_brand", "p_size")),
+          col("p_partkey") === col("l_partkey"))
+        .filter(arm1 || arm2 || arm3)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Q21 — suppliers who kept orders waiting, re-based to l_shipdate >
+    // o_orderdate + 90 days (no commit/receipt dates in the schema). The
+    // EXISTS(other supplier) / NOT EXISTS(other LATE supplier) pair is
+    // decorrelated into ONE per-order aggregate — n_supp > 1 replaces the
+    // EXISTS, n_late_supp = 1 replaces the NOT EXISTS — so the whole query
+    // costs two l_orderkey-shuffles (join + agg) that AQE plans with the
+    // same partitioning, instead of three correlated passes.
+    GraftQuery.of("q21_waiting_supplier",
+      """WITH lf AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per_order AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+        |  FROM lf GROUP BY 1)
+        |SELECT s_name, n_name, count(*) AS numwait
+        |FROM lf JOIN per_order USING (l_orderkey)
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE late = 1 AND n_supp > 1 AND n_late_supp = 1
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, d) =>
+      val lf = lineitem(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"), 1)
+            .otherwise(0).as("late"))
+      val perOrder = lf.groupBy(col("l_orderkey").as("po_ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late") === 1, col("l_suppkey"))).as("n_late_supp"))
+      lf.filter(col("late") === 1)
+        .join(perOrder, col("l_orderkey") === col("po_ok"))
+        .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+        .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"), col("n_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
+
+    // Q22 — dormant high-balance customers, re-based to "no order since
+    // 1999" (every synthetic customer has SOME order). The average-balance
+    // threshold is compared in exact integer cents — bal_cents × n_pos >
+    // sum_cents — because an FP `c_acctbal > avg(...)` could flip across
+    // engines for a balance within an ulp of the order-sensitive mean.
+    // NOT EXISTS is a broadcast LEFT ANTI against the recent-buyer keys.
+    GraftQuery.of("q22_dormant_customers",
+      """WITH pos AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > cents
+        |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val cents = round(col("c_acctbal") * 100).cast("long")
+      val pos = customer(s, d).filter(col("c_acctbal") > 0.0)
+        .agg(count(lit(1)).as("n_pos"), sum(cents).cast("long").as("cents"))
+      val recent = orders(s, d).filter(col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+      customer(s, d)
+        .crossJoin(broadcast(pos))
+        .filter(cents * col("n_pos") > col("cents"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    })
+}

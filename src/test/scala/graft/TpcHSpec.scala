@@ -1,0 +1,82 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TPC-H shape queries (TpcH.scala): semantic invariants that an
+  * independent derivation must reproduce, plus the physical-plan
+  * properties (broadcast dims, semi/anti decorrelation, top-k without a
+  * global sort) that make each shape survive a 100× scale-up.
+  */
+class TpcHSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString("UTF-8")
+  }
+
+  test("q4: the correlated EXISTS decorrelates to a semi join, not a nested loop") {
+    val p = planOf("q4_order_priority")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q8: every dimension broadcasts (no shuffle join except orders)") {
+    val p = planOf("q8_market_share")
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).size
+    assert(broadcasts >= 5, s"broadcasts=$broadcasts\n${p.take(2000)}")
+  }
+
+  test("q10: top-20 plans as TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q13: zero-order customers survive (left join, not inner)") {
+    val rows = SparkEntry.queries("q13_cust_distribution")(spark, sf).collect()
+    val nCust = graft.ops.Tables.customer(spark, sf).count()
+    // the distribution must account for every customer exactly once
+    assert(rows.map(_.getLong(1)).sum == nCust)
+  }
+
+  test("q21: count of (late, lone-late-supplier, multi-supplier) lineitems matches " +
+    "a correlated-subquery rederivation") {
+    val sfx = graft.ops.Tables.viewSuffix(sf)
+    graft.ops.Tables.lineitem(spark, sf).createOrReplaceTempView(s"li_$sfx")
+    graft.ops.Tables.orders(spark, sf).createOrReplaceTempView(s"ord_$sfx")
+    val direct = spark.sql(
+      s"""SELECT count(*) FROM li_$sfx l1 JOIN ord_$sfx o ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'F'
+         |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+         |  AND EXISTS (SELECT 1 FROM li_$sfx l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM li_$sfx l3 JOIN ord_$sfx o3
+         |      ON l3.l_orderkey = o3.o_orderkey
+         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+         |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)""".stripMargin)
+      .head().getLong(0)
+    val agg = SparkEntry.queries("q21_waiting_supplier")(spark, sf)
+      .agg(sum(col("numwait"))).head().getLong(0)
+    assert(agg == direct, s"aggregate-decorrelated=$agg correlated-EXISTS=$direct")
+  }
+
+  test("q22: NOT EXISTS plans as a left anti join; threshold side broadcasts") {
+    val p = planOf("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
+  test("q15: ties at max revenue all surface (grid equality on the 4dp round)") {
+    val rev = SparkEntry.queries("q15_top_supplier")(spark, sf).collect()
+    assert(rev.nonEmpty)
+    val tops = rev.map(_.getDouble(2)).distinct
+    assert(tops.length == 1, s"multiple revenue values at max: ${tops.toSeq}")
+  }
+}
