@@ -31,7 +31,226 @@ import Tables._
   */
 object TpcH {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Derived part-supplier relation standing in for the absent partsupp
+    * table: one row per (partkey, suppkey) pair observed in lineitem, with
+    * `sc_cents` = min unit price in EXACT integer cents — floor-divided
+    * (`div` == DuckDB `//` on non-negative operands), never FP-rounded,
+    * because the true quotient price/qty can land exactly on a decimal
+    * half-boundary where Spark's shortest-repr HALF_UP and DuckDB's binary
+    * round() disagree (seen live: 26.24125 → .2412 vs .2413). All integer
+    * arithmetic is order-insensitive, so min/sum over it is cross-engine
+    * exact. Q2/Q9/Q11 join through this; at 100 TB it is ONE
+    * (partkey, suppkey)-keyed shuffle with map-side partial min.
+    */
+  private def partSupp(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)"))
+        .as("sc_cents"))
+
+  /** The SQL twin of partSupp's sc_cents for the DuckDB oracle. */
+  private val scCentsSql =
+    "min(CAST(round(l_extendedprice * 100) AS BIGINT) // CAST(l_quantity AS BIGINT))"
+
   def queries: Seq[GraftQuery] = Seq(
+
+    // Q2 — minimum-cost supplier: the correlated "= (SELECT min(cost) for
+    // this part among EUROPE suppliers)" becomes a per-part window MIN over
+    // the already-region-filtered join — one partkey shuffle instead of a
+    // re-evaluated subquery; cost compares in exact integer cents.
+    GraftQuery.of("q2_min_cost_supplier",
+      s"""WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, $scCentsSql AS sc_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+        |  sc_cents
+        |FROM ps
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |AND sc_cents = (
+        |  SELECT min(ps2.sc_cents) FROM ps ps2
+        |  JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |  WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+      partSupp(s, d)
+        .join(broadcast(part(s, d)
+          .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+          .select("p_partkey")), col("p_partkey") === col("ps_partkey"))
+        .join(broadcast(supplier(s, d)), col("s_suppkey") === col("ps_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .withColumn("min_cost", min(col("sc_cents")).over(w))
+        .filter(col("sc_cents") === col("min_cost"))
+        .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+          col("n_name"), col("p_partkey"), col("sc_cents"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    },
+
+    // Q9 — product-type profit by nation and year, computed ENTIRELY in
+    // integer 1e-4-dollar units: revenue term ep_cents × (100 − disc_pct),
+    // cost term sc_cents × qty × 100 — both exact BIGINTs, so the profit
+    // sum is bit-identical under any summation order (no FP rounding rule
+    // needed at all). Two fact shuffles — lineitem⋈ps on (partkey,
+    // suppkey), then ⋈orders — with all true dimensions broadcast.
+    GraftQuery.of("q9_product_profit",
+      s"""WITH ps AS (
+        |  SELECT l_partkey AS ps_pk, l_suppkey AS ps_sk, $scCentsSql AS sc_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT n_name AS nation, o_year,
+        |  CAST(sum(amount_e4) AS BIGINT) AS profit_e4
+        |FROM (
+        |  SELECT n_name, year(o_orderdate) AS o_year,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |    - sc_cents * CAST(l_quantity AS BIGINT) * 100 AS amount_e4
+        |  FROM lineitem
+        |  JOIN ps ON ps_pk = l_partkey AND ps_sk = l_suppkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_type = 'PROMO')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val amountE4 =
+        round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+          col("sc_cents") * col("l_quantity").cast("long") * 100
+      lineitem(s, d)
+        .join(broadcast(part(s, d).filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("p_partkey") === col("l_partkey"))
+        .join(partSupp(s, d), col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(amountE4).cast("long").as("profit_e4"))
+        .orderBy(col("nation"), col("o_year"))
+    },
+
+    // Q11 — important stock value: the HAVING `value > 2 × mean part value`
+    // (scale-free, unlike the classic fixed fraction, so the result is
+    // non-degenerate at every SF)
+    // compares in exact integer cents (cost pinned to cents × integral
+    // quantity), because both sides of the classic FP comparison are
+    // order-sensitive double sums that could flip a boundary group. The
+    // scalar total arrives via a broadcast cross-join.
+    GraftQuery.of("q11_important_stock",
+      s"""WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    $scCentsSql AS sc_cents,
+        |    CAST(sum(l_quantity) AS BIGINT) AS tot_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |val AS (
+        |  SELECT l_partkey, CAST(sum(sc_cents * tot_qty) AS BIGINT) AS value_cents
+        |  FROM ps JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+        |               CAST(count(*) AS BIGINT) AS n_parts FROM val)
+        |SELECT l_partkey AS ps_partkey, value_cents
+        |FROM val, tot WHERE value_cents * n_parts > 2 * total_cents
+        |ORDER BY value_cents DESC, ps_partkey""".stripMargin) { (s, d) =>
+      val ps = lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)"))
+          .as("sc_cents"),
+          sum(col("l_quantity")).cast("long").as("tot_qty"))
+      val value = ps
+        .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("l_partkey").as("ps_partkey"))
+        .agg(sum(col("sc_cents") * col("tot_qty")).cast("long").as("value_cents"))
+      val total = value.agg(sum(col("value_cents")).cast("long").as("total_cents"),
+        count(lit(1)).as("n_parts"))
+      value.crossJoin(broadcast(total))
+        .filter(col("value_cents") * col("n_parts") > lit(2L) * col("total_cents"))
+        .select(col("ps_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    },
+
+    // Q16 — supplier diversity per part attribute: distinct observed
+    // (part, supplier) pairs, NOT IN a supplier blacklist (non-null keys →
+    // a plain broadcast anti join, no null-aware machinery), then a
+    // count-distinct per (brand, type, size).
+    GraftQuery.of("q16_supplier_diversity",
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 40""".stripMargin) { (s, d) =>
+      val bad = supplier(s, d).filter(col("s_acctbal") < 0.0).select("s_suppkey")
+      lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+        .limit(40)
+    },
+
+    // Q20 — dominant suppliers of SMALL parts: a supplier qualifies when
+    // its 1996 shipped quantity of some SMALL part exceeds half that
+    // part's 1996 total. Both quantity aggregates are exact integral
+    // sums; the nested INs are semi joins (qualifying-keys broadcast).
+    GraftQuery.of("q20_dominant_supplier",
+      """SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_suppkey, l_partkey, CAST(sum(l_quantity) AS BIGINT) AS sq
+        |    FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY 1, 2) a
+        |  JOIN (
+        |    SELECT l_partkey AS pk2, CAST(sum(l_quantity) AS BIGINT) AS tq
+        |    FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY 1) b ON l_partkey = pk2
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+        |  AND sq * 2 > tq)
+        |ORDER BY s_name""".stripMargin) { (s, d) =>
+      val li96 = lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .join(broadcast(part(s, d).filter(col("p_type") === "SMALL")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+      val bySupp = li96.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("sq"))
+      val byPart = li96.groupBy(col("l_partkey").as("pk2"))
+        .agg(sum(col("l_quantity")).cast("long").as("tq"))
+      val qualifying = bySupp.join(byPart, col("l_partkey") === col("pk2"))
+        .filter(col("sq") * 2 > col("tq"))
+        .select("l_suppkey")
+      supplier(s, d)
+        .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    },
 
     // Q4 — order-priority checking: EXISTS(lineitem late vs the order's
     // own date) over a one-quarter order window. The correlated EXISTS is

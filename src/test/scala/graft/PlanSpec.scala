@@ -272,7 +272,9 @@ class PlanSpec extends AnyFunSuite {
       "sim_knn_pq" -> "broadcast sub-codebook + broadcast probes x corpus scan",
       "sim_knn_sq8" -> "broadcast probe codes x corpus scan (int8 candidate gen)",
       "sim_recall_lsh_multi" -> "broadcast brute-force truth set for recall",
-      "text_tfidf_top_terms" -> "1-row ndocs frame in the idf term")
+      "text_tfidf_top_terms" -> "1-row ndocs frame in the idf term",
+      "q11_important_stock" -> "1-row total/part-count frame for the threshold",
+      "q22_dormant_customers" -> "1-row positive-balance stats frame")
     // stream_* excluded: their returned frame is a localCheckpointed
     // result (bare RDD scan — nothing to inspect) and construction runs
     // the streaming query; their operator plans are locked by

