@@ -592,5 +592,42 @@ object Events {
         |ORDER BY user_id, version""".stripMargin) { (s, d) =>
       scd2(events(s, d).filter(pmod(col("user_id"), lit(10L)) === 0))
         .orderBy(col("user_id"), col("version"))
+    },
+
+    // Gaps-and-islands — maximal runs of CONSECUTIVE active days per user
+    // (the retention/streak feature next to events_sessionize's time-gap
+    // sessions). The classic anchor trick: day − row_number() is constant
+    // within a consecutive run, so one distinct + one window + two
+    // aggregations — all partitioned by user_id, so after the first
+    // shuffle every step is co-partitioned. All-integer/date arithmetic.
+    GraftQuery.of("events_gap_islands",
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |anch AS (SELECT user_id, day,
+        |  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+        |    AS anchor
+        |  FROM days),
+        |streaks AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len,
+        |  min(day) AS streak_start FROM anch GROUP BY 1, 2),
+        |m AS (SELECT *, max(len) OVER (PARTITION BY user_id) AS mx FROM streaks)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+        |  max(len) AS longest_streak,
+        |  strftime(min(CASE WHEN len = mx THEN streak_start END), '%Y-%m-%d')
+        |    AS longest_start
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      val byUserAll = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("anchor", date_sub(col("day"), row_number().over(byUser)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
+        .withColumn("mx", max(col("len")).over(byUserAll))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"),
+          date_format(min(when(col("len") === col("mx"), col("streak_start"))),
+            "yyyy-MM-dd").as("longest_start"))
+        .orderBy(col("user_id"))
     })
 }

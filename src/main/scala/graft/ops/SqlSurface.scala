@@ -64,5 +64,30 @@ object SqlSurface {
                |FROM (SELECT explode(space_saving_topk(event_type, 3, 64)) AS x
                |      FROM $v)
                |ORDER BY cnt DESC, value""".stripMargin)
+    },
+
+    // NOT IN over a NULLABLE subquery — three-valued logic means one NULL
+    // in the list annihilates every row, so Spark must plan a null-aware
+    // anti join (single-column NAAJ broadcasts the build side and
+    // short-circuits on its null bit) rather than a plain LeftAnti. The
+    // CASE makes the subquery column nullable in the schema while the
+    // guard keeps actual NULLs out, so the result is non-vacuous AND the
+    // NAAJ path is exercised; the SQL text goes through spark.sql exactly
+    // as a user would write it.
+    GraftQuery.of("q_null_aware_anti",
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT CASE WHEN o_totalprice < 0.0 THEN NULL ELSE o_custkey END
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val cv = s"cust_naaj_${viewSuffix(d)}"
+      val ov = s"ord_naaj_${viewSuffix(d)}"
+      customer(s, d).createOrReplaceTempView(cv)
+      orders(s, d).createOrReplaceTempView(ov)
+      s.sql(s"""SELECT c_custkey, c_mktsegment FROM $cv
+               |WHERE c_custkey NOT IN (
+               |  SELECT CASE WHEN o_totalprice < 0.0 THEN NULL ELSE o_custkey END
+               |  FROM $ov WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+               |ORDER BY c_custkey""".stripMargin)
     })
 }

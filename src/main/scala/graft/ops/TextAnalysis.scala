@@ -597,5 +597,56 @@ object TextAnalysis {
         length(norm).cast("long").as("norm_len"),
         graft.functions.Md5Hash60.md5hash60(norm).as("norm_fp64"))
         .orderBy(col("doc_id"))
+    },
+
+    // Zipf freq-of-freq — the vocabulary-curve diagnostic (how many
+    // distinct tokens occur exactly k times) that tells a corpus builder
+    // whether the token distribution is natural-language-shaped or
+    // degenerate. Two cascading integer aggregations, each strictly
+    // narrowing (tokens → distinct tokens → distinct frequencies), both
+    // with map-side partial combine.
+    GraftQuery.of("text_zipf_histogram",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |freq AS (SELECT t, count(*) AS f FROM tok WHERE t <> '' GROUP BY 1)
+        |SELECT CAST(f AS BIGINT) AS occurrences, CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM freq GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("t")).agg(count(lit(1)).as("occurrences"))
+        .groupBy(col("occurrences")).agg(count(lit(1)).as("n_tokens"))
+        .orderBy(col("occurrences"))
+    },
+
+    // N-gram novelty — per-document count of 8-grams that also occur in
+    // ANOTHER document (shared_grams / n_grams is the memorization /
+    // near-dup signal training pipelines threshold on). One gram-keyed
+    // aggregation (doc-frequency) feeding one gram-keyed join back, then a
+    // doc-keyed rollup: three shuffles, all partial-aggregated; the gram
+    // explode multiplies rows ~50× but stays inside one codegen stage
+    // before the first exchange. docs_with > 1 — not the raw count — makes
+    // a gram repeated WITHIN one document count as novel, matching the
+    // cross-document contamination semantics.
+    GraftQuery.of("text_ngram_novelty",
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, list_aggregate(toks[i:i+7], 'string_agg', ' ') AS gram
+        |  FROM docs, unnest(range(1, len(toks) - 6)) t(i) WHERE len(toks) >= 8),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS docs_with FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams
+        |FROM g JOIN df USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val grams = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+          .as("gram"))
+      val docFreq = grams.groupBy(col("gram").as("df_gram"))
+        .agg(countDistinct(col("doc_id")).as("docs_with"))
+      grams.join(docFreq, col("gram") === col("df_gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("docs_with") > 1, 1).otherwise(0)).cast("long").as("shared_grams"))
+        .orderBy(col("doc_id"))
     })
 }

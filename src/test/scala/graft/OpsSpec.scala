@@ -672,4 +672,43 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
   }
+
+  test("q_null_aware_anti plans the null-aware single-column anti join") {
+    val df = SparkEntry.queries("q_null_aware_anti")(spark, "/root/testdata/sf0.001")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    val p = out.toString("UTF-8")
+    // the property worth locking: the nullable NOT IN takes the single-
+    // column null-aware HASH anti join (optimizeNullAwareAntiJoin), not
+    // the quadratic BroadcastNestedLoopJoin fallback with an isnull-OR
+    // condition that null-aware NOT IN otherwise requires
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("gap islands: streak arithmetic on a hand-built calendar") {
+    // user 7: days 1,2,3 (streak 3), 5 (streak 1), 10,11 (streak 2)
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-05",
+      "2024-01-10", "2024-01-11")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("user_id", LongType)))
+    val ev = spark.createDataFrame(
+      days.zipWithIndex
+        .map { case (d, i) =>
+          Row(i.toLong, java.sql.Timestamp.valueOf(s"$d 09:00:00"), 7L)
+        }.asJava, schema)
+    // reuse the registered derivation by rebuilding it over this frame
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    val r = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("anchor", date_sub(col("day"), row_number().over(byUser)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"))
+      .head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+  }
 }
