@@ -281,6 +281,71 @@ object ScaleOps {
         .orderBy(col("event_type"))
     },
 
+    // Lakehouse MERGE (SCD1 upsert): a materialized per-user profile table
+    // absorbs a late-window changeset in ONE pass — matched rows update
+    // (counts accumulate, last_type overwrites), matched rows whose source
+    // ends in 'error' DELETE (account-closure tombstone), unmatched source
+    // rows insert, untouched target rows survive as 'kept'. The engine
+    // form is the canonical MERGE plan: full-outer join on the key, one
+    // CASE deciding the action, a filter dropping tombstones — then the
+    // merged table is REWRITTEN to parquet and re-read, so the emitted
+    // rows prove what landed on disk, not what the writer intended. At
+    // 100 TB both sides pre-aggregate to one row per key BEFORE the join
+    // (map-side combine), and the join shuffles on the merge key only;
+    // copy-on-write engines prune the rewrite to files containing matched
+    // keys (cf. sink_zonemap_prune).
+    GraftQuery.of("sink_merge_upsert",
+      """WITH tgt AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max_by(event_type, event_id) AS last_type
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-21' AND user_id % 4 <> 1
+        |  GROUP BY 1),
+        |src AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    max_by(event_type, event_id) AS last_type
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-21' AND user_id % 4 <> 2
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(t.user_id, s.user_id) AS user_id,
+        |    CASE WHEN s.user_id IS NULL THEN 'kept'
+        |         WHEN t.user_id IS NULL THEN 'inserted'
+        |         WHEN s.last_type = 'error' THEN 'deleted'
+        |         ELSE 'updated' END AS action,
+        |    coalesce(t.n_events, 0) + coalesce(s.n_events, 0) AS n_events,
+        |    coalesce(s.last_type, t.last_type) AS last_type
+        |  FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id)
+        |SELECT user_id, action, CAST(n_events AS BIGINT) AS n_events, last_type
+        |FROM m WHERE action <> 'deleted' ORDER BY user_id""".stripMargin) { (s, d) =>
+      def profile(f: DataFrame): DataFrame = f
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max_by(col("event_type"), col("event_id")).as("last_type"))
+      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/events_merge"
+      val ev = events(s, d)
+      profile(ev.filter(col("ts") < "2024-01-21" && pmod(col("user_id"), lit(4L)) =!= 1))
+        .write.mode("overwrite").parquet(s"$base/target")
+      val tgt = s.read.parquet(s"$base/target")
+        .select(col("user_id").as("t_uid"), col("n_events").as("t_n"),
+          col("last_type").as("t_lt"))
+      val src = profile(
+        ev.filter(col("ts") >= "2024-01-21" && pmod(col("user_id"), lit(4L)) =!= 2))
+        .select(col("user_id").as("s_uid"), col("n_events").as("s_n"),
+          col("last_type").as("s_lt"))
+      tgt.join(src, col("t_uid") === col("s_uid"), "full_outer")
+        .select(
+          coalesce(col("t_uid"), col("s_uid")).as("user_id"),
+          when(col("s_uid").isNull, "kept")
+            .when(col("t_uid").isNull, "inserted")
+            .when(col("s_lt") === "error", "deleted")
+            .otherwise("updated").as("action"),
+          (coalesce(col("t_n"), lit(0L)) + coalesce(col("s_n"), lit(0L))).as("n_events"),
+          coalesce(col("s_lt"), col("t_lt")).as("last_type"))
+        .filter(col("action") =!= "deleted")
+        .write.mode("overwrite").parquet(s"$base/merged")
+      s.read.parquet(s"$base/merged").orderBy(col("user_id"))
+        .select(col("user_id"), col("action"), col("n_events"), col("last_type"))
+    },
+
     // End-to-end corpus-cleaning pipeline, composed entirely from the
     // registered operator families: quality gate (length + type-token
     // ratio) → exact-dedup keeper selection → per-language survivor

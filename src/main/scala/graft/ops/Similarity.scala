@@ -87,6 +87,37 @@ object Similarity {
     * Same output contract as [[knnBrute]]; quantization quality is
     * asserted as recall-vs-brute in the unit tests.
     */
+  /** Matryoshka two-stage kNN (Kusupati et al., NeurIPS'22): coarse-rank
+    * every candidate by cosine over the FIRST `prefixDim` dimensions only
+    * (MRL-trained embeddings front-load information, so a 16-dim prefix
+    * is a 4× cheaper scan that preserves neighborhood structure), keep
+    * k·mult survivors per probe, re-rank those by full-dimension cosine.
+    * At 100 TB the prefix column is materialized separately (column
+    * pruning reads 1/4 of the vector bytes on the scan that touches every
+    * row; the full vector is read only for the survivor set). Both
+    * rankings tie-break on neighbor_id at 6dp-rounded similarity, the
+    * registry-wide cut discipline.
+    */
+  def knnMatryoshka(emb: DataFrame, nProbes: Int, k: Int,
+      prefixDim: Int = 16, mult: Int = 4): DataFrame = {
+    val enc = emb.select(col("vec_id"), col("embedding"),
+      expr(s"slice(embedding, 1, $prefixDim)").as("prefix"))
+    val probes = enc.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("prefix").as("pp"))
+    val cands = enc.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("prefix").as("np"))
+    val wC = Window.partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc, col("neighbor_id"))
+    cands.crossJoin(broadcast(probes))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("csim", round(cosineSim(col("pp"), col("np")), 6))
+      .withColumn("crn", row_number().over(wC))
+      .filter(col("crn") <= k * mult)
+      .withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6))
+      .transform(topK(_, k))
+  }
+
   def knnSq8(emb: DataFrame, nProbes: Int, k: Int, mult: Int = 4): DataFrame = {
     val enc = emb.select(col("vec_id"), col("embedding"))
       .withColumn("maxabs",
@@ -658,6 +689,29 @@ object Similarity {
     // int8 scalar-quantized kNN: integer code-dot candidate cut (exact on
     // both engines by construction), exact cosine re-rank — the oracle
     // replays quantization, candidate window, and re-rank end to end.
+    // Matryoshka prefix search: coarse cosine on the 16-dim prefix, exact
+    // re-rank of the 4k survivors. The oracle replays the list-sliced
+    // prefix cosine, the crn cut, and both rankings.
+    GraftQuery.of("sim_knn_matryoshka",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS fe,
+        |  (embedding::DOUBLE[])[1:16] AS p16 FROM embeddings),
+        |sc AS (
+        |  SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(p.p16, n.p16), 6) AS csim,
+        |    p.fe AS pe, n.fe AS ne
+        |  FROM e p, e n WHERE p.vec_id < 5 AND n.vec_id <> p.vec_id),
+        |cc AS (SELECT *, row_number() OVER (
+        |  PARTITION BY probe_id ORDER BY csim DESC, neighbor_id) AS crn FROM sc),
+        |ex AS (SELECT probe_id, neighbor_id,
+        |  round(list_cosine_similarity(pe, ne), 6) AS sim
+        |  FROM cc WHERE crn <= 40),
+        |r AS (SELECT probe_id, neighbor_id, sim, row_number() OVER (
+        |  PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn FROM ex)
+        |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
+        |FROM r WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      knnMatryoshka(embeddings(s, d), nProbes = 5, k = 10)
+    },
+
     GraftQuery.of("sim_knn_sq8",
       """WITH enc AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e,

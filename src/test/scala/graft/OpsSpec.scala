@@ -87,6 +87,40 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("Matryoshka prefix ANN recall vs brute-force cosine top-10 is high") {
+    val emb = Tables.embeddings(spark, sf)
+    val brute = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mat = Similarity.knnMatryoshka(emb, nProbes = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & mat).size.toDouble / brute.size
+    // synthetic vectors are NOT MRL-trained (energy is spread uniformly,
+    // so a 16-of-64 prefix keeps ~1/4 of it) — the same usability bar as
+    // the IVF path applies, not the 0.9+ a front-loaded embedding gives
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("merge upsert exercises all four MERGE branches and tombstones stay dead") {
+    val out = SparkEntry.queries("sink_merge_upsert")(spark, sf).collect()
+    val actions = out.map(_.getString(1)).toSet
+    assert(actions == Set("kept", "inserted", "updated"), actions.toString)
+    // deleted users (matched + source last_type = error) must NOT appear
+    val base = s"/tmp/graft_sink/${new java.io.File(sf).getName}/events_merge"
+    val tgtUsers = spark.read.parquet(s"$base/target")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val merged = out.map(_.getLong(0)).toSet
+    val ev = Tables.events(spark, sf)
+    val deleted = ev
+      .filter(col("ts") >= "2024-01-21" && pmod(col("user_id"), lit(4L)) =!= 2)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_type"), col("event_id")).as("lt"))
+      .filter(col("lt") === "error")
+      .collect().map(_.getLong(0)).toSet
+      .intersect(tgtUsers)
+    assert(deleted.nonEmpty, "no tombstoned users in testdata — branch untested")
+    assert((merged & deleted).isEmpty, s"tombstoned users survived: ${merged & deleted}")
+  }
+
   test("LSH ANN recall vs brute-force cosine top-10 is usable") {
     val emb = Tables.embeddings(spark, sf)
     // collect each pipeline ONCE with all columns; derive pair sets and
