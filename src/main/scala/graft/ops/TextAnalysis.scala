@@ -620,13 +620,14 @@ object TextAnalysis {
 
     // N-gram novelty — per-document count of 8-grams that also occur in
     // ANOTHER document (shared_grams / n_grams is the memorization /
-    // near-dup signal training pipelines threshold on). One gram-keyed
-    // aggregation (doc-frequency) feeding one gram-keyed join back, then a
-    // doc-keyed rollup: three shuffles, all partial-aggregated; the gram
-    // explode multiplies rows ~50× but stays inside one codegen stage
-    // before the first exchange. docs_with > 1 — not the raw count — makes
-    // a gram repeated WITHIN one document count as novel, matching the
-    // cross-document contamination semantics.
+    // near-dup signal training pipelines threshold on). The exploded gram
+    // stream pre-aggregates to (gram, doc_id, occurrences) — map-side
+    // partial combine collapses within-doc repeats BEFORE any exchange —
+    // then one gram-partitioned window counts distinct docs per gram and
+    // a doc-keyed rollup weighs each gram by its occurrence count. Three
+    // narrowing shuffles, no join of the full gram stream. docs_with > 1
+    // — not the raw count — makes a gram repeated WITHIN one document
+    // count as novel, matching cross-document contamination semantics.
     GraftQuery.of("text_ngram_novelty",
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, list_aggregate(toks[i:i+7], 'string_agg', ' ') AS gram
@@ -635,18 +636,20 @@ object TextAnalysis {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
         |  CAST(sum(CASE WHEN docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams
         |FROM g JOIN df USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val grams = documents(s, d)
+      val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+      documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
           .as("gram"))
-      val docFreq = grams.groupBy(col("gram").as("df_gram"))
-        .agg(countDistinct(col("doc_id")).as("docs_with"))
-      grams.join(docFreq, col("gram") === col("df_gram"))
+        .groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("occ"))
+        .withColumn("docs_with", count(lit(1)).over(byGram))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("docs_with") > 1, 1).otherwise(0)).cast("long").as("shared_grams"))
+        .agg(sum(col("occ")).as("n_grams"),
+          sum(when(col("docs_with") > 1, col("occ")).otherwise(lit(0L)))
+            .as("shared_grams"))
         .orderBy(col("doc_id"))
     })
 }

@@ -44,11 +44,19 @@ object TpcH {
     * exact. Q2/Q9/Q11 join through this; at 100 TB it is ONE
     * (partkey, suppkey)-keyed shuffle with map-side partial min.
     */
-  private def partSupp(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+  /** partSupp over a (possibly pre-filtered) lineitem frame. A filter on
+    * l_partkey or l_suppkey keeps or drops ENTIRE pairs (the group key is
+    * functionally determined), so callers semi-join their candidate
+    * part/supplier set BEFORE this aggregate — at 100 TB that turns a
+    * full-fact shuffle into a shuffle of the qualifying slice.
+    */
+  private def partSuppOf(li: DataFrame): DataFrame =
+    li.groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
       .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)"))
         .as("sc_cents"))
+
+  private def partSupp(s: SparkSession, d: String): DataFrame =
+    partSuppOf(lineitem(s, d))
 
   /** The SQL twin of partSupp's sc_cents for the DuckDB oracle. */
   private val scCentsSql =
@@ -80,10 +88,14 @@ object TpcH {
         |  WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin) { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
-      partSupp(s, d)
-        .join(broadcast(part(s, d)
-          .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
-          .select("p_partkey")), col("p_partkey") === col("ps_partkey"))
+      val cand = part(s, d)
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select("p_partkey")
+      // prune the fact scan to candidate parts BEFORE the pair aggregate —
+      // partkey filters keep whole pairs, so ps is unchanged for survivors
+      partSuppOf(lineitem(s, d)
+        .join(broadcast(cand), col("l_partkey") === col("p_partkey"), "left_semi"))
+        .join(broadcast(cand), col("p_partkey") === col("ps_partkey"))
         .join(broadcast(supplier(s, d)), col("s_suppkey") === col("ps_suppkey"))
         .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
@@ -125,10 +137,14 @@ object TpcH {
         round(col("l_extendedprice") * 100).cast("long") *
           (lit(100L) - round(col("l_discount") * 100).cast("long")) -
           col("sc_cents") * col("l_quantity").cast("long") * 100
-      lineitem(s, d)
-        .join(broadcast(part(s, d).filter(col("p_type") === "PROMO")
-          .select("p_partkey")), col("p_partkey") === col("l_partkey"))
-        .join(partSupp(s, d), col("ps_partkey") === col("l_partkey") &&
+      val promo = part(s, d).filter(col("p_type") === "PROMO").select("p_partkey")
+      // both the pair aggregate and the probe stream read only PROMO-part
+      // lineitems — the partkey semi-join prunes whole pairs, so sc_cents
+      // is identical for every surviving pair
+      val liPromo = lineitem(s, d)
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      liPromo
+        .join(partSuppOf(liPromo), col("ps_partkey") === col("l_partkey") &&
           col("ps_suppkey") === col("l_suppkey"))
         .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
         .join(orders(s, d), col("o_orderkey") === col("l_orderkey"))
@@ -164,17 +180,21 @@ object TpcH {
         |SELECT l_partkey AS ps_partkey, value_cents
         |FROM val, tot WHERE value_cents * n_parts > 2 * total_cents
         |ORDER BY value_cents DESC, ps_partkey""".stripMargin) { (s, d) =>
-      val ps = lineitem(s, d)
+      // resolve the ASIA supplier keys first and semi-join them into the
+      // fact scan — suppkey filters keep whole pairs, so the pair stats
+      // are unchanged and the big aggregate only shuffles the ASIA slice
+      val asiaSupp = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val value = lineitem(s, d)
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(expr(
           "CAST(round(l_extendedprice * 100) AS BIGINT) div CAST(l_quantity AS BIGINT)"))
           .as("sc_cents"),
           sum(col("l_quantity")).cast("long").as("tot_qty"))
-      val value = ps
-        .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("l_partkey").as("ps_partkey"))
         .agg(sum(col("sc_cents") * col("tot_qty")).cast("long").as("value_cents"))
       val total = value.agg(sum(col("value_cents")).cast("long").as("total_cents"),
