@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CdcBoundaries, CosineSim, Md5Hash60, RollingHash61, SpaceSavingTopK}
+import graft.functions.{CdcBoundaries, CosineSim, Md5Hash60, NGrams, RollingHash61, SpaceSavingTopK}
 
 /** SQL registration of the engine's native Catalyst expressions, so
   * `spark.sql("SELECT md5hash60(text) ...")` works like a built-in:
@@ -18,9 +18,9 @@ import graft.functions.{CdcBoundaries, CosineSim, Md5Hash60, RollingHash61, Spac
   *    registered queries use, since the driver hands them an already-built
   *    session.
   *
-  * All four are native expressions (codegen'd scalar ops, a
-  * TypedImperativeAggregate for the sketch) — registering them does not
-  * introduce any UDF boundary into the plan.
+  * All are native expressions (codegen'd scalar ops, a
+  * TypedImperativeAggregate for the sketch, a Generator for shingling) —
+  * registering them does not introduce any UDF boundary into the plan.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -59,6 +59,10 @@ object GraftExtensions {
     "cdc_boundaries" -> { args =>
       require(args.size == 3, "cdc_boundaries(expr, window, mask)")
       CdcBoundaries(args.head, intLit(args(1), "window"), intLit(args(2), "mask").toLong)
+    },
+    "ngrams" -> { args =>
+      require(args.size == 2, "ngrams(text, n)")
+      NGrams(args.head, intLit(args(1), "n"))
     })
 
   /** Register every function on a live session (idempotent). */

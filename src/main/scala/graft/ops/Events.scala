@@ -16,6 +16,11 @@ import Tables._
   * lag window partitioned by user_id (one shuffle on user_id — exactly the
   * state partitioning a streaming mapGroupsWithState would use).
   */
+/** Row shape for the typed-Dataset path (events_typed_argmax); field
+  * names/order match the select into `as(Encoders.product)`.
+  */
+case class TypedEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
+
 object Events {
 
   val SessionGapSeconds = 1800L
@@ -592,6 +597,34 @@ object Events {
         |ORDER BY user_id, version""".stripMargin) { (s, d) =>
       scd2(events(s, d).filter(pmod(col("user_id"), lit(10L)) === 0))
         .orderBy(col("user_id"), col("version"))
+    },
+
+    // Typed Dataset API — case-class Encoder + groupByKey/reduceGroups
+    // arg-max (each user's highest-value event, event_id breaking value
+    // ties). reduceGroups is a typed ReduceAggregator, so Spark STILL
+    // plans partial/final aggregation (one buffered row per user per
+    // partition crosses the shuffle — unlike mapGroups, which would
+    // materialize whole groups). The lambda compares, never accumulates:
+    // both engines pick among identical stored doubles, no FP hazard.
+    GraftQuery.of("events_typed_argmax",
+      """WITH r AS (SELECT user_id, event_id, event_type, "value",
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY "value" DESC, event_id DESC) AS rn FROM events)
+        |SELECT user_id, event_id AS top_event_id, event_type AS top_type,
+        |  "value" AS top_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.Encoders
+      val ds = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .as(Encoders.product[TypedEvent])
+      ds.groupByKey(_.user_id)(Encoders.scalaLong)
+        .reduceGroups((a: TypedEvent, b: TypedEvent) =>
+          if (a.value > b.value || (a.value == b.value && a.event_id > b.event_id)) a
+          else b)
+        .toDF("user_id", "ev")
+        .select(col("user_id"), col("ev.event_id").as("top_event_id"),
+          col("ev.event_type").as("top_type"), col("ev.value").as("top_value"))
+        .orderBy(col("user_id"))
     },
 
     // Gaps-and-islands — maximal runs of CONSECUTIVE active days per user

@@ -856,6 +856,27 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // Typed Aggregator UDAF (functions.udaf over an Aggregator[Long,
+    // Moments, Moments]) — exact integer moments per group; Spark plans
+    // the typed aggregator with the same partial/final split as a native
+    // agg (ObjectHashAggregate), so the shuffle carries one 3-long buffer
+    // per group per partition. Mean/variance derive from the emitted
+    // integer sums without order-sensitive float accumulation.
+    GraftQuery.of("q_typed_udaf",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS total_sq
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val m = udaf(graft.functions.IntMomentsAgg)
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(m(col("l_quantity").cast("long")).as("m"))
+        .select(col("l_returnflag"), col("m.n").as("n"),
+          col("m.total").as("total"), col("m.total_sq").as("total_sq"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // RANGE-framed rolling window (value-based frame, not row-count):
     // per-user 1-hour trailing sum over event time. Distinct physical
     // frame processing from the ROWS queries above — the frame boundary

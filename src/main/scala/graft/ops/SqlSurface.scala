@@ -66,6 +66,28 @@ object SqlSurface {
                |ORDER BY cnt DESC, value""".stripMargin)
     },
 
+    // The native ngrams GENERATOR through SQL text — LATERAL VIEW over a
+    // table-generating Catalyst expression (the third extension kind next
+    // to the scalar and aggregate natives). One Generate node streams
+    // token windows straight to rows; the oracle replays the window
+    // arithmetic with list slicing.
+    GraftQuery.of("q_ext_sql_ngrams",
+      """SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |  list_aggregate(toks[i:i+7], 'string_agg', ' ') AS gram
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id < 20),
+        |  unnest(range(1, len(toks) - 6)) t(i)
+        |WHERE len(toks) >= 8
+        |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      graft.GraftExtensions.register(s)
+      val v = s"documents_ng_${viewSuffix(d)}"
+      documents(s, d).createOrReplaceTempView(v)
+      s.sql(s"""SELECT doc_id, pos, gram
+               |FROM $v LATERAL VIEW ngrams(text, 8) t AS pos, gram
+               |WHERE doc_id < 20
+               |ORDER BY doc_id, pos""".stripMargin)
+    },
+
     // NOT IN over a NULLABLE subquery — three-valued logic means one NULL
     // in the list annihilates every row, so Spark must plan a null-aware
     // anti join (single-column NAAJ broadcasts the build side and
