@@ -281,6 +281,38 @@ object ScaleOps {
         .orderBy(col("event_type"))
     },
 
+    // DYNAMIC partition pruning — the runtime twin of sink_zonemap_prune's
+    // static skipping: the fact table is laid out partitioned by ship
+    // month, the qualifying months are only known after FILTERING A
+    // DIMENSION, and Catalyst injects the dim-side result as a runtime
+    // partition filter (`dynamicpruning` subquery on the scan — asserted
+    // in PlanSpec), so the fact scan opens only the matching directories.
+    // At 100 TB this is THE mechanism that turns a date-dimension filter
+    // into reading 12 of 10,000 partitions; the oracle states the same
+    // query over the unpartitioned base tables.
+    GraftQuery.of("sink_dynamic_partition_pruning",
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') IN (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/li_by_month"
+      lineitem(s, d)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(base)
+      val fact = s.read.parquet(base)
+      val months = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1996)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
+      fact.join(broadcast(months), col("ship_month") === col("m"))
+        .groupBy(col("ship_month"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("ship_month"))
+    },
+
     // Lakehouse MERGE (SCD1 upsert): a materialized per-user profile table
     // absorbs a late-window changeset in ONE pass — matched rows update
     // (counts accumulate, last_type overwrites), matched rows whose source

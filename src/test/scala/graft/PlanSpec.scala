@@ -104,6 +104,14 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dynamic partition pruning: the fact scan carries a runtime dim-side filter") {
+    val df = SparkEntry.queries("sink_dynamic_partition_pruning")(spark, sf)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    val p = out.toString("UTF-8")
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("q_bucketed_join helper: zero Exchange in the merge-join subtree") {
     val j = graft.ops.ScaleOps.bucketedOrdersCustomer(spark, sf)
     try {
