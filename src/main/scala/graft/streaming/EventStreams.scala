@@ -181,6 +181,65 @@ object EventStreams {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Checkpoint-recovery harness behind `stream_checkpoint_restart`: stage
+    * the even-event_id half of events as parquet, run [[hourlyAgg]] over a
+    * file-stream of the staging dir to completion (AvailableNow), APPEND
+    * the odd half as new files, then start a SECOND query against the SAME
+    * checkpoint — the file-source offset log skips the already-committed
+    * files and the state store restores the phase-A aggregates, so the
+    * recovered run reads ONLY the new files yet its complete-mode table
+    * covers the full dataset. Returns (result, rowsReadA, rowsReadB);
+    * rowsReadB == half proves recovery was incremental (a from-scratch
+    * rerun would also produce correct totals — the input-row counts are
+    * what distinguish recovery from reprocessing, and the spec pins them).
+    * Root is wiped on entry so every invocation exercises a genuine fresh
+    * run + restart pair, and wiped again on exit.
+    */
+  private[graft] def checkpointRestart(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, Long, Long) = {
+    val sfx = graft.ops.Tables.viewSuffix(d)
+    val root = new java.io.File(s"/tmp/graft_stream/$sfx/restart")
+    org.apache.commons.io.FileUtils.deleteQuietly(root)
+    val stage = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    val ev = graft.ops.Tables.events(s, d)
+      .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+    ev.filter(pmod(col("event_id"), lit(2L)) === 0)
+      .write.mode("overwrite").parquet(stage)
+    val schema = s.read.parquet(stage).schema
+    def runPhase(sink: String): Long = {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+      try {
+        val raw = s.readStream.schema(schema).parquet(stage)
+        val q = hourlyAgg(raw).writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q.recentProgress.map(p => p.numInputRows).sum
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val sinkA = s"restart_a_$sfx"
+    val sinkB = s"restart_b_$sfx"
+    try {
+      val rowsA = runPhase(sinkA)
+      ev.filter(pmod(col("event_id"), lit(2L)) === 1)
+        .write.mode("append").parquet(stage)
+      val rowsB = runPhase(sinkB)
+      val result = s.table(sinkB)
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+        .localCheckpoint(true)
+      (result, rowsA, rowsB)
+    } finally {
+      s.catalog.dropTempView(sinkA)
+      s.catalog.dropTempView(sinkB)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(root)
+    }
+  }
+
   final case class SessionState(nEvents: Long, lastTs: Long, nSessions: Long)
   final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
@@ -302,6 +361,21 @@ object EventStreams {
             col("event_type"), col("n"))
           .orderBy(col("win_start"), col("event_type"))
       }
+    },
+
+    // Checkpoint STATE RECOVERY across a restart — the property that makes
+    // streaming production-safe: phase A aggregates half the files, the
+    // query stops, new files land, and the restarted query (same
+    // checkpoint) recovers offsets + state, reads ONLY the new files, and
+    // its complete-mode table covers everything. The oracle is the batch
+    // aggregation over the full dataset; StreamingSpec pins the phase-B
+    // input-row count to exactly the appended half.
+    GraftQuery.of("stream_checkpoint_restart",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n,
+        |  round(sum("value"), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      checkpointRestart(s, d)._1
     },
 
     // Watermark-BOUNDED streaming dedup (dropDuplicatesWithinWatermark):

@@ -166,4 +166,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.getAs[Long]("n_view_click_purchase") == 1L)
     } finally query.stop()
   }
+
+  test("checkpoint restart recovers state incrementally: phase B reads only the new files") {
+    val sf = "/root/testdata/sf0.001"
+    val (result, rowsA, rowsB) =
+      graft.streaming.EventStreams.checkpointRestart(spark, sf)
+    val total = graft.ops.Tables.events(spark, sf).count()
+    val evens = graft.ops.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.lit(2L)) === 0).count()
+    assert(rowsA == evens, s"phase A read $rowsA, staged $evens")
+    assert(rowsB == total - evens,
+      s"phase B read $rowsB — recovery should read ONLY the ${total - evens} appended rows")
+    // and the recovered complete-mode table still covers the full dataset
+    val n = result.agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(n == total, s"recovered table covers $n of $total events")
+  }
 }
