@@ -599,6 +599,54 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher-style RULE GATE (Rae et al. '21 §A1.1 / Dolma's heuristic
+    // filters) — the boolean quality gates production corpora apply
+    // before any model-based scoring: word-count bounds, mean-word-length
+    // band, minimum distinct stopwords, type-token-ratio floor, and the
+    // conjunctive keep flag. Every threshold compares in CROSS-MULTIPLIED
+    // integers (10·Σlen ≥ 40·n, 2·distinct ≥ n) — no FP ratio ever
+    // materializes, so the booleans are bit-stable across engines. One
+    // scan, pure per-row scalar work; the keep flag feeds the same
+    // LeftAnti discipline as pipeline_clean_corpus at 100 TB.
+    GraftQuery.of("text_gopher_rules",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_distinct(list_filter(toks,
+        |      x -> x IN ('the','a','and','of','to')))) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  n_words >= 40 AND n_words <= 10000 AS r_word_count,
+        |  10 * sum_len >= 40 * n_words AND 10 * sum_len <= 100 * n_words
+        |    AS r_mean_word_len,
+        |  n_stop >= 2 AS r_stopwords,
+        |  2 * n_distinct >= n_words AS r_type_token,
+        |  (n_words >= 40 AND n_words <= 10000)
+        |    AND (10 * sum_len >= 40 * n_words AND 10 * sum_len <= 100 * n_words)
+        |    AND n_stop >= 2 AND 2 * n_distinct >= n_words AS keep
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val nWords = col("n_words")
+      val rWc = nWords >= 40 && nWords <= 10000
+      val rMwl = col("sum_len") * 10 >= nWords * 40 && col("sum_len") * 10 <= nWords * 100
+      val rStop = col("n_stop") >= 2
+      val rTtr = col("n_distinct") * 2 >= nWords
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").as("sum_len"),
+          expr("size(array_distinct(toks))").cast("long").as("n_distinct"),
+          expr("size(array_distinct(filter(toks, x -> x IN ('the','a','and','of','to'))))")
+            .cast("long").as("n_stop"))
+        .select(col("doc_id"), nWords,
+          rWc.as("r_word_count"), rMwl.as("r_mean_word_len"),
+          rStop.as("r_stopwords"), rTtr.as("r_type_token"),
+          (rWc && rMwl && rStop && rTtr).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // Zipf freq-of-freq — the vocabulary-curve diagnostic (how many
     // distinct tokens occur exactly k times) that tells a corpus builder
     // whether the token distribution is natural-language-shaped or
