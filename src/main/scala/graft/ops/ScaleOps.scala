@@ -281,6 +281,46 @@ object ScaleOps {
         .orderBy(col("event_type"))
     },
 
+    // PERMISSIVE corrupt-record ingestion — the bad-data tolerance every
+    // production CSV pipeline needs: rows are written with a
+    // deterministically-injected malformation (quantity → 'BAD' where
+    // orderkey%13=0 ∧ linenumber=1), read back under PERMISSIVE mode with
+    // a _corrupt_record column, and the result counts + excludes the
+    // damage instead of failing the job (FAILFAST) or silently dropping
+    // rows (DROPMALFORMED). The oracle derives the same counts
+    // analytically from the victim predicate. Corruption is value-keyed,
+    // not position-keyed, so it is stable under any write order.
+    GraftQuery.of("sink_corrupt_records",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(CASE WHEN l_orderkey % 13 = 0 AND l_linenumber = 1
+        |    THEN 1 END) AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN NOT (l_orderkey % 13 = 0 AND l_linenumber = 1)
+        |    THEN l_quantity END) AS BIGINT) AS sum_good_qty
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/csv_corrupt"
+      val victim = pmod(col("l_orderkey"), lit(13L)) === 0 && col("l_linenumber") === 1
+      lineitem(s, d)
+        .select(concat_ws(",",
+          col("l_orderkey"), col("l_linenumber"),
+          when(victim, lit("BAD")).otherwise(col("l_quantity").cast("string")))
+          .as("value"))
+        .write.mode("overwrite").text(base)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("l", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("q", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(base)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("q"))).cast("long")
+            .as("sum_good_qty"))
+    },
+
     // DYNAMIC partition pruning — the runtime twin of sink_zonemap_prune's
     // static skipping: the fact table is laid out partitioned by ship
     // month, the qualifying months are only known after FILTERING A
