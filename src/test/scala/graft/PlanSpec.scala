@@ -277,6 +277,7 @@ class PlanSpec extends AnyFunSuite {
       "sim_knn_brute" -> "broadcast probe set x corpus scan (the exact baseline)",
       "sim_knn_ivf" -> "broadcast trained codebook",
       "sim_knn_probes" -> "broadcast external probe set",
+      "sim_knn_matryoshka" -> "broadcast probe prefix set x corpus scan (coarse stage)",
       "sim_knn_pq" -> "broadcast sub-codebook + broadcast probes x corpus scan",
       "sim_knn_sq8" -> "broadcast probe codes x corpus scan (int8 candidate gen)",
       "sim_recall_lsh_multi" -> "broadcast brute-force truth set for recall",
