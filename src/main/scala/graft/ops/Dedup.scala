@@ -752,7 +752,85 @@ object Dedup {
       incrementalDedup(
         withBucket.filter(col("__bucket") < 8),
         withBucket.filter(col("__bucket") >= 8))
+    },
+
+    // Substring-level dedup with REWRITE (Lee et al. '22 "Deduplicating
+    // Training Data Makes Language Models Better", §4.1 ExactSubstr): any
+    // 8-gram that also occurs in another document marks its 8 word
+    // positions, and every marked position is scrubbed from the text —
+    // not flagged (text_boilerplate_flags) or scored (text_ngram_novelty)
+    // but REMOVED, the way production pipelines strip licenses/headers.
+    // Shape at 100 TB: the gram stream pre-aggregates map-side, the
+    // common-gram set (grams in >1 doc) is a strictly-narrowing aggregate
+    // joined back gram-keyed (star-shaped, never all-pairs), and the
+    // rewrite is a doc_id-keyed anti join + per-doc bounded reassembly —
+    // four narrowing shuffles, state bounded by O(distinct grams).
+    GraftQuery.of("dedup_span_scrub",
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, i AS start,
+         |    list_aggregate(toks[i:i+7], 'string_agg', ' ') AS gram
+         |  FROM docs, unnest(range(1, len(toks) - 6)) t(i) WHERE len(toks) >= 8),
+         |cg AS (SELECT gram FROM (
+         |  SELECT gram, count(DISTINCT doc_id) AS dw FROM g GROUP BY 1) WHERE dw > 1),
+         |cov AS (SELECT DISTINCT g.doc_id, g.start + j AS pos
+         |  FROM g JOIN cg USING (gram), unnest(range(0, 8)) u(j)),
+         |w AS (SELECT doc_id, i AS pos, toks[i] AS word
+         |  FROM docs, unnest(range(1, len(toks) + 1)) t(i)),
+         |kept AS (SELECT w.doc_id, string_agg(w.word, ' ' ORDER BY w.pos) AS scrub
+         |  FROM w ANTI JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos
+         |  GROUP BY 1),
+         |rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_words,
+         |  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+         |  CAST(len(coalesce(k.scrub, '')) AS BIGINT) AS scrub_len,
+         |  CAST(${GraftQuery.h60Sql("coalesce(k.scrub, '')")} AS BIGINT) AS scrub_fp64
+         |FROM docs d LEFT JOIN rem r USING (doc_id) LEFT JOIN kept k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      spanScrub(documents(s, d))
     })
+
+  /** Remove every word position covered by an n-gram that also occurs in
+    * another document (cross-document exact-substring scrub). Returns one
+    * row per document: original word count, removed-position count, and
+    * the length + 60-bit fingerprint of the rewritten text (empty string
+    * when every position is covered). See the registered
+    * `dedup_span_scrub` Scaladoc for the scale analysis.
+    */
+  def spanScrub(docs: DataFrame, n: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+           |  i -> struct(i AS start, array_join(slice(toks, i, $n), ' ') AS gram))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.start").as("start"), col("g.gram").as("gram"))
+    val common = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("dw"))
+      .filter(col("dw") > 1)
+      .select(col("gram"))
+    val covered = grams.join(common, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val words = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "word")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("word"))
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
+        .as("scrub"))
+    val removed = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_words"))
+      .join(removed, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        length(coalesce(col("scrub"), lit(""))).cast("long").as("scrub_len"),
+        graft.functions.Md5Hash60.md5hash60(coalesce(col("scrub"), lit("")))
+          .as("scrub_fp64"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Exact-dup check of a fresh batch AGAINST an existing corpus: the
     * existing side reduces to one (fingerprint, keeper=min doc_id) row

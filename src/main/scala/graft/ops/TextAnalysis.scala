@@ -699,5 +699,100 @@ object TextAnalysis {
           sum(when(col("docs_with") > 1, col("occ")).otherwise(lit(0L)))
             .as("shared_grams"))
         .orderBy(col("doc_id"))
+    },
+
+    // PII redaction — the scrub pass a training corpus runs before anything
+    // else ships: match emails / phone numbers / IPv4 literals, count them,
+    // and rewrite each to a typed placeholder. The synthetic corpus carries
+    // no PII, so the registered query first WEAVES deterministic PII spans
+    // into each row (from doc_id/source — same construction on both
+    // engines); the redaction itself is the generic three-regex cascade a
+    // real corpus would get. The regexes stay in the Java∩RE2 common
+    // subset ([...] classes, {m,n}, \., word chars — no lookaround, no \b
+    // digit-boundary subtleties) so both engines match identical spans.
+    // Pure per-row scalar work: one scan, no shuffle, codegen'd regexps.
+    GraftQuery.of("text_pii_redact",
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    substr(text, 1, 40) || ' reach ' || source || '.' ||
+         |      CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-' ||
+         |      CAST(doc_id % 900 + 100 AS VARCHAR) || CAST(doc_id % 10 AS VARCHAR) ||
+         |      ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 thanks'
+         |      AS pii_text
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, pii_text,
+         |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+         |      '([0-9]{1,3}[.]){3}[0-9]{1,3}', '<IP>', 'g') AS red
+         |  FROM p)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(pii_text,
+         |    '[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(red,
+         |    '([0-9]{1,3}[.]){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+         |  CAST(len(red) AS BIGINT) AS red_len,
+         |  CAST(${GraftQuery.h60Sql("red")} AS BIGINT) AS red_fp64
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+      val phoneRe = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+      val ipRe = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(
+            substring(col("text"), 1, 40), lit(" reach "), col("source"), lit("."),
+            col("doc_id").cast("string"), lit("@mail.example.com or +1-555-"),
+            (col("doc_id") % 900 + 100).cast("string"),
+            (col("doc_id") % 10).cast("string"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.1 thanks")).as("pii_text"))
+        .withColumn("red",
+          regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+            emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>"))
+        .select(col("doc_id"),
+          expr(s"size(regexp_extract_all(pii_text, '$emailRe', 0))")
+            .cast("long").as("n_email"),
+          expr(s"size(regexp_extract_all(pii_text, '$phoneRe', 0))")
+            .cast("long").as("n_phone"),
+          // n_ip counts on the REDACTED text (must be 0: proves the phone
+          // suffix / IP overlap cascade left no residual IPv4 match)
+          expr(s"size(regexp_extract_all(red, '$ipRe', 0))")
+            .cast("long").as("n_ip"),
+          length(col("red")).cast("long").as("red_len"),
+          graft.functions.Md5Hash60.md5hash60(col("red")).as("red_fp64"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Hashed-feature linear classifier inference — the fastText/DCLM-style
+    // model-based quality score applied corpus-wide: every token hashes
+    // into a signed integer weight ((h60 mod 2001) − 1000 ∈ [−1000,1000] —
+    // a fixed pseudo-model, standing in for trained weights shipped as a
+    // lookup), a document's logit is the exact BIGINT sum, and the gate
+    // keeps positive logits. Integer end-to-end: no FP summation-order
+    // hazard; score emitted as numerator/denominator (sum_w, n_toks)
+    // exactly like the Q8/Q14 ratio discipline. Per-row higher-order
+    // aggregate — one scan, zero shuffles, no exploded token stream at all.
+    GraftQuery.of("text_classifier_score",
+      """SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+        |    t -> (('0x' || substr(md5(t), 1, 15))::UBIGINT % 2001)::BIGINT - 1000)),
+        |    0) AS BIGINT) AS sum_w,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  coalesce(list_sum(list_transform(string_split(text, ' '),
+        |    t -> (('0x' || substr(md5(t), 1, 15))::UBIGINT % 2001)::BIGINT - 1000)),
+        |    0) > 0 AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val sumW = expr(
+        """aggregate(split(text, ' '), 0L, (acc, t) ->
+          |  acc + CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000)"""
+          .stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), sumW.as("sum_w"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("keep", col("sum_w") > 0)
+        .orderBy(col("doc_id"))
     })
 }
