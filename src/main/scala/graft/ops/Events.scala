@@ -662,5 +662,87 @@ object Events {
           date_format(min(when(col("len") === col("mx"), col("streak_start"))),
             "yyyy-MM-dd").as("longest_start"))
         .orderBy(col("user_id"))
+    },
+
+    // Debounce / rate-limit — collapse bursts: an event survives only if
+    // the PREVIOUS event of the same (user, type) is at least 5 minutes
+    // older (or absent). The lag compares exact epoch-microsecond BIGINTs,
+    // so the keep decision is integer arithmetic on both engines. One
+    // (user_id, event_type)-keyed sort-window over the fact — the same
+    // single-shuffle class as sessionize; at 100 TB the window partitions
+    // by the session key, never globally.
+    GraftQuery.of("events_debounce",
+      """WITH l AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 300000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val byKey = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(byKey))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("prev_us").isNull ||
+            col("us") - col("prev_us") >= 300000000L, 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // RFM segmentation — the classic recency/frequency/monetary customer
+    // scoring over purchase events: days since last purchase (vs a fixed
+    // anchor date — a literal, so no 1-row max-date frame crosses the
+    // plan), purchase count, and exact DECIMAL cents. Quartile scores come
+    // from ntile(4) with user_id tie-breaks (deterministic on both
+    // engines). The fact reduces user-keyed FIRST; the ntile windows then
+    // run over the USER dimension — at 100 TB that's the classic
+    // fact-to-dimension collapse, and a global ntile over users is a
+    // ranged single-pass, not a fact-sized sort.
+    GraftQuery.of("events_rfm",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    date_diff('day', max(CAST(ts AS DATE)), DATE '2024-12-31') AS r_days,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |q AS (SELECT *,
+        |  ntile(4) OVER (ORDER BY r_days ASC, user_id) AS r_q,
+        |  ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+        |  ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+        |  FROM u)
+        |SELECT user_id, CAST(r_days AS BIGINT) AS r_days, freq, monetary,
+        |  CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q,
+        |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
+        |    AS segment
+        |FROM q ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val anchor = lit("2024-12-31").cast("date")
+      events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(datediff(anchor, max(to_date(col("ts")))).as("r_days"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(30,2)")
+            .as("monetary"))
+        .withColumn("r_q",
+          ntile(4).over(Window.orderBy(col("r_days").asc, col("user_id"))))
+        .withColumn("f_q",
+          ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))))
+        .withColumn("m_q",
+          ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id"))))
+        .select(col("user_id"), col("r_days").cast("long").as("r_days"),
+          col("freq"), col("monetary"),
+          col("r_q").cast("long").as("r_q"), col("f_q").cast("long").as("f_q"),
+          col("m_q").cast("long").as("m_q"),
+          concat(col("r_q").cast("string"), col("f_q").cast("string"),
+            col("m_q").cast("string")).as("segment"))
+        .orderBy(col("user_id"))
     })
 }
