@@ -751,5 +751,58 @@ object ScaleOps {
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_extendedprice")), 2).as("revenue"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Z-ORDER clustering (Delta OPTIMIZE ZORDER / Iceberg sort-order
+    // rewrite): interleave the bits of two filter dimensions — part key
+    // and ship-day, both folded to 8 bits — into a 16-bit Morton code,
+    // cluster the rewrite on the code, and prove locality by the per-tile
+    // zone spans: morton >> 8 is exactly a 16×16 (x, y) tile, so every
+    // written cluster's min/max on BOTH dimensions is bounded by 15 —
+    // that bound is what makes min/max zone maps (sink_zonemap_prune)
+    // prune on EITHER dimension after a Z-order rewrite, where a linear
+    // sort only prunes its leading column. The Morton map is pure integer
+    // div/mod arithmetic generated once for both engines; the sink
+    // repartitions by tile + sorts within partitions by code (the file-
+    // per-cluster layout), re-reads, and aggregates the zones.
+    GraftQuery.of("sink_zorder_cluster", {
+      val m = mortonSql("x", "y", "//")
+      s"""WITH b AS (SELECT l_partkey % 256 AS x,
+         |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) % 256 AS y
+         |  FROM lineitem),
+         |m AS (SELECT x, y, $m AS morton FROM b)
+         |SELECT morton // 256 AS zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+         |  CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/lineitem_zorder"
+      lineitem(s, d)
+        .select((col("l_partkey") % 256).as("x"),
+          (datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+            % 256).as("y"))
+        .withColumn("morton", expr(mortonSql("x", "y", "div")))
+        .withColumn("zbucket", expr("morton div 256"))
+        .repartition(col("zbucket"))
+        .sortWithinPartitions(col("morton"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).cast("long").as("x_min"), max(col("x")).cast("long").as("x_max"),
+          min(col("y")).cast("long").as("y_min"), max(col("y")).cast("long").as("y_max"))
+        .orderBy(col("zbucket"))
     })
+
+  /** 16-bit Morton (Z-order) interleave of two 8-bit non-negative ints,
+    * as portable integer arithmetic — bit b of x lands at 2b+1, bit b of
+    * y at 2b. `divOp` is the integer-division spelling ("div" Spark,
+    * "//" DuckDB); everything else is shared, so the two engines compute
+    * the code from ONE generator and cannot drift.
+    */
+  private def mortonSql(x: String, y: String, divOp: String): String =
+    (0 until 8).map { b =>
+      val p = 1 << b
+      s"(($x $divOp $p) % 2) * ${1 << (2 * b + 1)} + (($y $divOp $p) % 2) * ${1 << (2 * b)}"
+    }.mkString(" + ")
 }
