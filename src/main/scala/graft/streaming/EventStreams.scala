@@ -243,6 +243,66 @@ object EventStreams {
   final case class SessionState(nEvents: Long, lastTs: Long, nSessions: Long)
   final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
+  final case class PurchaseTotals(user_id: Long, n_purchases: Long, cents: Long)
+
+  /** Arbitrary-state operator on the `transformWithState` API (the
+    * successor to `mapGroupsWithState`: explicit named state slots, TTL
+    * config, timers): one `ValueState[(count, cents)]` per user, updated
+    * per input row, emitting the running totals each micro-batch. Both
+    * totals advance only when the user has input rows, so the count is
+    * strictly increasing across a user's emissions — the batch finisher
+    * recovers the final row per user via max/max_by.
+    */
+  private final class RunningPurchaseProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), PurchaseTotals] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PurchaseTotals] = {
+      var (n, c) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; c += r._2 }
+      totals.update((n, c))
+      Iterator.single(PurchaseTotals(key, n, c))
+    }
+  }
+
+  /** The transformWithState composition behind `stream_tws_running_agg`,
+    * shared with StreamingSpec's cross-batch state test: (user, cents)
+    * pairs → per-user running (count, cents) emissions.
+    */
+  private[graft] def runningPurchases(pairs: Dataset[(Long, Long)])
+      : Dataset[PurchaseTotals] = {
+    import pairs.sparkSession.implicits._
+    pairs.groupByKey(_._1)
+      .transformWithState[PurchaseTotals](new RunningPurchaseProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Runs `body` with the streaming state-store provider pinned to
+    * RocksDB — the off-heap, incrementally-checkpointed backend whose
+    * state survives key sets that cannot fit executor heap (the 100 TB
+    * answer to HDFSBackedStateStore's in-memory map), and the ONLY
+    * provider `transformWithState` supports. Conf restored on exit; the
+    * provider instances themselves are freed by [[runToResult]]'s
+    * `StateStore.stop()`.
+    */
+  private[graft] def withRocksDb[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.get(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Per-user sessionization: a >30 min event-time gap starts a new
     * session. Emits the running (events, sessions) totals per user on every
     * trigger — the streaming analogue of the batch lag-window query.
@@ -595,6 +655,66 @@ object EventStreams {
     // the snapshot it read: exactly-once by idempotence. The final
     // snapshot is read back under THE batch oracle
     // (Events.CompactLatestOracleSql) — one definition, zero drift.
+    // The RocksDB twin of stream_dedup_exact: same plan, same oracle, state
+    // store provider pinned to RocksDB. Equal output proves provider
+    // neutrality — the property that lets a production job switch backends
+    // when fingerprint state outgrows executor heap (HDFSBacked keeps every
+    // version in an in-memory map; RocksDB spills to local SST files with
+    // incremental-snapshot checkpointing).
+    GraftQuery.of("stream_dedup_rocksdb",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val raw = s.readStream.schema(schema).parquet(s"$d/documents*.parquet")
+      val deduped = raw
+        .select(col("doc_id"),
+          graft.ops.Dedup.normFingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"))
+      val sink = s"stream_dedup_rdb_${graft.ops.Tables.viewSuffix(d)}"
+      withRocksDb(s) {
+        runToResult(s, deduped, sink, OutputMode.Update()) { t =>
+          t.groupBy(col("fp")).agg(min(col("keeper")).as("keeper"))
+            .orderBy(col("fp"))
+        }
+      }
+    },
+
+    // transformWithState (Spark 4's arbitrary-state API) — per-user
+    // running purchase count + exact integer cents through a named
+    // ValueState slot (see [[RunningPurchaseProcessor]]), over a
+    // file-stream read, RocksDB-backed (the API requires it). Cents are
+    // per-row round(value*100) BIGINTs — 2-decimal doubles land within an
+    // ulp of the integer, never on a .5 boundary, so both engines round
+    // identically and the sum is exact. Update mode emits running totals;
+    // the finisher takes the per-user row at max count (strictly
+    // increasing across emissions).
+    GraftQuery.of("stream_tws_running_agg",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      import s.implicits._
+      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").cast("long"),
+          expr("CAST(round(value * 100) AS BIGINT)"))
+        .as[(Long, Long)]
+      val out = runningPurchases(raw)
+      val sink = s"stream_tws_${graft.ops.Tables.viewSuffix(d)}"
+      withRocksDb(s) {
+        runToResult(s, out.toDF(), sink, OutputMode.Update()) { t =>
+          t.groupBy(col("user_id"))
+            .agg(max(col("n_purchases")).as("n_purchases"),
+              expr("max_by(cents, n_purchases)").as("cents"))
+            .orderBy(col("user_id"))
+        }
+      }
+    },
+
     GraftQuery.of("stream_upsert_sink",
       graft.ops.Events.CompactLatestOracleSql) { (s, d) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

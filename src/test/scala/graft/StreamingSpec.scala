@@ -44,6 +44,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("transformWithState running totals persist named state across micro-batches") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    EventStreams.withRocksDb(s) {
+      val source = MemoryStream[(Long, Long)]
+      val query = EventStreams.runningPurchases(source.toDS()).toDF()
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        source.addData((1L, 100L), (1L, 200L), (2L, 50L))
+        query.processAllAvailable()
+        source.addData((1L, 350L))
+        query.processAllAvailable()
+        val emissions = spark.table("tws_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        // batch 1 emits both users' totals; batch 2 re-emits ONLY user 1,
+        // cumulative from the ValueState written in batch 1
+        assert(emissions == Set((1L, 2L, 300L), (2L, 1L, 50L), (1L, 3L, 650L)))
+      } finally query.stop()
+    }
+  }
+
   test("stream-stream join matches inside [view, view+1h], same user only") {
     val s = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
