@@ -481,5 +481,41 @@ object Pipeline {
           col("min_chars"), col("max_chars"),
           round(col("total_chars").cast("double") / col("n_docs"), 6).as("avg_chars"))
         .orderBy(col("lang"), col("source"))
+    },
+
+    // Curriculum schedule — the easy→hard training order (short documents
+    // first, Bengio et al. '09) composed with the deterministic
+    // within-stage shuffle of pipeline_shuffle_order: stage from integer
+    // n_chars thresholds, then a salted-hash permutation into 4 shards
+    // per stage. The emitted (stage, shard, pos) triple is the exact read
+    // order a dataloader replays. Position numbering is per (stage,
+    // shard) — never a global window — so the only wide op is the
+    // (stage, shard)-keyed sort, the same bounded-partition shape as the
+    // shard writer at 100 TB.
+    GraftQuery.of("pipeline_curriculum", {
+      val h = Dedup.h60Sql("doc_id::VARCHAR", 17)
+      s"""WITH st AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
+         |         WHEN n_chars < 600 THEN 2 ELSE 3 END AS stage,
+         |    $h AS k
+         |  FROM documents)
+         |SELECT CAST(stage AS BIGINT) AS stage, k % 4 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY stage, k % 4 ORDER BY k, doc_id)
+         |    AS BIGINT) AS pos,
+         |  doc_id
+         |FROM st ORDER BY stage, shard, pos""".stripMargin
+    }) { (s, d) =>
+      val w = Window.partitionBy(col("stage"), col("shard"))
+        .orderBy(col("__key"), col("doc_id"))
+      documents(s, d)
+        .withColumn("stage",
+          when(col("n_chars") < 200, 0L).when(col("n_chars") < 400, 1L)
+            .when(col("n_chars") < 600, 2L).otherwise(3L))
+        .withColumn("__key", Dedup.h60(col("doc_id").cast("string"), 17))
+        .withColumn("shard", pmod(col("__key"), lit(4L)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("stage"), col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("stage"), col("shard"), col("pos"))
     })
 }
