@@ -31,6 +31,33 @@ object ScaleOps {
     * `rightVals` are emitted as `asof_<name>`, null where no right row
     * precedes the left row.
     */
+  /** Shared oracle for the composed (events_asof_purchase) and native
+    * (q_asof_native) as-of joins — ONE definition, so the two
+    * implementations are provably checked against identical semantics:
+    * DuckDB replays the union + running last(ignoreNulls) construction.
+    */
+  private val AsofPurchaseOracle: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_id, event_id AS r_eid, value AS r_val
+      |  FROM events WHERE event_type = 'purchase'
+      |), un AS (
+      |  SELECT user_id, ts, event_id, event_type, 1 AS side,
+      |    NULL::BIGINT AS r_eid, NULL::DOUBLE AS r_val
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, NULL, 0, r_eid, r_val FROM r
+      |), filled AS (
+      |  SELECT *,
+      |    last_value(r_eid IGNORE NULLS) OVER w AS last_purchase_id,
+      |    last_value(r_val IGNORE NULLS) OVER w AS last_purchase_value
+      |  FROM un
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id, user_id, event_type,
+      |  last_purchase_id, last_purchase_value
+      |FROM filled WHERE side = 1 ORDER BY event_id""".stripMargin
+
   def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
       time: String, tieBreak: String, rightVals: Seq[String]): DataFrame = {
     val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -183,31 +210,33 @@ object ScaleOps {
     // Point-in-time enrichment: every event carries the id/value of the
     // user's most recent purchase at-or-before it. The oracle replays the
     // identical union+window formulation (same ordering, same tie rules).
-    GraftQuery.of("events_asof_purchase",
-      """WITH r AS (
-        |  SELECT user_id, ts, event_id, event_id AS r_eid, value AS r_val
-        |  FROM events WHERE event_type = 'purchase'
-        |), un AS (
-        |  SELECT user_id, ts, event_id, event_type, 1 AS side,
-        |    NULL::BIGINT AS r_eid, NULL::DOUBLE AS r_val
-        |  FROM events
-        |  UNION ALL
-        |  SELECT user_id, ts, event_id, NULL, 0, r_eid, r_val FROM r
-        |), filled AS (
-        |  SELECT *,
-        |    last_value(r_eid IGNORE NULLS) OVER w AS last_purchase_id,
-        |    last_value(r_val IGNORE NULLS) OVER w AS last_purchase_value
-        |  FROM un
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |)
-        |SELECT event_id, user_id, event_type,
-        |  last_purchase_id, last_purchase_value
-        |FROM filled WHERE side = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+    GraftQuery.of("events_asof_purchase", AsofPurchaseOracle) { (s, d) =>
       val ev = events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
       asofJoin(ev, purchases, key = Seq("user_id"), time = "ts",
         tieBreak = "event_id", rightVals = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("asof_event_id").as("last_purchase_id"),
+          col("asof_value").as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // The NATIVE as-of join (custom LogicalPlan → Strategy → SparkPlan,
+    // graft.plans.AsOfJoinNative) under the SAME oracle as
+    // events_asof_purchase: identical results through a physically leaner
+    // plan — each side shuffled once on the key, two per-side sorts
+    // instead of one union-wide sort, and an O(1)-state per-partition
+    // merge instead of a running last(ignoreNulls) frame. PlanSpec locks
+    // the plan to the AsOfJoinExec operator with no union and no Window.
+    GraftQuery.of("q_asof_native", AsofPurchaseOracle) { (s, d) =>
+      // the operator emits every left column, so the left side is
+      // projected to exactly what the result needs (the node itself pins
+      // its children's schemas — see AsOfJoin.references)
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val purchases = events(s, d).filter(col("event_type") === "purchase")
+      graft.plans.AsOfJoinNative.asofJoin(ev, purchases, key = Seq("user_id"),
+        time = "ts", tieBreak = "event_id", rightVals = Seq("event_id", "value"))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("asof_event_id").as("last_purchase_id"),
           col("asof_value").as("last_purchase_value"))

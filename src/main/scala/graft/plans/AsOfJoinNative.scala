@@ -1,0 +1,230 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  AttributeReference, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** A NATIVE as-of join — the full custom-operator extension stack
+  * (logical plan → planner strategy → physical operator), for the one
+  * relational operator this engine needs that Spark's built-ins cannot
+  * express directly: "for every left row, the single most recent right
+  * row with the same key at or before the left row's time" (pandas
+  * `merge_asof`, QuestDB/kdb ASOF JOIN).
+  *
+  * The composed form ([[graft.ops.ScaleOps.asofJoin]]: union + one
+  * key-shuffle + running `last(ignoreNulls)` window) stays the reference
+  * semantics — this operator exists because the native plan is strictly
+  * leaner at scale: each side shuffles ONCE on the key (no union row
+  * blow-up mixing both schemas through one exchange), each partition
+  * sorts its own side (two smaller sorts instead of one over the union),
+  * and the per-partition merge streams both sorted iterators with O(1)
+  * state — one candidate row per key — where the window operator buffers
+  * frames. Distribution/ordering requirements are declared, not
+  * hand-built: EnsureRequirements plants the exchanges and sorts, so AQE
+  * still re-plans the shuffles it owns.
+  *
+  * Match semantics mirror the composed operator exactly: right rows at
+  * `ts == left.ts` are visible, and among right ties on ts the greatest
+  * `tieBreak` wins (right side is sorted by (key, ts, tie); the merge
+  * keeps the last row consumed). Rows with NULL keys or times follow
+  * Spark's ascending-nulls-first sort; the synthetic tables carry no
+  * null keys/times, and the oracle pins the live behavior.
+  */
+final case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    key: Seq[String],
+    time: String,
+    tieBreak: String,
+    rightVals: Seq[String],
+    valAttrs: Seq[Attribute]) extends BinaryNode {
+  // valAttrs (the emitted `asof_<name>` columns, nullable) are CONSTRUCTOR
+  // state, not derived: a lazy val would mint fresh exprIds on every
+  // transformation copy() and dangle the already-resolved parent plan.
+
+  override def output: Seq[Attribute] = left.output ++ valAttrs
+
+  /** The node has no expressions, so the default (expression-derived)
+    * references are EMPTY — ColumnPruning would then strip the children
+    * to nothing and the name-based contract would dangle. Declaring every
+    * child column as referenced pins both schemas: the operator consumes
+    * its children wholesale (callers size the sides — the DSL entry
+    * pre-projects the right side; the left schema IS the output).
+    */
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      left.output ++ right.output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: resolves the name-based contract against the children's
+  * attributes and hands the physical operator its exact output attrs (the
+  * logical node's exprIds must survive into the physical plan).
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoin =>
+      def la(n: String) = j.left.output.find(_.name == n).get
+      def ra(n: String) = j.right.output.find(_.name == n).get
+      AsOfJoinExec(
+        j.key.map(la), j.key.map(ra), la(j.time), ra(j.time), ra(j.tieBreak),
+        j.rightVals.map(ra), j.left.output ++ j.valAttrs,
+        planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+
+  /** Idempotently registers this strategy on a LIVE session via the public
+    * `experimental.extraStrategies` hook (the post-construction
+    * counterpart of `SparkSessionExtensions.injectPlannerStrategy` —
+    * the driver hands queries an already-built session).
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(this))
+      spark.experimental.extraStrategies = cur :+ this
+  }
+}
+
+/** Per-partition streaming merge of two key-clustered, (key, time)-sorted
+  * children. For each left row the candidate is the last right row seen
+  * with the same key and time ≤ the left time — O(1) state, no frame
+  * buffering, no codegen dependency (the operator is a deliberate
+  * codegen boundary, like the built-in sort-merge join's outer paths).
+  */
+final case class AsOfJoinExec(
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    rightTie: Attribute,
+    rightValsIn: Seq[Attribute],
+    outAttrs: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = outAttrs
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(a => SortOrder(a, Ascending)),
+    (rightKeys :+ rightTime :+ rightTie).map(a => SortOrder(a, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val rVals = rightValsIn
+    val nVals = rightValsIn.length
+    val out = outAttrs
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val rValProj = UnsafeProjection.create(rVals, rOut)
+      val outProj = UnsafeProjection.create(out, out)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val nullVals = new GenericInternalRow(nVals)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // head of the right side: projections copied (projection rows are
+        // reused buffers; the source row stays valid until the next
+        // rIter.next(), so the value projection runs lazily on consume)
+        private var rRow: InternalRow = _
+        private var rKey: InternalRow = _
+        private var rTimeRow: InternalRow = _
+        private var rLoaded = false
+        // candidate = last right row consumed for the current key
+        private var candKey: InternalRow = _
+        private var candVals: InternalRow = _
+
+        private def loadRight(): Unit =
+          if (!rLoaded && rIter.hasNext) {
+            rRow = rIter.next()
+            rKey = rKeyProj(rRow).copy()
+            rTimeRow = rTimeProj(rRow).copy()
+            rLoaded = true
+          }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lt = lTimeProj(l)
+          var advancing = true
+          while (advancing) {
+            loadRight()
+            if (!rLoaded) advancing = false
+            else {
+              val kc = keyOrd.compare(rKey, lk)
+              if (kc < 0) rLoaded = false // right key already passed: discard
+              else if (kc == 0 && timeOrd.compare(rTimeRow, lt) <= 0) {
+                candKey = rKey
+                candVals = rValProj(rRow).copy()
+                rLoaded = false
+              } else advancing = false
+            }
+          }
+          val vals =
+            if (candKey != null && keyOrd.compare(candKey, lk) == 0) candVals
+            else nullVals
+          outProj(joined(l, vals))
+        }
+      }
+    }
+  }
+}
+
+object AsOfJoinNative {
+  /** DataFrame entry point: projects the right side to what the operator
+    * consumes, registers the strategy on the live session, and builds the
+    * logical node. Output = every left column, plus `asof_<v>` for each
+    * requested right value column.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+      time: String, tieBreak: String, rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = left.sparkSession
+    AsOfJoinStrategy.ensureRegistered(spark)
+    val rCols = (key ++ Seq(time, tieBreak) ++ rightVals).distinct
+    val rProj = right.select(rCols.map(col): _*)
+    val rPlan = org.apache.spark.sql.graftbridge.Bridge.analyzedPlan(rProj)
+    val valAttrs: Seq[Attribute] = rightVals.map { v =>
+      val a = rPlan.output.find(_.name == v).getOrElse(
+        throw new IllegalArgumentException(s"asof right column '$v' not found"))
+      AttributeReference(s"asof_$v", a.dataType, nullable = true)()
+    }
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
+      AsOfJoin(
+        org.apache.spark.sql.graftbridge.Bridge.analyzedPlan(left),
+        rPlan, key, time, tieBreak, rightVals, valAttrs))
+  }
+}

@@ -40,6 +40,23 @@ object Bridge {
           org.apache.spark.sql.types.BinaryType),
         ExpressionUtils.expression(value)))
 
+  /** DataFrame ⇄ LogicalPlan conversion for custom logical operators
+    * (`Dataset.ofRows` and `queryExecution` are `private[sql]`/classic-
+    * only in Spark 4). `analyzedPlan` returns the ANALYZED child — custom
+    * nodes built from analyzed children are themselves resolved, so the
+    * composite re-enters the analyzer as a no-op.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
   /** Register a function builder on a LIVE session's registry (the
     * post-construction counterpart of `SparkSessionExtensions
     * .injectFunction`, which only applies while a session is being built).

@@ -53,6 +53,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(500))
   }
 
+  test("native as-of join plans the custom operator: no union, no window") {
+    val p = planOf("q_asof_native")
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    assert(!p.contains("Union"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // EnsureRequirements planted the two key-clustered exchanges + sorts
+    // the operator declared (plus the output-order range exchange)
+    assert("hashpartitioning".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("brute-force knn broadcasts the probe side, not the corpus") {
     val p = planOf("sim_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -34,6 +34,41 @@ class ScaleOpsSpec extends AnyFunSuite {
       Seq(None, Some(12.5), Some(99.0), None))
   }
 
+  test("native as-of join matches the composed operator row-for-row") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 101L), // at r-ts: inclusive
+      (1L, ts("2024-01-01 15:00:00"), 102L),
+      (2L, ts("2024-01-01 09:00:00"), 200L), // key with no right rows
+      (3L, ts("2024-01-01 12:30:00"), 300L)
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 900L, 12.5),
+      (1L, ts("2024-01-01 12:00:00"), 901L, 13.5), // ts tie: max tieBreak wins
+      (1L, ts("2024-01-01 13:00:00"), 902L, 99.0),
+      (3L, ts("2024-01-01 12:00:00"), 903L, 7.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy(col("event_id"))
+        .collect().map(r => (r.getAs[Long]("event_id"),
+          Option(r.getAs[Any]("asof_event_id")), Option(r.getAs[Any]("asof_value"))))
+        .toSeq
+    val native = run(graft.plans.AsOfJoinNative.asofJoin(left, right,
+      key = Seq("user_id"), time = "ts", tieBreak = "event_id",
+      rightVals = Seq("event_id", "value")))
+    val composed = run(ScaleOps.asofJoin(left, right,
+      key = Seq("user_id"), time = "ts", tieBreak = "event_id",
+      rightVals = Seq("event_id", "value")))
+    assert(native == composed)
+    assert(native == Seq(
+      (100L, None, None),
+      (101L, Some(901L), Some(13.5)),
+      (102L, Some(902L), Some(99.0)),
+      (200L, None, None),
+      (300L, Some(903L), Some(7.0))))
+  }
+
   test("extension-registered SQL functions match the native column API") {
     GraftExtensions.register(spark)
     Seq((1L, "hello world"), (2L, "")).toDF("id", "text")
