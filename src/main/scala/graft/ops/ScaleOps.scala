@@ -243,6 +243,25 @@ object ScaleOps {
         .orderBy(col("event_id"))
     },
 
+    // The BROADCAST mode of the native as-of join, still under the SAME
+    // oracle: the fact (events) side is never exchanged — one
+    // BroadcastExchange ships the purchase dimension, and each task
+    // binary-searches it per row. This is the 100 TB default whenever the
+    // right side is dimension-sized; PlanSpec locks the plan to
+    // AsOfJoinBroadcastExec + BroadcastExchange with NO hash exchange.
+    GraftQuery.of("q_asof_broadcast", AsofPurchaseOracle) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val purchases = events(s, d).filter(col("event_type") === "purchase")
+      graft.plans.AsOfJoinNative.asofJoin(ev, purchases, key = Seq("user_id"),
+        time = "ts", tieBreak = "event_id", rightVals = Seq("event_id", "value"),
+        broadcastRight = true)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("asof_event_id").as("last_purchase_id"),
+          col("asof_value").as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
     // FORWARD as-of join — "next purchase AT or AFTER each event" — the
     // mirror of events_asof_purchase's backward lookup (label horizons,
     // time-to-conversion features). Same union + ONE key-shuffle +

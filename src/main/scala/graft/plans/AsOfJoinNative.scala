@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   AttributeReference, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
   UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
-  Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution,
+  ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning,
+  UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** A NATIVE as-of join — the full custom-operator extension stack
@@ -44,7 +45,8 @@ final case class AsOfJoin(
     time: String,
     tieBreak: String,
     rightVals: Seq[String],
-    valAttrs: Seq[Attribute]) extends BinaryNode {
+    valAttrs: Seq[Attribute],
+    broadcastRight: Boolean = false) extends BinaryNode {
   // valAttrs (the emitted `asof_<name>` columns, nullable) are CONSTRUCTOR
   // state, not derived: a lazy val would mint fresh exprIds on every
   // transformation copy() and dangle the already-resolved parent plan.
@@ -76,10 +78,18 @@ object AsOfJoinStrategy extends SparkStrategy {
     case j: AsOfJoin =>
       def la(n: String) = j.left.output.find(_.name == n).get
       def ra(n: String) = j.right.output.find(_.name == n).get
-      AsOfJoinExec(
-        j.key.map(la), j.key.map(ra), la(j.time), ra(j.time), ra(j.tieBreak),
-        j.rightVals.map(ra), j.left.output ++ j.valAttrs,
-        planLater(j.left), planLater(j.right)) :: Nil
+      val exec =
+        if (j.broadcastRight)
+          AsOfJoinBroadcastExec(
+            j.key.map(la), j.key.map(ra), la(j.time), ra(j.time), ra(j.tieBreak),
+            j.rightVals.map(ra), j.left.output ++ j.valAttrs,
+            planLater(j.left), planLater(j.right))
+        else
+          AsOfJoinExec(
+            j.key.map(la), j.key.map(ra), la(j.time), ra(j.time), ra(j.tieBreak),
+            j.rightVals.map(ra), j.left.output ++ j.valAttrs,
+            planLater(j.left), planLater(j.right))
+      exec :: Nil
     case _ => Nil
   }
 
@@ -203,6 +213,114 @@ final case class AsOfJoinExec(
   }
 }
 
+/** Broadcast as-of join: the shape for the dominant 100 TB case — a huge
+  * fact stream enriched point-in-time against a SMALL right side (rates,
+  * dimension snapshots, config history). The fact side is NOT shuffled and
+  * NOT sorted: `EnsureRequirements` plants one `BroadcastExchange`
+  * (identity mode) for the right, each task sorts the broadcast rows once
+  * by (key, time, tie) and answers every left row with an upper-bound
+  * binary search — O(log r) per row, zero exchanges on the left, input
+  * partitioning/ordering preserved for downstream reuse. Same match
+  * semantics as [[AsOfJoinExec]] (time-inclusive, greatest tieBreak wins):
+  * the search returns the LAST entry with key == lk and time ≤ lt, which
+  * under ascending (key, time, tie) order is exactly the max-time /
+  * max-tie candidate.
+  */
+final case class AsOfJoinBroadcastExec(
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    rightTie: Attribute,
+    rightValsIn: Seq[Attribute],
+    outAttrs: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = outAttrs
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinBroadcastExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val tieType = rightTie.dataType
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val rTie = rightTie
+    val rVals = rightValsIn
+    val nVals = rightValsIn.length
+    val out = outAttrs
+    val rBc = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions({ lIter =>
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val tieOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tieType))
+      // Materialize (key, time, tie, vals) once per task and sort — the
+      // broadcast side is small by contract (caller chose broadcast), so
+      // the per-task sort prices like any broadcast-hash-join build side.
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val rTieProj = UnsafeProjection.create(Seq(rTie), rOut)
+      val rValProj = UnsafeProjection.create(rVals, rOut)
+      val entries = rBc.value.map { r =>
+        (rKeyProj(r).copy(), rTimeProj(r).copy(), rTieProj(r).copy(),
+          rValProj(r).copy())
+      }
+      java.util.Arrays.sort(entries,
+        new java.util.Comparator[(InternalRow, InternalRow, InternalRow, InternalRow)] {
+          override def compare(
+              a: (InternalRow, InternalRow, InternalRow, InternalRow),
+              b: (InternalRow, InternalRow, InternalRow, InternalRow)): Int = {
+            val kc = keyOrd.compare(a._1, b._1)
+            if (kc != 0) kc
+            else {
+              val tc = timeOrd.compare(a._2, b._2)
+              if (tc != 0) tc else tieOrd.compare(a._3, b._3)
+            }
+          }
+        })
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val outProj = UnsafeProjection.create(out, out)
+      val nullVals = new GenericInternalRow(nVals)
+      val joined = new JoinedRow
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val lt = lTimeProj(l)
+        // upper bound: count of entries with key < lk, or key == lk and
+        // time <= lt — the candidate (if its key matches) is at ub - 1.
+        var lo = 0
+        var hi = entries.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          val e = entries(mid)
+          val kc = keyOrd.compare(e._1, lk)
+          val le = kc < 0 || (kc == 0 && timeOrd.compare(e._2, lt) <= 0)
+          if (le) lo = mid + 1 else hi = mid
+        }
+        val vals =
+          if (lo > 0 && keyOrd.compare(entries(lo - 1)._1, lk) == 0) entries(lo - 1)._4
+          else nullVals
+        outProj(joined(l, vals))
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
 object AsOfJoinNative {
   /** DataFrame entry point: projects the right side to what the operator
     * consumes, registers the strategy on the live session, and builds the
@@ -210,7 +328,8 @@ object AsOfJoinNative {
     * requested right value column.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
-      time: String, tieBreak: String, rightVals: Seq[String]): DataFrame = {
+      time: String, tieBreak: String, rightVals: Seq[String],
+      broadcastRight: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = left.sparkSession
     AsOfJoinStrategy.ensureRegistered(spark)
@@ -225,6 +344,6 @@ object AsOfJoinNative {
     org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
       AsOfJoin(
         org.apache.spark.sql.graftbridge.Bridge.analyzedPlan(left),
-        rPlan, key, time, tieBreak, rightVals, valAttrs))
+        rPlan, key, time, tieBreak, rightVals, valAttrs, broadcastRight))
   }
 }

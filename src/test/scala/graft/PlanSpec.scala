@@ -63,6 +63,16 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("broadcast as-of join never exchanges the fact side") {
+    val p = planOf("q_asof_broadcast")
+    assert(p.contains("AsOfJoinBroadcast"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    // the only allowed exchanges: the right-side broadcast and the final
+    // ORDER BY's range exchange — no hash exchange may touch the fact scan
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+    assert(!p.contains("Union") && !p.contains("Window"), p.take(2000))
+  }
+
   test("brute-force knn broadcasts the probe side, not the corpus") {
     val p = planOf("sim_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

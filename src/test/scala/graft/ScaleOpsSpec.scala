@@ -60,7 +60,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     val composed = run(ScaleOps.asofJoin(left, right,
       key = Seq("user_id"), time = "ts", tieBreak = "event_id",
       rightVals = Seq("event_id", "value")))
+    val broadcastMode = run(graft.plans.AsOfJoinNative.asofJoin(left, right,
+      key = Seq("user_id"), time = "ts", tieBreak = "event_id",
+      rightVals = Seq("event_id", "value"), broadcastRight = true))
     assert(native == composed)
+    assert(broadcastMode == composed)
     assert(native == Seq(
       (100L, None, None),
       (101L, Some(901L), Some(13.5)),
