@@ -236,6 +236,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("term"))
   }
 
+  /** Top-k adjacent-pair collocations ranked by lift
+    * c_xy·N / (c_x·c_y) — PMI without the log (log is monotone, so the
+    * ranking is identical and no cross-engine log() FP hazard exists).
+    * All products are exact BIGINTs < 2^53, so the single IEEE division
+    * and the DESC sort on it are bit-identical across engines; ties
+    * break on the bigram text. Two count shuffles (unigram, bigram) +
+    * two vocab-sized equi-joins; the 1-row token total broadcasts.
+    */
+  def pmiPairs(docs: DataFrame, minCount: Int, topK: Int): DataFrame = {
+    val t = docs.select(split(col("text"), " ").as("t"))
+    val uni = t.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = broadcast(uni.agg(sum(col("c")).cast("long").as("n_tok")))
+    val exact = (col("c_xy") * col("n_tok")).cast("double") /
+      (col("c_x") * col("c_y")).cast("double")
+    t.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(tot)
+      .orderBy(exact.desc, col("bigram")).limit(topK)
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        round(exact, 6).as("lift"))
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // BOILERPLATE detection — the pre-training scrub for repeated site
@@ -532,6 +563,42 @@ object TextAnalysis {
             " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram")).limit(20)
+    },
+
+    // PMI-style collocation mining — the phrase-detection primitive
+    // (word2vec phrase pass, tokenizer vocab seeding, MWE extraction):
+    // rank adjacent pairs by lift = P(xy) / (P(x)·P(y)), i.e. how much
+    // more often the pair co-occurs than independence predicts. The lift
+    // is computed WITHOUT logs as the exact integer ratio
+    // c_xy·N / (c_x·c_y) — PMI's log is monotone, so the ranking is
+    // identical and the cross-engine FP-tie hazard of log() never
+    // arises; all products stay far below 2^53, so the one IEEE division
+    // is bit-identical on both engines, and 6 dp rounding of an
+    // integer-derived ratio is stable. ORDER BY uses the UNROUNDED
+    // quotient (ties broken by bigram), so the top-20 cut is the same
+    // set on both engines. Two count shuffles (unigrams, bigrams) + two
+    // vocab-sized equi-joins; the 1-row token total broadcasts.
+    GraftQuery.of("text_pmi_top_pairs",
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT unnest(t) AS w FROM t),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+        |    AS bigram
+        |  FROM t WHERE len(t) >= 2),
+        |bgc AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM bg
+        |  GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT bigram, c_xy, u1.c AS c_x, u2.c AS c_y,
+        |  round(CAST(c_xy * n_tok AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE), 6)
+        |    AS lift
+        |FROM bgc, tot, uni u1, uni u2
+        |WHERE u1.w = string_split(bigram, ' ')[1]
+        |  AND u2.w = string_split(bigram, ' ')[2]
+        |ORDER BY CAST(c_xy * n_tok AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) DESC,
+        |  bigram LIMIT 20""".stripMargin) { (s, d) =>
+      pmiPairs(documents(s, d), minCount = 5, topK = 20)
     },
 
     // Within-document repetition signal — the boilerplate/spam filter real

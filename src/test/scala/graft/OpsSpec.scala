@@ -306,6 +306,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(r => Option(r.getString(0))).toSet == Set(Some("plain"), None))
   }
 
+  test("pmiPairs ranks by lift, not raw frequency, with exact hand-computed values") {
+    // 4 docs, N = 16 tokens; unigrams: the=5 cat=3 x=2 y=2 dog=2 a=1 b=1;
+    // bigrams ≥ 2: "the cat"=3, "cat x"=2, "x y"=2, "the dog"=2.
+    // Lift = c_xy·N/(c_x·c_y):
+    //   "x y"     2·16/(2·2) = 8        — rare pair, perfectly bound
+    //   "cat x"   2·16/(3·2) = 5.333333
+    //   "the dog" 2·16/(5·2) = 16/5     — EXACT tie with
+    //   "the cat" 3·16/(5·3) = 16/5     — same rational → same double,
+    // so the bigram-text tiebreak decides 3rd place ("the cat" < "the
+    // dog") and the raw-frequency winner ("the cat", c_xy=3) only places
+    // via the tiebreak — a count ranking would have put it first.
+    val docs = docsDf(
+      0L -> "the cat x y the cat",
+      1L -> "the cat x y",
+      2L -> "the dog the dog",
+      3L -> "a b")
+    val out = TextAnalysis.pmiPairs(docs, minCount = 2, topK = 3).collect()
+    assert(out.map(_.getAs[String]("bigram")).toSeq ==
+      Seq("x y", "cat x", "the cat"))
+    val xy = out(0)
+    assert(xy.getAs[Long]("c_xy") == 2L && xy.getAs[Long]("c_x") == 2L &&
+      xy.getAs[Long]("c_y") == 2L)
+    assert(xy.getAs[Double]("lift") == 8.0)
+    assert(out(1).getAs[Double]("lift") == 5.333333)
+    assert(out(2).getAs[Long]("c_x") == 5L && out(2).getAs[Long]("c_y") == 3L)
+    assert(out(2).getAs[Double]("lift") == 3.2)
+  }
+
   test("bpeTrain matches a driver-side greedy BPE reference, including tie-breaks") {
     // crafted corpus: "aaab" ×3, "abab" ×2, "ba" ×1 — round 1 has a
     // genuine tie landscape and round 2+ depend on merged symbols from
