@@ -19,15 +19,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright; read the nanos as long and rebuild a microsecond
-    * timestamp (integer `div` — a double division would lose precision at
-    * 2^53 < ns-epoch).
+  /** `events.ts` has shipped in two parquet encodings across driver drops:
+    * TIMESTAMP(NANOS) — which Spark's reader rejects outright, so it is
+    * read as a BIGINT via the legacy conf (safe to set unconditionally:
+    * it only affects NANOS-typed columns) and rebuilt with integer `div`
+    * (a double division would lose precision at 2^53 < ns-epoch) — and
+    * plain TIMESTAMP(MICROS), which decodes directly. [[fixEventsTs]]
+    * dispatches on the READ schema, so both encodings land on the same
+    * session-zoned TimestampType column downstream.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    fixEventsTs(table(s, d, "events"))
+  }
+
+  /** Normalizes the `ts` column to session-zoned TimestampType whichever
+    * way the parquet encoded it (see [[events]]). NTZ → LTZ cast is an
+    * identity under the UTC session zone; it keeps every downstream
+    * consumer (window(), unix_micros, sink round-trips) on the exact type
+    * the engine has always produced.
+    */
+  def fixEventsTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** File-stream twin of [[events]]: schema from a batch read (the stream
+    * source requires an explicit schema), ts normalized identically. The
+    * glob narrows the SF dir to the events file (a bare file path fails
+    * the stream source's basePath validation).
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    fixEventsTs(s.readStream.schema(schema).parquet(s"$d/events*.parquet"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -94,10 +94,7 @@ object EventStreams {
     */
   private[graft] def hourlyToParquetSink(s: org.apache.spark.sql.SparkSession,
       sfDir: String, base: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = s.readStream.schema(schema).parquet(s"$sfDir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.ops.Tables.eventsStream(s, sfDir)
     val out = s"$base/data"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
@@ -348,13 +345,9 @@ object EventStreams {
         |  event_type, count(*) AS n,
         |  round(sum("value"), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      // same nanos handling as graft.ops.Tables.events, on the stream path
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      // the file-stream source requires a directory or glob (a bare file
-      // path fails basePath validation) — narrow the SF dir with a glob
-      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // schema + ts normalization shared with the batch reader (the
+      // stream source requires an explicit schema and a dir/glob path)
+      val raw = graft.ops.Tables.eventsStream(s, d)
       val sink = s"stream_hourly_${graft.ops.Tables.viewSuffix(d)}"
       runToResult(s, hourlyAgg(raw), sink, OutputMode.Complete()) { t =>
         t.select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
@@ -407,10 +400,7 @@ object EventStreams {
         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
         |  count(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = graft.ops.Tables.eventsStream(s, d)
       val slid = raw.withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -452,10 +442,7 @@ object EventStreams {
     GraftQuery.of("stream_dedup_watermarked",
       """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      def src() = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src() = graft.ops.Tables.eventsStream(s, d)
       val deduped = src().unionByName(src())
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark("event_id")
@@ -481,9 +468,7 @@ object EventStreams {
         |  round(sum(e."value"), 4) AS sum_value
         |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+      val raw = graft.ops.Tables.eventsStream(s, d)
       val cust = graft.ops.Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"))
       val enriched = raw
@@ -517,10 +502,7 @@ object EventStreams {
         |  AND epoch_us(p.ts) >= epoch_us(v.ts)
         |  AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      def src() = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src() = graft.ops.Tables.eventsStream(s, d)
       val joined = viewPurchaseJoin(
         src().filter(col("event_type") === "view"),
         src().filter(col("event_type") === "purchase"))
@@ -559,10 +541,7 @@ object EventStreams {
         |    AND t1 > t0 AND t2 IS NOT NULL AND t2 > t1) AS BIGINT)
         |    AS n_view_click_purchase
         |FROM f""".stripMargin) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = graft.ops.Tables.eventsStream(s, d)
       val sink = s"stream_funnel_${graft.ops.Tables.viewSuffix(d)}"
       runToResult(s, firstTouch(raw), sink, OutputMode.Update())(firstTouchFunnel)
     },
@@ -610,10 +589,7 @@ object EventStreams {
          |SELECT user_id, count(*) AS n_events,
          |  CAST(1 + sum(new_session) AS BIGINT) AS n_sessions
          |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = graft.ops.Tables.eventsStream(s, d)
       val sink = s"stream_sessions_${graft.ops.Tables.viewSuffix(d)}"
       runToResult(s, sessionize(raw).toDF(), sink, OutputMode.Update()) { t =>
         t.groupBy(col("user_id"))
@@ -633,10 +609,7 @@ object EventStreams {
     // snapshot.
     GraftQuery.of("stream_compact_latest",
       graft.ops.Events.CompactLatestOracleSql) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = graft.ops.Tables.eventsStream(s, d)
       val compacted = graft.ops.Events.compactLatest(raw)
       val sink = s"stream_compact_${graft.ops.Tables.viewSuffix(d)}"
       runToResult(s, compacted, sink, OutputMode.Update()) { t =>
@@ -695,10 +668,8 @@ object EventStreams {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
       import s.implicits._
-      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
+      val raw = graft.ops.Tables.eventsStream(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").cast("long"),
           expr("CAST(round(value * 100) AS BIGINT)"))
@@ -717,10 +688,7 @@ object EventStreams {
 
     GraftQuery.of("stream_upsert_sink",
       graft.ops.Events.CompactLatestOracleSql) { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(schema).parquet(s"$d/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = graft.ops.Tables.eventsStream(s, d)
       val base = java.nio.file.Files.createTempDirectory("graft_upsert").toFile
       val latest = new java.io.File(base, "LATEST")
       try {

@@ -97,13 +97,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("file-source stream over the real events table equals the batch aggregation") {
     val s = spark
-    // same nanos handling as graft.ops.Tables.events, streaming flavor
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same ts normalization as graft.ops.Tables.events, streaming flavor
     val dir = "/root/testdata/sf0.001"
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = ops.Tables.eventsStream(s, dir)
     val query = EventStreams.hourlyAgg(stream).writeStream
       .format("memory").queryName("hourly_file_out")
       .outputMode("complete").start()
