@@ -19,7 +19,7 @@ object SparkEntry {
     Relational.queries ++ TpcH.queries ++ DwcQueries.queries ++ ArchiveQueries.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Events.queries ++ Multimodal.queries ++ ScaleOps.queries ++ Graph.queries ++
-      SqlSurface.queries ++ Pipeline.queries ++
+      SqlSurface.queries ++ Pipeline.queries ++ Quality.queries ++
       graft.streaming.EventStreams.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

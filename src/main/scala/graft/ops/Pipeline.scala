@@ -175,25 +175,33 @@ object Pipeline {
     * one corpus scan, no shuffle of the corpus. Documents shorter than
     * `n` tokens carry no shingles and cannot be contaminated.
     */
-  def contaminatedDocIds(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
-    // Tokenize ONCE into a bound column before the lambda: Spark does not
-    // hoist loop-invariant subexpressions out of higher-order-function
-    // lambdas, so an inline split(text) would re-tokenize per shingle —
-    // O(tokens²) per document. sequence(1, 0) would DESCEND in Spark, so
-    // short docs need the explicit empty-array branch (explode then drops
-    // the row).
-    def shingles(df: DataFrame): DataFrame =
-      df.withColumn("__t", split(col("text"), " "))
-        .select(col("doc_id"), explode(expr(
-          s"""CASE WHEN size(__t) < $n THEN array()
-             |ELSE transform(sequence(1, size(__t) - ${n - 1}),
-             |  i -> concat_ws(' ', slice(__t, i, $n))) END""".stripMargin)).as("sh"))
-        .select(col("doc_id"), md5hash60(col("sh")).as("shash"))
-    shingles(docs)
-      .join(broadcast(shingles(benchmark).select(col("shash")).distinct()), Seq("shash"),
-        "left_semi")
+  def contaminatedDocIds(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame =
+    shingleHashes(docs, n)
+      .join(broadcast(shingleHashes(benchmark, n).select(col("shash")).distinct()),
+        Seq("shash"), "left_semi")
       .select(col("doc_id")).distinct()
-  }
+
+  /** (keep..., shash) stream of hashed `n`-token shingles — the shared
+    * primitive under [[contaminatedDocIds]] and the split-leakage audit.
+    * Only the `keep` columns ride through the explode (the exploded
+    * stream is tokens-per-doc × wide, so dragging `text` itself through
+    * it would multiply the corpus).
+    *
+    * Tokenize ONCE into a bound column before the lambda: Spark does not
+    * hoist loop-invariant subexpressions out of higher-order-function
+    * lambdas, so an inline split(text) would re-tokenize per shingle —
+    * O(tokens²) per document. sequence(1, 0) would DESCEND in Spark, so
+    * short docs need the explicit empty-array branch (explode then drops
+    * the row).
+    */
+  private[graft] def shingleHashes(df: DataFrame, n: Int,
+      keep: Seq[String] = Seq("doc_id")): DataFrame =
+    df.withColumn("__t", split(col("text"), " "))
+      .select(keep.map(col) :+ explode(expr(
+        s"""CASE WHEN size(__t) < $n THEN array()
+           |ELSE transform(sequence(1, size(__t) - ${n - 1}),
+           |  i -> concat_ws(' ', slice(__t, i, $n))) END""".stripMargin)).as("sh"): _*)
+      .select((keep.map(col) :+ md5hash60(col("sh")).as("shash")): _*)
 
   def queries: Seq[GraftQuery] = Seq(
 
@@ -334,6 +342,54 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"),
           count(col("__bad")).as("n_contaminated"))
         .orderBy(col("lang"))
+    },
+
+    // SPLIT-LEAKAGE audit — decontamination's inward-facing twin: after
+    // the deterministic train/val/test hash split, count holdout documents
+    // that share ANY 8-token shingle with a TRAIN document (train→holdout
+    // leakage is what silently inflates eval numbers). Unlike the
+    // benchmark probe, NEITHER side is small — train shingles are 80% of
+    // the corpus — so the semi join is a plain shash-keyed shuffle (the
+    // honest 100 TB shape; no broadcast pretence), and everything upstream
+    // of it is the shared [[shingleHashes]] explode with map-side DISTINCT
+    // collapse. Same-split sharing is deliberately NOT leakage.
+    GraftQuery.of("pipeline_split_leakage", {
+      val h = h60Sql("doc_id::VARCHAR")
+      val hs = h60Sql("sh")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    CASE WHEN $h % 100 < 80 THEN 'train'
+         |         WHEN $h % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, split, $hs AS shash FROM (
+         |    SELECT doc_id, split, unnest(list_transform(
+         |      range(1, greatest(len(t) - 6, 1)),
+         |      i -> array_to_string(t[i:i+7], ' '))) AS sh
+         |    FROM toks)
+         |), tr AS (
+         |  SELECT DISTINCT shash FROM sh WHERE split = 'train'
+         |), leaked AS (
+         |  SELECT DISTINCT s.doc_id FROM sh s JOIN tr USING (shash)
+         |  WHERE s.split <> 'train'
+         |)
+         |SELECT t.split, count(*) AS n_docs, count(l.doc_id) AS n_leaked
+         |FROM toks t LEFT JOIN leaked l USING (doc_id)
+         |WHERE t.split <> 'train'
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      val sp = hashSplit(documents(s, d))
+      val holdout = sp.filter(col("split") =!= "train")
+      val leaked = shingleHashes(holdout, 8)
+        .join(shingleHashes(sp.filter(col("split") === "train"), 8)
+          .select(col("shash")).distinct(), Seq("shash"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("__l", lit(1))
+      holdout.join(leaked, Seq("doc_id"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), count(col("__l")).as("n_leaked"))
+        .orderBy(col("split"))
     },
 
     // Data-mixture re-weighting: per-language sampling weight that turns

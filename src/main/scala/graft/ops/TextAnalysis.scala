@@ -733,6 +733,42 @@ object TextAnalysis {
         .orderBy(col("occurrences"))
     },
 
+    // INVERTED INDEX build — the retrieval artifact (term → document
+    // posting list) behind corpus search, RAG indexing, and audit lookups.
+    // One explode + DISTINCT collapses (term, doc) repeats map-side, a
+    // per-term window caps the materialized posting list at the first 20
+    // doc_ids (the window partitions by TERM, so the sort is bounded by
+    // document frequency and embarrassingly parallel across terms — never
+    // corpus-global), and one term-keyed aggregate emits total df next to
+    // the capped list. The cap is the load-bearing scale choice: stopword
+    // terms have df ≈ corpus size, and an uncapped collect per term is the
+    // classic inverted-index OOM; df carries the true count the cap hides.
+    // Postings are a comma-joined string (typed arrays don't hash-compare
+    // portably through the driver's pandas gate).
+    GraftQuery.of("text_inverted_index",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |td AS (SELECT DISTINCT term, doc_id FROM tok WHERE term <> ''),
+        |agg AS (SELECT term, count(*) AS df,
+        |  list_aggregate(list_sort(list(doc_id))[1:20], 'string_agg', ',') AS postings
+        |  FROM td GROUP BY 1)
+        |SELECT term, CAST(df AS BIGINT) AS df, postings
+        |FROM agg WHERE df >= 5 ORDER BY term""".stripMargin) { (s, d) =>
+      val byTerm = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .distinct()
+        .withColumn("__rn", row_number().over(byTerm))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", expr(
+            "transform(array_sort(collect_list(CASE WHEN __rn <= 20 THEN doc_id END)), x -> CAST(x AS STRING))"))
+            .as("postings"))
+        .filter(col("df") >= 5)
+        .orderBy(col("term"))
+    },
+
     // N-gram novelty — per-document count of 8-grams that also occur in
     // ANOTHER document (shared_grams / n_grams is the memorization /
     // near-dup signal training pipelines threshold on). The exploded gram

@@ -127,7 +127,8 @@ object EventStreams {
     * frames (the unit tests drive THIS function through MemoryStreams;
     * the registered query feeds it file-stream reads).
     */
-  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+  def viewPurchaseJoin(views: DataFrame, purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("v_id"))
@@ -136,7 +137,8 @@ object EventStreams {
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("p_id"))
       .withWatermark("p_ts", "2 hours")
-    v.join(p, expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"))
+    v.join(p, expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"),
+        joinType)
       .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
   }
 
@@ -509,6 +511,53 @@ object EventStreams {
       val sink = s"stream_ssj_${graft.ops.Tables.viewSuffix(d)}"
       runToResult(s, joined, sink, OutputMode.Append()) { t =>
         t.groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      }
+    },
+
+    // LEFT-OUTER watermarked stream-stream join — the attribution query's
+    // production form: matched (view, purchase) pairs emit exactly as in
+    // the inner join, and a view with NO purchase in [v_ts, v_ts + 1 h]
+    // emits ONCE with a null purchase when its state evicts — i.e. when
+    // the global watermark (min over both inputs of max event time − 2 h)
+    // passes v_ts + 1 h, the last instant a matching purchase could still
+    // arrive. Views too close to the end of the stream are still
+    // awaiting matches at shutdown and never emit — the oracle applies
+    // the identical cut analytically (null-extension is a WATERMARK
+    // decision, not a join decision; that cut IS the semantics a
+    // downstream consumer must understand). The batch finisher counts
+    // per-user matched pairs and unmatched views.
+    GraftQuery.of("stream_stream_left_join",
+      """WITH mx AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m),
+        |v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT v.user_id FROM v JOIN p
+        |    ON p.user_id = v.user_id
+        |    AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |    AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000),
+        |unmatched AS (
+        |  SELECT v.user_id FROM v, mx
+        |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+        |      AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |      AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000)
+        |    AND epoch_us(v.ts) + 3600000000 < epoch_us(mx.m) - 7200000000),
+        |al AS (SELECT user_id, 1 AS matched FROM matched
+        |  UNION ALL SELECT user_id, 0 FROM unmatched)
+        |SELECT user_id, CAST(sum(matched) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) - sum(matched) AS BIGINT) AS n_unmatched
+        |FROM al GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      def src() = graft.ops.Tables.eventsStream(s, d)
+      val joined = viewPurchaseJoin(
+        src().filter(col("event_type") === "view"),
+        src().filter(col("event_type") === "purchase"), "left_outer")
+      val sink = s"stream_sslj_${graft.ops.Tables.viewSuffix(d)}"
+      runToResult(s, joined, sink, OutputMode.Append()) { t =>
+        t.groupBy(col("user_id"))
+          .agg(count(col("p_id")).as("n_pairs"),
+            sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
           .orderBy(col("user_id"))
       }
     },

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Quality
+
+/** Crafted-input tests for the data-quality family: the registered queries
+  * run over CONSISTENT testdata (orphan counts 0, most rules pass), so the
+  * violation paths are proven here on frames built to violate.
+  */
+class QualitySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fkOrphans counts unmatched and NULL fact keys, zero on consistent data") {
+    val fact = Seq(Some(1L), Some(2L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Quality.fkOrphans("t", fact, "fk", dim, "pk").collect().head
+    assert(out.getAs[Long]("n_rows") == 5L)
+    // 99 (no match) + NULL (never matches) = 2 orphans
+    assert(out.getAs[Long]("n_orphans") == 2L)
+
+    val clean = Quality.fkOrphans("t", Seq(1L, 2L).toDF("fk"), "fk", dim, "pk")
+      .collect().head
+    assert(clean.getAs[Long]("n_orphans") == 0L)
+  }
+
+  test("profile reports nulls, exact distinct, and kind-routed min/max") {
+    val df = Seq(
+      (Some(10L), Some("b")),
+      (Some(20L), Some("a")),
+      (Some(20L), None),
+      (None, Some("c"))).toDF("num", "str")
+    val rows = Quality.profile("t", df,
+      Seq("num" -> Quality.NumCol, "str" -> Quality.StrCol))
+      .orderBy("col_name").collect()
+    val num = rows(0)
+    assert(num.getAs[String]("col_name") == "num")
+    assert(num.getAs[Long]("n_rows") == 4L)
+    assert(num.getAs[Long]("n_null") == 1L)
+    assert(num.getAs[Long]("n_distinct") == 2L)
+    assert(num.getAs[Double]("min_num") == 10.0 && num.getAs[Double]("max_num") == 20.0)
+    assert(num.isNullAt(num.fieldIndex("min_str")))
+    val str = rows(1)
+    assert(str.getAs[Long]("n_null") == 1L)
+    assert(str.getAs[Long]("n_distinct") == 3L)
+    assert(str.getAs[String]("min_str") == "a" && str.getAs[String]("max_str") == "c")
+    assert(str.isNullAt(str.fieldIndex("min_num")))
+  }
+
+  test("expectation suite distinguishes pass from fail on the real testdata") {
+    val out = SparkEntry.queries("dq_expectations")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed"))).toMap
+    // the two deliberately tight rules must FAIL with live violation counts
+    assert(!out("li_quantity_le_40")._2 && out("li_quantity_le_40")._1 > 0)
+    assert(!out("ord_totalprice_le_400k")._2 && out("ord_totalprice_le_400k")._1 > 0)
+    // the domain/range/format rules must PASS with zero violations
+    Seq("li_discount_range", "li_linestatus_domain", "li_quantity_range",
+      "li_returnflag_domain", "li_shipdate_nonnull", "ord_priority_format",
+      "ord_status_domain", "ord_totalprice_positive").foreach { r =>
+      assert(out(r)._2 && out(r)._1 == 0L, s"rule $r: ${out(r)}")
+    }
+  }
+
+  test("split-leakage composition flags exactly the cross-split shingle shares") {
+    import graft.ops.Pipeline
+    // find ids landing in different splits under the REAL hash split
+    val ids = Pipeline.hashSplit((0L until 200L).toDF("doc_id")
+        .withColumn("text", lit("")))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val trainId = ids.collectFirst { case (i, "train") => i }.get
+    val valId = ids.collectFirst { case (i, "val") => i }.get
+    val val2Id = ids.collect { case (i, "val") => i }.apply(1)
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8" // one exact 8-gram
+    val docs = Seq(
+      trainId -> s"prefix $shared suffix tail pad pad2 pad3",
+      valId -> s"other head $shared closing words here now",
+      val2Id -> "entirely distinct content with no overlap at all eight")
+      .toDF("doc_id", "text")
+    val sp = Pipeline.hashSplit(docs)
+    val leaked = Pipeline.shingleHashes(sp.filter(col("split") =!= "train"), 8)
+      .join(Pipeline.shingleHashes(sp.filter(col("split") === "train"), 8)
+        .select("shash").distinct(), Seq("shash"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(leaked == Set(valId), s"leaked=$leaked expected {$valId}")
+  }
+
+  test("referential audit is clean on the real testdata and one scan per relation") {
+    val out = SparkEntry.queries("dq_referential")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("rel") -> r.getAs[Long]("n_orphans")).toMap
+    assert(out.size == 4 && out.values.forall(_ == 0L))
+  }
+}

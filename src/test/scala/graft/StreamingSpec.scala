@@ -95,6 +95,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("left-outer stream-stream join: null-extends only watermark-evicted unmatched views") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    def shape(src: MemoryStream[(Long, Timestamp, Long)]) =
+      src.toDF().toDF("event_id", "ts", "user_id")
+    val query = EventStreams
+      .viewPurchaseJoin(shape(views), shape(purchases), "left_outer")
+      .writeStream.format("memory").queryName("sslj_out")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L), // will match
+        (2L, ts("2024-01-01 10:00:00"), 8L), // no purchase → null once evicted
+        (3L, ts("2024-01-02 09:00:00"), 9L)) // unmatched but NEVER evicted
+      purchases.addData(
+        (10L, ts("2024-01-01 10:30:00"), 7L))
+      query.processAllAvailable()
+      // advance both watermarks far past view 2's eviction point
+      // (10:00 + 1h join window + 2h delay) but NOT past view 3's
+      views.addData((4L, ts("2024-01-02 10:00:00"), 99L))
+      purchases.addData((11L, ts("2024-01-02 10:00:00"), 99L))
+      query.processAllAvailable()
+      // one more batch so the state-eviction pass runs under the new watermark
+      views.addData((5L, ts("2024-01-02 10:00:01"), 99L))
+      query.processAllAvailable()
+      val out = spark.table("sslj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(out.contains((7L, 1L, 10L)), s"matched pair missing: $out")
+      assert(out.contains((8L, 2L, -1L)), s"evicted unmatched view not null-extended: $out")
+      // view 3 (and the watermark-driver views) are within the join window
+      // of the final watermark — still buffered, must NOT have emitted nulls
+      assert(!out.exists(t => t._2 == 3L), s"un-evicted view leaked: $out")
+    } finally query.stop()
+  }
+
   test("file-source stream over the real events table equals the batch aggregation") {
     val s = spark
     // same ts normalization as graft.ops.Tables.events, streaming flavor
