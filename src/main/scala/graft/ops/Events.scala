@@ -539,6 +539,36 @@ object Events {
       transitionMatrix(events(s, d))
     },
 
+    // TOP USER PATHS — the transition matrix's higher-order sibling:
+    // most common 3-step event-type sequences across user timelines
+    // (path/journey mining: "view>view>purchase beats view>click>
+    // purchase" is a product decision). Two leads over the same
+    // (user_id; ts, event_id) window the sessionize/transition queries
+    // already use — one shuffle, per-user bounded sorts — then a plain
+    // path count with the total-order (n DESC, path) top-10 cut, so
+    // boundary ties are deterministic on both engines.
+    GraftQuery.of("events_user_path_topk",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    },
+
     // TEMPORAL (point-in-time) lookup against an SCD2 dimension — the
     // join every warehouse runs after building type-2 history: each fact
     // row resolves the dimension version valid AT ITS OWN TIMESTAMP. The

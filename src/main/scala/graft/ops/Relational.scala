@@ -327,6 +327,105 @@ object Relational {
             .as("within_bounds"))
     },
 
+    // KMV sketch SET ALGEBRA — the property that makes distinct-count
+    // sketches infrastructure rather than a one-table trick: two sets'
+    // k-minimum-values sketches merge by "k smallest of the union of
+    // sketch elements" (exact, because the k smallest of A ∪ B can only
+    // come from the k smallest of A and of B), estimating |A ∪ B| with
+    // the same (k−1)·2⁶⁰/h_k rule, and |A ∩ B| via the Jaccard fraction
+    // ρ = (union-sketch members in BOTH sets)/k (Beyer et al., SIGMOD'07).
+    // Sets: order keys shipping 'A'-returned vs 'R'-returned lines —
+    // genuinely partial overlap (ρ ≈ 0.5–0.7 across SFs) because an
+    // order's handful of lines rarely covers both flags. Everything is
+    // md5-deterministic, so estimates AND membership counts hash-compare
+    // exactly; the oracle additionally checks both error envelopes held.
+    GraftQuery.of("q_kmv_setops", {
+      val h = GraftQuery.h60Sql("k::VARCHAR")
+      s"""WITH a AS (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+         |b AS (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+         |ha AS (SELECT $h AS h FROM a),
+         |hb AS (SELECT $h AS h FROM b),
+         |u AS (SELECT DISTINCT h FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+         |      ORDER BY h LIMIT 16),
+         |kth AS (SELECT CAST(max(h) AS BIGINT) AS hk, CAST(count(*) AS BIGINT) AS k FROM u),
+         |inter AS (SELECT CAST(count(*) AS BIGINT) AS m FROM u
+         |  WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
+         |ex AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS exact_union,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS exact_inter)
+         |SELECT k, m,
+         |  15.0 * CAST(1152921504606846976 AS DOUBLE) / hk AS est_union,
+         |  exact_union,
+         |  (m / 16.0) * (15.0 * CAST(1152921504606846976 AS DOUBLE) / hk) AS est_inter,
+         |  exact_inter,
+         |  15.0 * CAST(1152921504606846976 AS DOUBLE) / hk
+         |    BETWEEN exact_union * 0.4 AND exact_union * 2.5 AS union_within_bounds,
+         |  (m / 16.0) * (15.0 * CAST(1152921504606846976 AS DOUBLE) / hk)
+         |    BETWEEN exact_inter * 0.3 AND exact_inter * 3.0 AS inter_within_bounds
+         |FROM kth, inter, ex""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      def keySet(flag: String) = lineitem(s, d)
+        .filter(col("l_returnflag") === flag)
+        .select(col("l_orderkey").as("k")).distinct()
+        .select(md5hash60(col("k").cast("string")).as("h"))
+        .localCheckpoint(true) // consumed twice: sketch union + membership
+      val (ha, hb) = (keySet("A"), keySet("R"))
+      val u = ha.unionByName(hb).distinct().orderBy(col("h")).limit(16)
+      val kth = u.agg(max(col("h")).as("hk"), count(lit(1)).as("k"))
+      val m = broadcast(u.join(ha, Seq("h"), "left_semi")
+        .join(hb, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("m")))
+      val exact = broadcast(
+        lineitem(s, d).filter(col("l_returnflag") === "A")
+          .select(col("l_orderkey")).distinct()
+          .unionByName(lineitem(s, d).filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey")).distinct())
+          .agg(countDistinct(col("l_orderkey")).as("exact_union"))
+          .crossJoin(
+            lineitem(s, d).filter(col("l_returnflag") === "A")
+              .select(col("l_orderkey")).distinct()
+              .join(lineitem(s, d).filter(col("l_returnflag") === "R")
+                .select(col("l_orderkey")).distinct(), Seq("l_orderkey"), "left_semi")
+              .agg(count(lit(1)).as("exact_inter"))))
+      val estU = lit(15.0) * lit(1152921504606846976.0) / col("hk")
+      val estI = (col("m") / lit(16.0)) * estU
+      kth.crossJoin(m).crossJoin(exact)
+        .select(col("k"), col("m"), estU.as("est_union"), col("exact_union"),
+          estI.as("est_inter"), col("exact_inter"),
+          (estU >= col("exact_union") * 0.4 && estU <= col("exact_union") * 2.5)
+            .as("union_within_bounds"),
+          (estI >= col("exact_inter") * 0.3 && estI <= col("exact_inter") * 3.0)
+            .as("inter_within_bounds"))
+    },
+
+    // JOIN-KEY SKEW PROFILE — the diagnostic run before any large keyed
+    // join ships (the number that says "salt this" / "AQE will split
+    // that"): per-key row counts of the prospective join key, summarized
+    // as max / p50 / p99 / top-1 share. All inputs to the percentiles are
+    // integer counts (percentile ≡ quantile_cont on both engines, round 6
+    // guards interpolation residue), and top1_share is emitted as exact
+    // integer numerator (max count) over denominator (rows) at 6dp — the
+    // same integer-derived-ratio discipline as the text family. ONE
+    // count shuffle + one bounded summary aggregate.
+    GraftQuery.of("q_skew_profile",
+      """WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+        |  round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top1_share
+        |FROM c""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"),
+          round(expr("percentile(cnt, 0.5)"), 6).as("p50_cnt"),
+          round(expr("percentile(cnt, 0.99)"), 6).as("p99_cnt"),
+          round(max(col("cnt")).cast("double") / sum(col("cnt")), 6).as("top1_share"))
+    },
+
     // Count-Min sketch frequency estimation — the sketch family's POINT-
     // FREQUENCY member (X4 SpaceSaving = top-k, X5 HLL++ = cardinality,
     // KMV = cardinality): a D=4 × W=16 integer matrix where row i

@@ -14,6 +14,19 @@ class GraphSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("kcorePeel melts the chain round-by-round and keeps the clique") {
+    import spark.implicits._
+    // K4 clique {1,2,3,4} (every degree 3) + a chain 4-5-6-7 hanging off.
+    // 2-core: chain END 7 (deg 1) peels in round 1, exposing 6; 6 peels
+    // in round 2, exposing 5; 5 in round 3; the clique (all degrees ≥ 3
+    // > 2) survives every round — the per-round counts ARE the melt curve.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val curve = Graph.kcorePeel(edges, k = 2, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(curve == Map(0L -> 7L, 1L -> 6L, 2L -> 5L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("coOccurrenceEdges builds distinct undirected src<dst pairs per container") {
     import spark.implicits._
     val df = Seq(

@@ -292,6 +292,7 @@ class PlanSpec extends AnyFunSuite {
       "graph_triangles" -> "1-row sampled-edge count frame crosses into the count",
       "pipeline_mix_weights" -> "1-row corpus totals frame",
       "q_kmv_distinct" -> "1-row kth-hash frame x 1-row exact-count frame",
+      "q_kmv_setops" -> "1-row sketch-summary frames (kth hash, membership, exact counts) crossed",
       "q_numeric_histogram" -> "1-row min/max bounds frame crosses into the scan",
       "text_boilerplate_flags" -> "1-row ndocs frame for the frequency threshold",
       "text_pmi_top_pairs" -> "1-row token-total frame in the lift numerator",
