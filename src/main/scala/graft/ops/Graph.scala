@@ -182,6 +182,51 @@ object Graph {
     symmetrize(edges)
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
 
+  /** TrustRank (Gyöngyi et al., VLDB'04): PageRank with the teleport mass
+    * restricted to a trusted SEED set — rank becomes "random-walk
+    * proximity to trust", the classic crawl-corpus spam/quality signal (a
+    * page unreachable from any trusted page converges to rank 0). Same
+    * two-shuffle-per-round shape and the same 1e-12 FIXED-POINT integer
+    * discipline as [[pagerank]] (all compared values are
+    * summation-order-independent BIGINTs): init mass/|seeds| on seeds and
+    * 0 elsewhere, per round each node gets damped in-neighbor
+    * contributions plus — seeds only — teleport/|seeds|. Non-seed sinks
+    * leak teleport mass by design (trust decays away from seeds; total
+    * mass is NOT conserved, unlike pagerank).
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val dampNum = math.round(damping * 100).toInt
+    require(dampNum > 0 && dampNum < 100, s"damping must be on (0,1) in 1/100 steps, got $damping")
+    val teleportNum = PrScale / 100 * (100 - dampNum)
+    val sym = symmetrize(edges).localCheckpoint(true)
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val seedFlag = broadcast(seeds.select(col("node")).distinct()
+      .withColumn("__seed", lit(1)))
+    val ns = broadcast(seedFlag.agg(count(lit(1)).as("ns")))
+    var tr = deg.join(seedFlag, Seq("node"), "left").crossJoin(ns)
+      .select(col("node"), col("deg"),
+        when(col("__seed").isNotNull, expr(s"${PrScale}L div ns"))
+          .otherwise(lit(0L)).as("tr_fix"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = sym.join(tr.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("tr_fix div deg")).as("__mass"))
+      tr = deg.join(contrib, "node")
+        .join(seedFlag, Seq("node"), "left").crossJoin(ns)
+        .select(col("node"), col("deg"),
+          (when(col("__seed").isNotNull, expr(s"${teleportNum}L div ns"))
+            .otherwise(lit(0L)) + expr(s"($dampNum * __mass) div 100"))
+            .as("tr_fix"))
+        .localCheckpoint(true)
+    }
+    tr.join(seedFlag, Seq("node"), "left")
+      .select(col("node"), col("deg"), col("tr_fix"),
+        col("__seed").isNotNull.as("is_seed"))
+  }
+
   /** `rounds` rounds of k-core peeling over undirected (src, dst) edges:
     * each round SIMULTANEOUSLY drops every node whose degree in the
     * current induced subgraph is < k, the standard bulk-synchronous
@@ -440,5 +485,56 @@ object Graph {
           concat_ws("|", col("src").cast("string"), col("dst").cast("string"))),
           lit(8L)) === 0)
       kcorePeel(sampled, k = 8, rounds = 6)
+    },
+
+    // 3-round TrustRank on the sampled co-purchase graph, seeds = the
+    // deterministic ~5% of nodes with h60(node) ≡ 0 (mod 20) — both
+    // engines derive the identical seed set, so every rank is
+    // hash-compared (the same per-node discipline as graph_pagerank, and
+    // the same integer fixed point: no float exists anywhere in the
+    // iteration). Oracle unrolls the three seed-conditional rounds as
+    // MATERIALIZED CTEs.
+    GraftQuery.of("graph_trustrank", {
+      val h = GraftQuery.h60Sql("src::VARCHAR || '|' || dst::VARCHAR")
+      val hs = GraftQuery.h60Sql("node::VARCHAR")
+      val roundCtes = (1 to 3).map { r =>
+        s"""tr$r AS MATERIALIZED (
+           |  SELECT d.node, d.deg,
+           |    CASE WHEN s.node IS NOT NULL THEN 150000000000 // ns.ns ELSE 0 END
+           |      + (85 * CAST(sum(p.tr_fix // p.deg) AS BIGINT)) // 100 AS tr_fix
+           |  FROM e JOIN tr${r - 1} p ON p.node = e.src JOIN deg d ON d.node = e.dst
+           |  LEFT JOIN seeds s ON s.node = d.node CROSS JOIN ns
+           |  GROUP BY d.node, d.deg, s.node, ns.ns)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e1 AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM li a JOIN li b USING (l_orderkey)
+         |  WHERE a.l_partkey < b.l_partkey),
+         |samp AS MATERIALIZED (SELECT src, dst FROM e1 WHERE $h % 8 = 0),
+         |e AS MATERIALIZED (SELECT src, dst FROM samp UNION ALL SELECT dst, src FROM samp),
+         |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         |seeds AS MATERIALIZED (SELECT node FROM deg WHERE $hs % 20 = 0),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds),
+         |tr0 AS MATERIALIZED (
+         |  SELECT d.node, d.deg,
+         |    CASE WHEN s.node IS NOT NULL THEN 1000000000000 // ns.ns ELSE 0 END AS tr_fix
+         |  FROM deg d LEFT JOIN seeds s USING (node) CROSS JOIN ns),
+         |$roundCtes
+         |SELECT t.node, CAST(t.deg AS BIGINT) AS deg,
+         |  CAST(t.tr_fix AS BIGINT) AS tr_fix,
+         |  s.node IS NOT NULL AS is_seed
+         |FROM tr3 t LEFT JOIN seeds s USING (node)
+         |ORDER BY t.node""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      val sampled = coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+        .filter(pmod(md5hash60(
+          concat_ws("|", col("src").cast("string"), col("dst").cast("string"))),
+          lit(8L)) === 0)
+      val seeds = degrees(sampled)
+        .filter(pmod(md5hash60(col("node").cast("string")), lit(20L)) === 0)
+        .select(col("node"))
+      trustRank(sampled, seeds).orderBy(col("node"))
     })
 }

@@ -49,39 +49,42 @@ object Quality {
   case object StrCol extends ColKind
   case object TsCol extends ColKind
 
-  /** Single-scan per-column profile of `df`: one aggregate row holding
-    * (non-null count, exact distinct, min, max) for every listed column,
-    * then a `stack` unpivot to (col_name, n_null, n_distinct, min/max)
-    * rows. The unpivot runs over the ONE-row aggregate output, so the
-    * table is scanned exactly once however many columns are profiled.
+  /** Per-column profile of `df`: for every listed column, ONE two-stage
+    * aggregation over a COLUMN-PRUNED scan — groupBy(value) collapses to
+    * the distinct values map-side (partial combine), then a one-row
+    * summary derives rows (Σ counts), nulls (the null group's count),
+    * exact distinct, and typed min/max from that bounded frame. The
+    * branches union into one job, so they execute concurrently.
+    *
+    * Deliberately NOT the fused multi-`count(DISTINCT)` aggregate: Spark
+    * plans k distinct aggregates as an Expand (k+1 row replicas) whose
+    * mixed-type grouping keys fall off the hash-aggregate path — measured
+    * 6.9 s vs ~1 s for this shape at sf0.1. Per-column scans read the
+    * same total bytes (columnar pruning: one column each), and each
+    * branch's exchange carries only that column's distinct values.
     */
   private[graft] def profile(tableName: String, df: DataFrame,
-      specs: Seq[(String, ColKind)]): DataFrame = {
-    val aggs = count(lit(1)).as("__n") +: specs.flatMap { case (c, _) =>
-      Seq(count(col(c)).as(s"__cnt_$c"), countDistinct(col(c)).as(s"__dst_$c"),
-        min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = specs.map { case (c, kind) =>
-      val minMax = kind match {
-        case NumCol => Seq(s"CAST(__min_$c AS DOUBLE)", s"CAST(__max_$c AS DOUBLE)",
-          "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
-        case StrCol => Seq("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-          s"__min_$c", s"__max_$c")
-        case TsCol => Seq("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-          s"date_format(__min_$c, 'yyyy-MM-dd HH:mm:ss')",
-          s"date_format(__max_$c, 'yyyy-MM-dd HH:mm:ss')")
+      specs: Seq[(String, ColKind)]): DataFrame =
+    specs.map { case (c, kind) =>
+      val one = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+        .agg(sum(col("__cnt")).as("n_rows"),
+          sum(when(col("__v").isNull, col("__cnt")).otherwise(0L)).as("n_null"),
+          count(col("__v")).as("n_distinct"),
+          min(col("__v")).as("__min"), max(col("__v")).as("__max"))
+      val (minNum, maxNum, minStr, maxStr) = kind match {
+        case NumCol => (col("__min").cast("double"), col("__max").cast("double"),
+          lit(null).cast("string"), lit(null).cast("string"))
+        case StrCol => (lit(null).cast("double"), lit(null).cast("double"),
+          col("__min").cast("string"), col("__max").cast("string"))
+        case TsCol => (lit(null).cast("double"), lit(null).cast("double"),
+          date_format(col("__min"), "yyyy-MM-dd HH:mm:ss"),
+          date_format(col("__max"), "yyyy-MM-dd HH:mm:ss"))
       }
-      (Seq(s"'$c'", s"__n - __cnt_$c", s"__dst_$c") ++ minMax).mkString(", ")
-    }
-    one.select(col("__n"), expr(
-      s"""stack(${specs.size}, ${stackArgs.mkString(", ")})
-         |AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"""
-        .stripMargin))
-      .select(lit(tableName).as("table_name"), col("col_name"),
-        col("__n").as("n_rows"), col("n_null"), col("n_distinct"),
-        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
-  }
+      one.select(lit(tableName).as("table_name"), lit(c).as("col_name"),
+        col("n_rows"), col("n_null"), col("n_distinct"),
+        minNum.as("min_num"), maxNum.as("max_num"),
+        minStr.as("min_str"), maxStr.as("max_str"))
+    }.reduce(_ unionByName _)
 
   /** One-row referential-integrity check: fact rows whose `factKey` has no
     * match in the dimension's DISTINCT `dimKey` set. The anti join keys

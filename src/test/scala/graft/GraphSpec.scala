@@ -14,6 +14,25 @@ class GraphSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("trustRank: mass radiates from seeds, unreachable components stay at zero") {
+    import spark.implicits._
+    // component A: star 1-{2,3,4}, seed = center 1 (all back-flow returns
+    // to it, so the seed dominates); component B: 5-6, unreachable
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.trustRank(edges, seeds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._2 && !out(2L)._2 && !out(5L)._2)
+    // star center holds the most trust; leaves all equal by symmetry;
+    // the unreachable component gets exactly 0
+    assert(out(1L)._1 > out(2L)._1, s"seed center not dominant: $out")
+    assert(out(2L)._1 == out(3L)._1 && out(3L)._1 == out(4L)._1, s"leaf asymmetry: $out")
+    assert(out(2L)._1 > 0L)
+    assert(out(5L)._1 == 0L && out(6L)._1 == 0L, s"unreachable leaked trust: $out")
+    // damping leaks non-seed teleport mass: total stays <= one unit
+    assert(out.values.map(_._1).sum <= Graph.PrScale)
+  }
+
   test("kcorePeel melts the chain round-by-round and keeps the clique") {
     import spark.implicits._
     // K4 clique {1,2,3,4} (every degree 3) + a chain 4-5-6-7 hanging off.
