@@ -539,6 +539,55 @@ object Events {
       transitionMatrix(events(s, d))
     },
 
+    // LINEAR MULTI-TOUCH ATTRIBUTION — the marketing-analytics staple:
+    // each purchase's value splits EQUALLY across the same user's views
+    // in the 24 h before it (first/last-touch are the degenerate cases of
+    // this shape). Credits are EXACT INTEGERS end to end: purchase value
+    // → cents (2-decimal doubles round identically on both engines) →
+    // micro-cents, divided by the touch count with integer `div` — no
+    // float credit ever exists, so per-user sums are order-independent.
+    // Join shape: ONE user_id equi-join with the time predicate as a
+    // residual filter — per-user fan-out is bounded by per-user activity
+    // (the funnel/SCD2-lookup discipline); at heavier per-user volumes
+    // the interval join's time-cell bucketing composes on top.
+    GraftQuery.of("events_attribution_weights",
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+        |touched AS (
+        |  SELECT p.user_id, p.event_id AS p_id, p.cents,
+        |    v.event_id AS v_id,
+        |    count(*) OVER (PARTITION BY p.event_id) AS n_touch
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |    AND epoch_us(v.ts) < epoch_us(p.ts)
+        |    AND epoch_us(v.ts) >= epoch_us(p.ts) - 86400000000)
+        |SELECT user_id,
+        |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum((cents * 1000000) // n_touch) AS BIGINT) AS credited_microcents
+        |FROM touched GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"),
+          unix_micros(col("ts")).as("v_us"))
+      val perPurchase = org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+      p.join(v, Seq("user_id"))
+        .filter(col("v_us") < col("p_us") &&
+          col("v_us") >= col("p_us") - lit(86400000000L))
+        .withColumn("n_touch", count(lit(1)).over(perPurchase))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("p_id")).as("n_purchases"),
+          count(lit(1)).as("n_touches"),
+          sum(expr("(cents * 1000000) div n_touch")).as("credited_microcents"))
+        .orderBy(col("user_id"))
+    },
+
     // TOP USER PATHS — the transition matrix's higher-order sibling:
     // most common 3-step event-type sequences across user timelines
     // (path/journey mining: "view>view>purchase beats view>click>

@@ -327,6 +327,47 @@ object Relational {
             .as("within_bounds"))
     },
 
+    // APPROX-QUANTILE rank-error envelope — the sketch family's QUANTILE
+    // member (GK/t-digest class): `approx_percentile` returns an actual
+    // data element whose RANK is guaranteed within ±eps·n of the target
+    // (eps = 1/accuracy). The sketch's merge order isn't replayable in
+    // SQL, so — exactly like q_approx_distinct — the approximate VALUE
+    // stays out of the compared result; what's hash-checked is the exact
+    // quantiles plus the rank-guarantee booleans, each computed in-engine
+    // by counting rows ≤ / < the sketch's answer against one broadcast
+    // 3-row probe frame. At 100 TB this replaces q_percentiles'
+    // per-group sort with a constant-memory mergeable summary.
+    GraftQuery.of("q_approx_quantiles",
+      """SELECT 0.5 AS q, round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_value,
+        |  TRUE AS within_bounds FROM lineitem
+        |UNION ALL
+        |SELECT 0.9, round(quantile_cont(l_extendedprice, 0.9), 6), TRUE FROM lineitem
+        |UNION ALL
+        |SELECT 0.99, round(quantile_cont(l_extendedprice, 0.99), 6), TRUE FROM lineitem
+        |ORDER BY q""".stripMargin) { (s, d) =>
+      val qs = Seq(0.5, 0.9, 0.99)
+      val acc = 100 // eps = 1% rank error
+      val li = lineitem(s, d).select(col("l_extendedprice"))
+      val approx = li.agg(
+        expr(s"approx_percentile(l_extendedprice, array(${qs.mkString(", ")}), $acc)")
+          .as("apx"),
+        count(lit(1)).as("n"),
+        expr(s"percentile(l_extendedprice, array(${qs.mkString(", ")}))").as("ex"))
+      val probes = approx.select(
+        posexplode(arrays_zip(col("apx"), col("ex"))).as(Seq("i", "z")),
+        col("n"))
+        .select(element_at(lit(qs.toArray), col("i") + 1).as("q"),
+          col("z.apx").as("a"), col("z.ex").as("exact_raw"), col("n"))
+      li.join(broadcast(probes))
+        .groupBy(col("q"), col("a"), col("exact_raw"), col("n"))
+        .agg(sum(when(col("l_extendedprice") <= col("a"), 1L).otherwise(0L)).as("le"),
+          sum(when(col("l_extendedprice") < col("a"), 1L).otherwise(0L)).as("lt"))
+        .select(col("q"), round(col("exact_raw"), 6).as("exact_value"),
+          (col("le") >= (col("q") - lit(1.0 / acc)) * col("n") &&
+            col("lt") <= (col("q") + lit(1.0 / acc)) * col("n")).as("within_bounds"))
+        .orderBy(col("q"))
+    },
+
     // KMV sketch SET ALGEBRA — the property that makes distinct-count
     // sketches infrastructure rather than a one-table trick: two sets'
     // k-minimum-values sketches merge by "k smallest of the union of

@@ -173,6 +173,24 @@ class ScaleOpsSpec extends AnyFunSuite {
       direct.agg(sum(col("l_orderkey"))).head().getLong(0))
   }
 
+  test("bloom file index skips files a point lookup cannot touch, result exact") {
+    val sf = "/root/testdata/sf0.001"
+    val (all, sel, result) = ScaleOps.bloomIndexLookup(spark, sf)
+    assert(all.size == 8, s"expected 8 files, got ${all.size}")
+    // 5 probe orders × ~4 lines spread over the date-sorted layout touch
+    // ~5 true files; the blooms must reject at least one of the rest
+    // (false positives cost reads, never correctness)
+    assert(sel.nonEmpty && sel.size < all.size,
+      s"no pruning: selected ${sel.size} of ${all.size}")
+    val keys = graft.ops.Tables.lineitem(spark, sf)
+      .filter(pmod(col("l_orderkey"), lit(997L)) === 3)
+      .select(col("l_orderkey")).distinct()
+      .orderBy(col("l_orderkey")).limit(5)
+    val direct = graft.ops.Tables.lineitem(spark, sf)
+      .join(keys, Seq("l_orderkey"), "left_semi")
+    assert(result.agg(sum(col("n_rows"))).head().getLong(0) == direct.count())
+  }
+
   test("compaction collapses the fragmented layout to one file per partition dir") {
     val sf = "/root/testdata/sf0.001"
     // the registered query writes both layouts as a side effect
