@@ -628,6 +628,50 @@ object EventStreams {
     // side takes the per-user max — deterministic even if AvailableNow
     // splits the input (within-batch rows are time-sorted by the operator;
     // the single-parquet-file tables here arrive as one batch).
+    // NATIVE streaming session windows — Spark's interval-merge session
+    // machinery (`session_window`) under a watermark, the third
+    // independently-verified sessionization derivation (batch lag-window,
+    // mapGroupsWithState, and now the built-in merging-window state
+    // store). Append mode emits a session only once the watermark passes
+    // its END (last event + gap — no later event can extend it); sessions
+    // still open at end-of-stream never emit, and the oracle applies the
+    // identical cut analytically over the batch lag-window construction.
+    GraftQuery.of("stream_session_native",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+         |mx AS (SELECT max(us) AS m FROM e),
+         |g AS (
+         |  SELECT user_id, us,
+         |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+         |           >= ${graft.ops.Events.SessionGapSeconds}000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id, us,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM g),
+         |sess AS (
+         |  SELECT user_id, min(us) AS start_us,
+         |    max(us) + ${graft.ops.Events.SessionGapSeconds}000000 AS end_us,
+         |    count(*) AS n_events
+         |  FROM s GROUP BY user_id, sid)
+         |SELECT user_id, start_us, end_us, n_events
+         |FROM sess, mx WHERE end_us <= m - 7200000000
+         |ORDER BY user_id, start_us""".stripMargin) { (s, d) =>
+      val raw = graft.ops.Tables.eventsStream(s, d)
+      val sessioned = raw.withWatermark("ts", "2 hours")
+        .groupBy(col("user_id"),
+          session_window(col("ts"),
+            s"${graft.ops.Events.SessionGapSeconds} seconds").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"), col("n_events"))
+      val sink = s"stream_sessnat_${graft.ops.Tables.viewSuffix(d)}"
+      runToResult(s, sessioned, sink, OutputMode.Append()) { t =>
+        t.orderBy(col("user_id"), col("start_us"))
+      }
+    },
+
     GraftQuery.of("stream_sessionize",
       s"""WITH gaps AS (
          |  SELECT user_id,
