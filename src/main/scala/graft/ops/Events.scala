@@ -539,6 +539,42 @@ object Events {
       transitionMatrix(events(s, d))
     },
 
+    // TIME-WEIGHTED AVERAGE — the IoT/finance aggregation over a stepwise
+    // signal: each event's value HOLDS until the user's next event, so
+    // the mean weights each value by its holding duration, not its
+    // sample count (a sensor that reports rarely while high must not be
+    // averaged down). Emitted as exact integer numerator (Σ cents·Δt_µs)
+    // and denominator (Σ Δt_µs) — cents ≤ 5·10⁴ and Δt_µs < 10¹³ keep
+    // every product under 10¹⁸ (BIGINT-safe), and no float division ever
+    // happens in the compared result. One user-keyed window (lead) + one
+    // aggregate — the sessionize shuffle shape.
+    GraftQuery.of("events_time_weighted",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, cents,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(cents * dt) AS BIGINT) AS weighted_cents_us,
+        |  CAST(sum(dt) AS BIGINT) AS total_us
+        |FROM h WHERE dt IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(col("cents") * col("dt")).as("weighted_cents_us"),
+          sum(col("dt")).as("total_us"))
+        .orderBy(col("user_id"))
+    },
+
     // LINEAR MULTI-TOUCH ATTRIBUTION — the marketing-analytics staple:
     // each purchase's value splits EQUALLY across the same user's views
     // in the 24 h before it (first/last-touch are the degenerate cases of

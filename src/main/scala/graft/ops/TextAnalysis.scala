@@ -733,6 +733,44 @@ object TextAnalysis {
         .orderBy(col("occurrences"))
     },
 
+    // RAG CHUNKING — the retrieval-prep operator every RAG/embedding
+    // pipeline runs first: each document sliced into overlapping
+    // fixed-token windows (32 tokens, stride 24 → 8-token overlap, so no
+    // boundary sentence is lost to a cut). Pure integer slicing
+    // arithmetic: chunk k covers tokens [k·24+1, k·24+32], chunk count =
+    // 1 + ceil((n−32)/24) for n>32 — both engines replay the same
+    // windows, and each chunk ships its 60-bit content fingerprint (the
+    // id an embedding/dedup stage keys on) rather than the text itself.
+    // One explode over a per-doc bounded sequence — no shuffle at all
+    // before the output sort.
+    GraftQuery.of("text_rag_chunks", {
+      val h = GraftQuery.h60Sql("array_to_string(t[s:s+31], ' ')")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    len(string_split(text, ' ')) AS n FROM documents),
+         |k AS (
+         |  SELECT doc_id, t, n, unnest(range(0,
+         |    CASE WHEN n <= 32 THEN 1 ELSE 1 + (n - 32 + 23) // 24 END)) AS ci
+         |  FROM toks),
+         |c AS (SELECT doc_id, ci, ci * 24 + 1 AS s, t, n FROM k)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         |  CAST(least(32, n - ci * 24) AS BIGINT) AS n_chunk_tokens,
+         |  CAST($h AS BIGINT) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")))
+        .select(col("doc_id"), col("t"), col("n"), explode(expr(
+          "sequence(0, CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) div 24 END)"))
+          .as("ci"))
+        .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+          least(lit(32), col("n") - col("ci") * 24).cast("long").as("n_chunk_tokens"),
+          md5hash60(expr("array_join(slice(t, ci * 24 + 1, 32), ' ')")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // INVERTED INDEX build — the retrieval artifact (term → document
     // posting list) behind corpus search, RAG indexing, and audit lookups.
     // One explode + DISTINCT collapses (term, doc) repeats map-side, a
