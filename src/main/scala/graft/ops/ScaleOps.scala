@@ -872,6 +872,42 @@ object ScaleOps {
       looked
     },
 
+    // The OPTIMIZER-RULE extension point proven through the oracle gate:
+    // the same semi join as q_bloom_semi_join, but the bloom prefilter is
+    // injected AUTOMATICALLY by graft.rules.BloomSemiJoinPrefilter
+    // (session-registered via spark.experimental.extraOptimizations, the
+    // "user provided optimizers" batch) instead of hand-written. The
+    // oracle is the plain semi join — the green row proves the rewrite
+    // is semantically invariant — and RuleSpec asserts the rewritten
+    // plan actually carries the might_contain prefilter. Thresholds of
+    // (build ≤ 8 MB, probe ≥ 1 B) fire at every SF here; production
+    // keeps the 32 MB probe floor so tiny scans skip the bloom cost.
+    // Eager materialization inside the conf window: the rule must be
+    // installed when the plan OPTIMIZES, not when the query registers.
+    GraftQuery.of("q_ext_rule_bloom",
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val rule = new graft.rules.BloomSemiJoinPrefilter(probeMinBytes = 1L)
+      val prev = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations = prev :+ rule
+      try {
+        val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+          .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy(col("l_returnflag"))
+          .localCheckpoint(true)
+      } finally s.experimental.extraOptimizations = prev
+    },
+
     // Z-ORDER clustering (Delta OPTIMIZE ZORDER / Iceberg sort-order
     // rewrite): interleave the bits of two filter dimensions — part key
     // and ship-day, both folded to 8 bits — into a 16-bit Morton code,
