@@ -23,11 +23,20 @@ import graft.functions.{CdcBoundaries, CosineSim, Md5Hash60, NGrams, RollingHash
   * registering them does not introduce any UDF boundary into the plan.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    // the engine's optimizer extension: automatic runtime bloom
+    // prefilters on qualifying semi joins (production thresholds — the
+    // statistics guards keep it away from plans too small to pay for a
+    // bloom build). Injected here it runs in the post-resolution
+    // optimizer batch for every query on the session; the live-session
+    // path is spark.experimental.extraOptimizations (see
+    // q_ext_rule_bloom).
+    ext.injectOptimizerRule(_ => new graft.rules.BloomSemiJoinPrefilter())
+  }
 }
 
 object GraftExtensions {
