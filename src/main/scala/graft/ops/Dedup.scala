@@ -444,6 +444,60 @@ object Dedup {
         .orderBy(col("keeper_doc_id"))
     },
 
+    // PREFIX-CONTAINMENT dedup — the TRUNCATION-duplicate detector: a
+    // scraped corpus is full of cut-off copies (pagination, excerpting,
+    // crawler timeouts), and a 20-token truncation of a 200-token doc has
+    // Jaccard ≈ 0.1 — far below any LSH/MinHash near-dup threshold, yet
+    // it is pure duplication. Candidates bucket on the 16-token PREFIX
+    // fingerprint (one fp-keyed shuffle — a truncation shares its
+    // original's prefix by construction); verification is the exact
+    // substring test `substr(longer, 1, len(shorter)) = shorter` plus a
+    // token-boundary guard (the next char of the longer doc must be a
+    // space or nothing — 'the cat s' must not "contain" 'the cat'),
+    // spelled identically on both engines. Equal-length members of a
+    // bucket are exact duplicates and verify trivially.
+    GraftQuery.of("dedup_prefix_containment", {
+      val h = GraftQuery.h60Sql("array_to_string((string_split(text, ' '))[1:16], ' ')")
+      s"""WITH p AS (
+         |  SELECT doc_id, text, length(text) AS ln, $h AS pfp
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 16),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_short, b.doc_id AS doc_long,
+         |    a.text AS ta, b.text AS tb,
+         |    a.ln AS len_short, b.ln AS len_long
+         |  FROM p a JOIN p b
+         |    ON a.pfp = b.pfp
+         |    AND (a.ln < b.ln OR (a.ln = b.ln AND a.doc_id < b.doc_id)))
+         |SELECT doc_short, doc_long,
+         |  CAST(len_short AS BIGINT) AS len_short,
+         |  CAST(len_long AS BIGINT) AS len_long
+         |FROM cand
+         |WHERE substr(tb, 1, len_short) = ta
+         |  AND substr(tb, len_short + 1, 1) IN ('', ' ')
+         |ORDER BY doc_short, doc_long""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      val p = documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 16)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+          md5hash60(expr("array_join(slice(split(text, ' '), 1, 16), ' ')")).as("pfp"))
+      val a = p.select(col("doc_id").as("doc_short"), col("text").as("ta"),
+        col("len").as("len_short"), col("pfp"))
+      val b = p.select(col("doc_id").as("doc_long"), col("text").as("tb"),
+        col("len").as("len_long"), col("pfp"))
+      // pair ordered by LENGTH (id breaks ties), not by id: a truncation
+      // with a larger id than its original must still pair up
+      a.join(b, Seq("pfp"))
+        .filter(col("len_short") < col("len_long") ||
+          (col("len_short") === col("len_long") && col("doc_short") < col("doc_long")))
+        .filter(expr("substr(tb, 1, CAST(len_short AS INT)) = ta") &&
+          expr("substr(tb, CAST(len_short AS INT) + 1, 1) IN ('', ' ')"))
+        .select(col("doc_short"), col("doc_long"),
+          col("len_short").cast("long").as("len_short"),
+          col("len_long").cast("long").as("len_long"))
+        .orderBy(col("doc_short"), col("doc_long"))
+    },
+
     // Exact 3-gram (shingle-set) Jaccard over a deterministic pair sample
     // (each doc vs its successor) — the ground-truth measure the MinHash
     // signatures estimate; a fixed linear-size sample, never all-pairs.

@@ -539,6 +539,49 @@ object Events {
       transitionMatrix(events(s, d))
     },
 
+    // DAU / WAU — daily and trailing-7-day distinct active users, the
+    // product-analytics headline metric. Rolling DISTINCT does not
+    // decompose into partial aggregates, so the scalable form inverts the
+    // window: each (user, active-day) pair COVERS the 7 report days it
+    // keeps the user active for (one explode ×7 of the already-distinct
+    // day pairs — corpus-bounded), then one distinct + one count per
+    // report day. Days are integer epoch-day numbers (µs div 86400·10⁶)
+    // on both engines, report days clipped to the observed range.
+    GraftQuery.of("events_dau_wau",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |cover AS (
+        |  SELECT DISTINCT user_id, day + k AS rday
+        |  FROM ud, unnest(range(0, 7)) t(k)),
+        |wau AS (
+        |  SELECT c.rday AS day, count(DISTINCT c.user_id) AS wau
+        |  FROM cover c, bounds b
+        |  WHERE c.rday BETWEEN b.lo AND b.hi
+        |  GROUP BY 1)
+        |SELECT d.day AS day, CAST(d.dau AS BIGINT) AS dau,
+        |  CAST(w.wau AS BIGINT) AS wau
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin) { (s, d) =>
+      val ud = events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .localCheckpoint(true) // consumed three times: dau, cover, bounds
+      val bounds = broadcast(ud.agg(min(col("day")).as("lo"), max(col("day")).as("hi")))
+      val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("rday"))
+        .distinct()
+        .crossJoin(bounds)
+        .filter(col("rday") >= col("lo") && col("rday") <= col("hi"))
+        .groupBy(col("rday").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau").cast("long").as("dau"),
+          col("wau").cast("long").as("wau"))
+        .orderBy(col("day"))
+    },
+
     // TIME-WEIGHTED AVERAGE — the IoT/finance aggregation over a stepwise
     // signal: each event's value HOLDS until the user's next event, so
     // the mean weights each value by its holding duration, not its

@@ -89,6 +89,36 @@ class QualitySpec extends AnyFunSuite {
     assert(leaked == Set(valId), s"leaked=$leaked expected {$valId}")
   }
 
+  test("prefix containment flags truncations on token boundaries only") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      10L -> base,                                  // full doc (SMALLER id than its truncation)
+      11L -> (1 to 20).map(i => s"w$i").mkString(" "), // true truncation of 10
+      12L -> ((1 to 19).map(i => s"w$i").mkString(" ") + " w2"), // shares 16-prefix, diverges
+      13L -> base)                                  // exact copy of 10
+      .toDF("doc_id", "text")
+    // same construction as the registered query, over the crafted frame
+    import graft.functions.Md5Hash60.md5hash60
+    val p = docs.filter(size(split(col("text"), " ")) >= 16)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+        md5hash60(expr("array_join(slice(split(text, ' '), 1, 16), ' ')")).as("pfp"))
+    val a = p.select(col("doc_id").as("doc_short"), col("text").as("ta"),
+      col("len").as("len_short"), col("pfp"))
+    val b = p.select(col("doc_id").as("doc_long"), col("text").as("tb"),
+      col("len").as("len_long"), col("pfp"))
+    val out = a.join(b, Seq("pfp"))
+      .filter(col("len_short") < col("len_long") ||
+        (col("len_short") === col("len_long") && col("doc_short") < col("doc_long")))
+      .filter(expr("substr(tb, 1, CAST(len_short AS INT)) = ta") &&
+        expr("substr(tb, CAST(len_short AS INT) + 1, 1) IN ('', ' ')"))
+      .select(col("doc_short"), col("doc_long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // truncation 11 pairs with BOTH full copies despite its LARGER id
+    // (pairs order by length, not id); 12 diverges after the shared
+    // prefix — "…w19 w2" vs "…w19 w20" pins the token-boundary guard
+    assert(out == Set((11L, 10L), (11L, 13L), (10L, 13L)), out.toString)
+  }
+
   test("referential audit is clean on the real testdata and one scan per relation") {
     val out = SparkEntry.queries("dq_referential")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getAs[String]("rel") -> r.getAs[Long]("n_orphans")).toMap
