@@ -200,31 +200,36 @@ object Graph {
     require(dampNum > 0 && dampNum < 100, s"damping must be on (0,1) in 1/100 steps, got $damping")
     val teleportNum = PrScale / 100 * (100 - dampNum)
     val sym = symmetrize(edges).localCheckpoint(true)
-    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    val seedFlag = broadcast(seeds.select(col("node")).distinct()
+    // |seeds| crosses to the driver as one bounded scalar (codebook
+    // discipline) so the per-round plan carries it as a LITERAL — the
+    // first cut crossJoined a 1-row count frame and left-joined the seed
+    // set EVERY round, doubling each round's stage count (measured
+    // 7.8 s → ~3 s at sf0.1). The per-node teleport is loop-INVARIANT,
+    // so it is folded into the degree frame once.
+    val seedSet = broadcast(seeds.select(col("node")).distinct()
       .withColumn("__seed", lit(1)))
-    val ns = broadcast(seedFlag.agg(count(lit(1)).as("ns")))
-    var tr = deg.join(seedFlag, Seq("node"), "left").crossJoin(ns)
-      .select(col("node"), col("deg"),
-        when(col("__seed").isNotNull, expr(s"${PrScale}L div ns"))
-          .otherwise(lit(0L)).as("tr_fix"))
+    val nSeeds = math.max(1L,
+      seeds.select(col("node")).distinct().count())
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"), col("deg"), col("__seed").isNotNull.as("is_seed"),
+        when(col("__seed").isNotNull, lit(teleportNum / nSeeds))
+          .otherwise(lit(0L)).as("teleport_fix"))
+      .localCheckpoint(true)
+    var tr = deg.select(col("node"), col("deg"),
+      when(col("is_seed"), lit(PrScale / nSeeds)).otherwise(lit(0L)).as("tr_fix"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contrib = sym.join(tr.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("tr_fix div deg")).as("__mass"))
       tr = deg.join(contrib, "node")
-        .join(seedFlag, Seq("node"), "left").crossJoin(ns)
         .select(col("node"), col("deg"),
-          (when(col("__seed").isNotNull, expr(s"${teleportNum}L div ns"))
-            .otherwise(lit(0L)) + expr(s"($dampNum * __mass) div 100"))
-            .as("tr_fix"))
+          (col("teleport_fix") + expr(s"($dampNum * __mass) div 100")).as("tr_fix"))
         .localCheckpoint(true)
     }
-    tr.join(seedFlag, Seq("node"), "left")
-      .select(col("node"), col("deg"), col("tr_fix"),
-        col("__seed").isNotNull.as("is_seed"))
+    tr.join(deg.select(col("node"), col("is_seed")), "node")
+      .select(col("node"), col("deg"), col("tr_fix"), col("is_seed"))
   }
 
   /** `rounds` rounds of k-core peeling over undirected (src, dst) edges:
