@@ -539,6 +539,53 @@ object Pipeline {
         .orderBy(col("lang"), col("source"))
     },
 
+    // MIXTURE-PRESERVING INTERLEAVE — the third deterministic training
+    // order next to shuffle_order (global permutation) and curriculum
+    // (staged): sources interleave so every PREFIX of the stream holds
+    // each language at its corpus proportion (the data-loader contract
+    // for mixture-stable training — no language ever "bunches"). The
+    // order key is integer progress: a doc at within-language position p
+    // of n_l sorts at (p−1)·10¹² div n_l — each source consumed at equal
+    // fractional rate, ties broken (lang, doc) — all BIGINT arithmetic,
+    // replayed exactly by the oracle's window formulation. Within-lang
+    // position comes from the md5-order rank (the shuffle_order idiom),
+    // so the interleave composes with the deterministic shuffle. The
+    // emitted head (first 100 global positions) is the verifiable
+    // artifact; per-lang rank windows are lang-bounded, never global.
+    GraftQuery.of("pipeline_interleave_mixture", {
+      val h = h60Sql("doc_id::VARCHAR || '#mix'")
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS p,
+         |    count(*) OVER (PARTITION BY lang) AS n_l
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, lang, (p - 1) * 1000000000000 // n_l AS key FROM r)
+         |SELECT row_number() OVER (ORDER BY key, lang, doc_id) AS global_pos,
+         |  lang, doc_id
+         |FROM k ORDER BY global_pos LIMIT 100""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      val rank = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        .orderBy(md5hash60(concat(col("doc_id").cast("string"), lit("#mix"))),
+          col("doc_id"))
+      val keyed = documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("p", row_number().over(rank))
+        .withColumn("n_l", count(lit(1)).over(byLang))
+        .select(col("doc_id"), col("lang"),
+          expr("(p - 1) * 1000000000000L div n_l").as("key"))
+      // the LIMIT-bounded global ordering: TakeOrderedAndProject, not a
+      // single-partition full-sort window
+      keyed.orderBy(col("key"), col("lang"), col("doc_id")).limit(100)
+        .withColumn("global_pos",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("key"), col("lang"), col("doc_id"))).cast("long"))
+        .select(col("global_pos"), col("lang"), col("doc_id"))
+        .orderBy(col("global_pos"))
+    },
+
     // Curriculum schedule — the easy→hard training order (short documents
     // first, Bengio et al. '09) composed with the deterministic
     // within-stage shuffle of pipeline_shuffle_order: stage from integer
