@@ -66,9 +66,12 @@ object Quality {
   private[graft] def profile(tableName: String, df: DataFrame,
       specs: Seq[(String, ColKind)]): DataFrame =
     specs.map { case (c, kind) =>
+      // coalesce: sum() over an EMPTY table is NULL, and a profile of an
+      // empty table must report 0 rows, not null rows
       val one = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
-        .agg(sum(col("__cnt")).as("n_rows"),
-          sum(when(col("__v").isNull, col("__cnt")).otherwise(0L)).as("n_null"),
+        .agg(coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("__v").isNull, col("__cnt")).otherwise(0L)), lit(0L))
+            .as("n_null"),
           count(col("__v")).as("n_distinct"),
           min(col("__v")).as("__min"), max(col("__v")).as("__max"))
       val (minNum, maxNum, minStr, maxStr) = kind match {
