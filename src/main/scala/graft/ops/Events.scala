@@ -539,6 +539,83 @@ object Events {
       transitionMatrix(events(s, d))
     },
 
+    // PEAK CONCURRENCY — the sweep-line maximum-overlap operator (max
+    // simultaneous sessions; capacity planning's headline number): every
+    // session contributes (+1 at start, −1 at its EXCLUSIVE end), the
+    // running sum over (us, delta) order is the live concurrency, and
+    // its max/argmin-instant is the answer. Deterministic under ties:
+    // −1 sorts before +1 at an equal instant (end-exclusive semantics),
+    // and permutations within an equal-(us, delta) group cannot change
+    // the running maximum. The GLOBAL prefix sum is the scale hazard —
+    // this runs it as the two-phase form (pack_shards_dist's pattern):
+    // per-DAY bounded running sums, then a cumulative day-offset
+    // add-back computed over the tiny day dimension and broadcast.
+    // Sessions come from THE native session_window aggregation (one
+    // definition with events_session_window).
+    GraftQuery.of("events_peak_concurrency",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+         |g AS (
+         |  SELECT user_id, us,
+         |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+         |           >= ${Events.SessionGapSeconds}000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id, us,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM g),
+         |sess AS (
+         |  SELECT min(us) AS s_us,
+         |    max(us) + ${Events.SessionGapSeconds}000000 AS e_us
+         |  FROM s GROUP BY user_id, sid),
+         |deltas AS (
+         |  SELECT s_us AS us, 1 AS d FROM sess
+         |  UNION ALL SELECT e_us, -1 FROM sess),
+         |run AS (
+         |  SELECT us, sum(d) OVER (ORDER BY us, d
+         |    ROWS UNBOUNDED PRECEDING) AS conc
+         |  FROM deltas),
+         |pk AS (SELECT max(conc) AS peak FROM run)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+         |  CAST(pk.peak AS BIGINT) AS peak,
+         |  (SELECT CAST(min(us) AS BIGINT) FROM run, pk WHERE conc = pk.peak)
+         |    AS peak_at_us
+         |FROM pk""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sess = events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"${Events.SessionGapSeconds} seconds").as("w"))
+        .agg(count(lit(1)).as("__n"))
+        .select(unix_micros(col("w.start")).as("s_us"),
+          unix_micros(col("w.end")).as("e_us"))
+        .localCheckpoint(true) // consumed by deltas twice + the count
+      val deltas = sess.select(col("s_us").as("us"), lit(1L).as("d"))
+        .unionByName(sess.select(col("e_us").as("us"), lit(-1L).as("d")))
+        .withColumn("day", expr("us div 86400000000"))
+      val wDay = Window.partitionBy(col("day")).orderBy(col("us"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withinDay = deltas
+        .withColumn("run_in_day", sum(col("d")).over(wDay))
+        .localCheckpoint(true)
+      // cumulative offsets over the ~#days-row dimension: tiny window
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = withinDay.groupBy(col("day")).agg(sum(col("d")).as("dt"))
+        .withColumn("off", coalesce(sum(col("dt")).over(wCum), lit(0L)))
+        .select(col("day"), col("off"))
+      val run = withinDay.join(broadcast(offsets), "day")
+        .select(col("us"), (col("run_in_day") + col("off")).as("conc"))
+        .localCheckpoint(true)
+      val peak = broadcast(run.agg(max(col("conc")).as("peak")))
+      val nSess = broadcast(sess.agg(count(lit(1)).as("n_sessions")))
+      run.crossJoin(peak).filter(col("conc") === col("peak"))
+        .agg(min(col("us")).as("peak_at_us"))
+        .crossJoin(peak).crossJoin(nSess)
+        .select(col("n_sessions"), col("peak").cast("long").as("peak"),
+          col("peak_at_us"))
+    },
+
     // DAU / WAU — daily and trailing-7-day distinct active users, the
     // product-analytics headline metric. Rolling DISTINCT does not
     // decompose into partial aggregates, so the scalable form inverts the
