@@ -81,6 +81,40 @@ object Multimodal {
 
     // Typed metadata over opaque binary payloads: byte length + digest +
     // the first 4 stub features (scalar columns so DuckDB can oracle them).
+    // MODALITY MIX card — the one-row-per-modality summary a multimodal
+    // dataset publishes (counts, byte volume, mean payload size).
+    // Modality itself is a deterministic hash-derived stand-in for the
+    // MIME sniff a real ingest runs on payload magic bytes (the same
+    // documented stub tier as the other codec slots — the groupBy/card
+    // shape downstream is exactly what the real sniffer feeds).
+    // avg_bytes is the integer-derived ratio at 6 dp.
+    GraftQuery.of("mm_modality_mix", {
+      val h = GraftQuery.h60Sql("md5(text)")
+      s"""SELECT CASE $h % 3 WHEN 0 THEN 'audio' WHEN 1 THEN 'image'
+         |    ELSE 'video' END AS modality,
+         |  count(*) AS n_media,
+         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         |  round(CAST(sum(octet_length(encode(text))) AS DOUBLE) / count(*), 6)
+         |    AS avg_bytes
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      asMedia(documents(s, d))
+        .select(col("payload"),
+          // native md5hash60, NOT conv(): conv returns STRING and a
+          // numeric context would round-trip it through DOUBLE, losing
+          // the low bits of the 60-bit hash
+          when(pmod(md5hash60(md5(col("payload"))), lit(3L)) === 0, "audio")
+            .when(pmod(md5hash60(md5(col("payload"))), lit(3L)) === 1, "image")
+            .otherwise("video").as("modality"))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(length(col("payload"))).cast("long").as("total_bytes"),
+          round(sum(length(col("payload"))).cast("double") / count(lit(1)), 6)
+            .as("avg_bytes"))
+        .orderBy(col("modality"))
+    },
+
     GraftQuery.of("mm_binary_meta", {
       val h0 = GraftQuery.h60Sql("text || ':0'")
       s"""SELECT doc_id AS media_id,
