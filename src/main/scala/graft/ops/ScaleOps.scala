@@ -431,8 +431,14 @@ object ScaleOps {
         |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996)
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/li_by_month"
+      // cluster on the partition column BEFORE the partitioned write
+      // (sink_compaction's discipline): without it every one of the 32
+      // write tasks opens a file in every month dir — ~2,500 tiny files
+      // and their commit rounds (measured 5.0 s); clustered, each month
+      // is one file (~80 total, 5.0 → ~2 s)
       lineitem(s, d)
         .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartition(col("ship_month"))
         .write.mode("overwrite").partitionBy("ship_month").parquet(base)
       val fact = s.read.parquet(base)
       val months = orders(s, d)
