@@ -327,6 +327,32 @@ object Relational {
             .as("within_bounds"))
     },
 
+    // MODE (most frequent value) per group with a TOTAL-ORDER tie-break —
+    // built-in mode() functions break frequency ties arbitrarily (and
+    // differently per engine), so the deterministic form counts once and
+    // argmaxes over ONE packed integer key (cnt·10⁶ − qty: highest count
+    // wins, LOWEST value on ties; qty ≤ 50 and per-(group, value) counts
+    // stay far under 10⁶ at these SFs — widen the pack at scale). One
+    // count shuffle + one tiny per-group argmax, identical on both
+    // engines (DuckDB's max_by takes no composite key).
+    GraftQuery.of("q_group_mode",
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  CAST(max_by(qty, cnt * 1000000 - qty) AS BIGINT) AS mode_qty,
+        |  CAST(max(cnt) AS BIGINT) AS mode_cnt
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("max_by(qty, cnt * 1000000 - qty)").cast("long").as("mode_qty"),
+          max(col("cnt")).cast("long").as("mode_cnt"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // APPROX-QUANTILE rank-error envelope — the sketch family's QUANTILE
     // member (GK/t-digest class): `approx_percentile` returns an actual
     // data element whose RANK is guaranteed within ±eps·n of the target

@@ -733,6 +733,40 @@ object TextAnalysis {
         .orderBy(col("occurrences"))
     },
 
+    // VOCABULARY GROWTH (Heaps' law) — distinct-token count as a function
+    // of corpus prefix size, at 10 decile cuts over doc_id order: the
+    // curve a corpus planner reads to predict how much NEW vocabulary
+    // (entities, code identifiers, morphology) more data buys. Shape:
+    // one token explode → min(doc_id) per token (ONE shuffle, the
+    // first-occurrence relation) → broadcast 10-row cut dimension →
+    // per-cut count. The prefix re-scan never happens — first-occurrence
+    // inverts "vocab at cut k" into "tokens first seen before cut k".
+    GraftQuery.of("text_vocab_growth",
+      """WITH n AS (SELECT count(*) AS nd FROM documents),
+        |fo AS (
+        |  SELECT tok, min(doc_id) AS first_doc FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> '' GROUP BY 1),
+        |cuts AS (SELECT k, (k * nd) // 10 AS cut
+        |  FROM n, unnest(range(1, 11)) t(k))
+        |SELECT CAST(k AS BIGINT) AS decile, CAST(cut AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE first_doc < cut) AS BIGINT) AS vocab
+        |FROM fo, cuts GROUP BY k, cut ORDER BY decile""".stripMargin) { (s, d) =>
+      val fo = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      val cuts = broadcast(documents(s, d).agg(count(lit(1)).as("nd"))
+        .select(explode(expr("sequence(1, 10)")).as("k"), col("nd"))
+        .select(col("k"), expr("(k * nd) div 10").as("cut")))
+      fo.crossJoin(cuts)
+        .groupBy(col("k"), col("cut"))
+        .agg(sum(when(col("first_doc") < col("cut"), 1L).otherwise(0L)).as("vocab"))
+        .select(col("k").cast("long").as("decile"), col("cut").cast("long").as("n_docs"),
+          col("vocab"))
+        .orderBy(col("decile"))
+    },
+
     // RAG CHUNKING — the retrieval-prep operator every RAG/embedding
     // pipeline runs first: each document sliced into overlapping
     // fixed-token windows (32 tokens, stride 24 → 8-token overlap, so no

@@ -298,6 +298,7 @@ class PlanSpec extends AnyFunSuite {
       "q_kmv_setops" -> "1-row sketch-summary frames (kth hash, membership, exact counts) crossed",
       "q_numeric_histogram" -> "1-row min/max bounds frame crosses into the scan",
       "text_boilerplate_flags" -> "1-row ndocs frame for the frequency threshold",
+      "text_vocab_growth" -> "broadcast 10-row decile-cut dimension x first-occurrence relation",
       "text_pmi_top_pairs" -> "1-row token-total frame in the lift numerator",
       "pipeline_weighted_sample" -> "1-row per-stratum target frame",
       "sim_knn_brute" -> "broadcast probe set x corpus scan (the exact baseline)",
