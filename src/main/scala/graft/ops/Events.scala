@@ -212,6 +212,39 @@ object Events {
       |  "value" AS last_value
       |FROM ranked WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** The lateness-bucket pipeline behind `events_lateness_profile`
+    * (shared with EdgeCaseSpec's crafted out-of-order stream): running
+    * event-time max over event_id arrival order via the two-phase
+    * prefix-max (per-1000-id-block maxima + broadcast cumulative
+    * prior-block max), bucketed lateness histogram.
+    */
+  private[graft] def latenessProfile(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = ev
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("event_id div 1000").as("blk"))
+    val wBlk = Window.partitionBy(col("blk")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = e.withColumn("run_in_blk", max(col("us")).over(wBlk))
+      .localCheckpoint(true)
+    // cumulative max of PRIOR blocks over the tiny block dimension
+    val wPrior = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withRun.groupBy(col("blk")).agg(max(col("us")).as("mx"))
+      .withColumn("prior_max", max(col("mx")).over(wPrior))
+      .select(col("blk"), col("prior_max"))
+    withRun.join(broadcast(offsets), "blk")
+      .select((greatest(coalesce(col("prior_max"), col("run_in_blk")),
+        col("run_in_blk")) - col("us")).as("lateness"))
+      .select(when(col("lateness") <= 0, "a_in_order")
+        .when(col("lateness") < 60000000L, "b_under_1min")
+        .when(col("lateness") < 3600000000L, "c_under_1h")
+        .when(col("lateness") < 7200000000L, "d_under_2h")
+        .otherwise("e_over_2h").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Schema-on-read JSON property extraction + per-type aggregates.
@@ -537,6 +570,47 @@ object Events {
         |  count(*) AS n
         |FROM seq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       transitionMatrix(events(s, d))
+    },
+
+    // LATENESS PROFILE — the out-of-orderness diagnostic that SIZES
+    // WATERMARKS: treating event_id as arrival order, an event's
+    // lateness is (max event time seen so far) − (its own event time);
+    // the bucketed histogram of that quantity is exactly the evidence
+    // behind "a 2-hour watermark delay loses no data" (the delay all
+    // streaming entries here use). Running max is associative, so the
+    // global prefix-max runs as the two-phase form (the peak-concurrency
+    // pattern): per-1000-id-block running maxima, then each block adds
+    // the cumulative max of all PRIOR blocks — computed over the tiny
+    // block dimension and broadcast. All integer µs; bucket bounds are
+    // exact integers on both engines.
+    // (the synthetic corpus arrives essentially in event-time order —
+    // corr(event_id, ts) ≈ 0.99998 — so the registered profile reports
+    // all-in-order, which IS the finding; the multi-bucket path is
+    // pinned by EdgeCaseSpec on a crafted out-of-order stream)
+    GraftQuery.of("events_lateness_profile",
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS us FROM events),
+        |b AS (
+        |  SELECT event_id, us, event_id // 1000 AS blk,
+        |    max(us) OVER (PARTITION BY event_id // 1000 ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run_in_blk
+        |  FROM e),
+        |off AS (
+        |  SELECT blk, max(mx) OVER (ORDER BY blk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM (SELECT blk, max(us) AS mx FROM b GROUP BY 1)),
+        |lat AS (
+        |  SELECT greatest(coalesce(o.prior_max, b.run_in_blk), b.run_in_blk)
+        |           - b.us AS lateness
+        |  FROM b JOIN off o USING (blk))
+        |SELECT CASE WHEN lateness <= 0 THEN 'a_in_order'
+        |  WHEN lateness < 60000000 THEN 'b_under_1min'
+        |  WHEN lateness < 3600000000 THEN 'c_under_1h'
+        |  WHEN lateness < 7200000000 THEN 'd_under_2h'
+        |  ELSE 'e_over_2h' END AS bucket,
+        |  count(*) AS n
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      latenessProfile(events(s, d))
     },
 
     // PEAK CONCURRENCY — the sweep-line maximum-overlap operator (max

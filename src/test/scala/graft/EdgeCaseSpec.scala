@@ -51,6 +51,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("lateness profile buckets crafted out-of-order arrivals, incl. across blocks") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // arrival order = event_id; ids straddle the 1000-id block boundary so
+    // the cross-block prior-max path is exercised (event 1500 is late
+    // relative to a maximum set in the PREVIOUS block)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),   // sets the running max
+      (2L, ts("2024-01-01 09:59:30")),   // 30 s late
+      (3L, ts("2024-01-01 12:00:00")),   // new max (block 0)
+      (1500L, ts("2024-01-01 11:30:00")), // 30 min late ACROSS blocks
+      (1501L, ts("2024-01-01 09:00:00")), // 3 h late across blocks
+      (1502L, ts("2024-01-01 12:00:01"))) // in order again
+      .toDF("event_id", "ts")
+    val out = graft.ops.Events.latenessProfile(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a_in_order" -> 3L, "b_under_1min" -> 1L,
+      "c_under_1h" -> 1L, "e_over_2h" -> 1L), out.toString)
+  }
+
   test("fkOrphans with an empty fact side reports zero rows and zero orphans") {
     val emptyFact = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
