@@ -31,11 +31,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the engine's optimizer extension: automatic runtime bloom
     // prefilters on qualifying semi joins (production thresholds — the
     // statistics guards keep it away from plans too small to pay for a
-    // bloom build). Injected here it runs in the post-resolution
-    // optimizer batch for every query on the session; the live-session
+    // bloom build). Injected as a PRE-CBO rule — a `Once` batch AFTER
+    // the fixed-point operator-optimization batches — for the same
+    // reason Spark's own InjectRuntimeFilter runs in its own Once batch:
+    // inside the fixed point, InferFiltersFromConstraints copies the
+    // injected might_contain across the join's equality constraint onto
+    // the build side (a wasted self-probe), and interleaved rules
+    // re-separating the Filter from the join child would stress the
+    // idempotence guard every iteration. After the fixed point, the
+    // rewrite happens exactly once on the settled plan. The live-session
     // path is spark.experimental.extraOptimizations (see
     // q_ext_rule_bloom).
-    ext.injectOptimizerRule(_ => new graft.rules.BloomSemiJoinPrefilter())
+    ext.injectPreCBORule(_ => new graft.rules.BloomSemiJoinPrefilter())
   }
 }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -776,6 +776,10 @@ object Events {
     // → cents (2-decimal doubles round identically on both engines) →
     // micro-cents, divided by the touch count with integer `div` — no
     // float credit ever exists, so per-user sums are order-independent.
+    // NEGATIVE values (refund rows) are excluded EXPLICITLY on both
+    // sides: DuckDB's `//` floors while Spark's `div` truncates toward
+    // zero, so the two agree only on non-negative credit — the cents >= 0
+    // filter makes that assumption structural, not accidental.
     // Join shape: ONE user_id equi-join with the time predicate as a
     // residual filter — per-user fan-out is bounded by per-user activity
     // (the funnel/SCD2-lookup discipline); at heavier per-user volumes
@@ -784,7 +788,8 @@ object Events {
       """WITH p AS (
         |  SELECT user_id, event_id, ts,
         |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND round(value * 100) >= 0),
         |v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
         |touched AS (
         |  SELECT p.user_id, p.event_id AS p_id, p.cents,
@@ -803,6 +808,7 @@ object Events {
         .select(col("user_id"), col("event_id").as("p_id"),
           unix_micros(col("ts")).as("p_us"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .filter(col("cents") >= 0)
       val v = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("v_id"),
           unix_micros(col("ts")).as("v_us"))
@@ -1007,51 +1013,98 @@ object Events {
     // RFM segmentation — the classic recency/frequency/monetary customer
     // scoring over purchase events: days since last purchase (vs a fixed
     // anchor date — a literal, so no 1-row max-date frame crosses the
-    // plan), purchase count, and exact DECIMAL cents. Quartile scores come
-    // from ntile(4) with user_id tie-breaks (deterministic on both
-    // engines). The fact reduces user-keyed FIRST; the ntile windows then
-    // run over the USER dimension — at 100 TB that's the classic
-    // fact-to-dimension collapse, and a global ntile over users is a
-    // ranged single-pass, not a fact-sized sort.
+    // plan), purchase count, and exact BIGINT cents (integer-exactness
+    // doctrine: no DECIMAL crosses the hash gate). Quartile scores are
+    // EXACT ntile(4) under the (measure, user_id) total order, but run
+    // scale-safe: no global-sort window anywhere. Rows block by a
+    // value-derived key (the measure itself for low-cardinality r_days /
+    // freq; cents div 1e5 for monetary — div is monotone, so blocks never
+    // interleave), the per-block row_number runs as a KEY-PARTITIONED
+    // window, and each block adds the row count of all strictly-prior
+    // blocks — a prefix over the collected block dimension (bounded by
+    // VALUE RANGE, not data size) broadcast back as an equi-join. The
+    // bucket is then pure arithmetic on the global rank (ntile's
+    // first-r-buckets-get-the-extra-row rule). The fact reduces
+    // user-keyed FIRST (the fact-to-dimension collapse); at 100 TB the
+    // user dimension ranks with one bounded driver frame per measure and
+    // three partitioned windows — no single-partition sort of users.
     GraftQuery.of("events_rfm",
       """WITH u AS (
         |  SELECT user_id,
         |    date_diff('day', max(CAST(ts AS DATE)), DATE '2024-12-31') AS r_days,
         |    CAST(count(*) AS BIGINT) AS freq,
-        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS monetary
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
         |q AS (SELECT *,
         |  ntile(4) OVER (ORDER BY r_days ASC, user_id) AS r_q,
         |  ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
-        |  ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+        |  ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_q
         |  FROM u)
-        |SELECT user_id, CAST(r_days AS BIGINT) AS r_days, freq, monetary,
+        |SELECT user_id, CAST(r_days AS BIGINT) AS r_days, freq, monetary_cents,
         |  CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
         |  CAST(m_q AS BIGINT) AS m_q,
         |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
         |    AS segment
         |FROM q ORDER BY user_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val anchor = lit("2024-12-31").cast("date")
-      events(s, d)
+      val u = events(s, d)
         .filter(col("event_type") === "purchase")
         .groupBy(col("user_id"))
-        .agg(datediff(anchor, max(to_date(col("ts")))).as("r_days"),
+        .agg(datediff(anchor, max(to_date(col("ts")))).cast("long").as("r_days"),
           count(lit(1)).as("freq"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(30,2)")
-            .as("monetary"))
-        .withColumn("r_q",
-          ntile(4).over(Window.orderBy(col("r_days").asc, col("user_id"))))
-        .withColumn("f_q",
-          ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))))
-        .withColumn("m_q",
-          ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id"))))
-        .select(col("user_id"), col("r_days").cast("long").as("r_days"),
-          col("freq"), col("monetary"),
-          col("r_q").cast("long").as("r_q"), col("f_q").cast("long").as("f_q"),
-          col("m_q").cast("long").as("m_q"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("monetary_cents"))
+        .localCheckpoint()
+      val scored = blockedNtile4(
+        blockedNtile4(
+          blockedNtile4(u, "r_days", desc = false, col("r_days"), "r_q"),
+          "freq", desc = true, col("freq"), "f_q"),
+        "monetary_cents", desc = true,
+        expr("monetary_cents div 100000"), "m_q")
+      scored
+        .select(col("user_id"), col("r_days"), col("freq"),
+          col("monetary_cents"), col("r_q"), col("f_q"), col("m_q"),
           concat(col("r_q").cast("string"), col("f_q").cast("string"),
             col("m_q").cast("string")).as("segment"))
         .orderBy(col("user_id"))
     })
+
+  /** Exact ntile(4) over the total order (measure ± , user_id) with NO
+    * unpartitioned window — the scale-safe quartile assignment behind
+    * `events_rfm`. `blk` must be a monotone function of the measure (so
+    * block ranges never interleave under the sort direction): global rank
+    * = (rows in strictly-prior blocks) + row_number within the block.
+    * Block counts collect to the driver — bounded by the measure's VALUE
+    * RANGE (days, per-user purchase counts, cents div 1e5), not by data
+    * size — and return as a broadcast equi-join. The bucket is ntile's
+    * exact arithmetic: with N = 4q + r, buckets 1..r take q+1 rows.
+    */
+  private def blockedNtile4(u: DataFrame, m: String, desc: Boolean,
+      blk: Column, out: String): DataFrame = {
+    val cnts = u.withColumn("__blk", blk.cast("long"))
+      .groupBy("__blk").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ordered = if (desc) cnts.sortBy(b => -b._1) else cnts.sortBy(_._1)
+    val n = ordered.iterator.map(_._2).sum
+    var acc = 0L
+    val offs = ordered.map { case (b, c) => val row = (b, acc); acc += c; row }
+    val sess = u.sparkSession
+    import sess.implicits._
+    val offDf = broadcast(offs.toSeq.toDF("__blk", "__off"))
+    val ord =
+      if (desc) Seq(col(m).desc, col("user_id").asc)
+      else Seq(col(m).asc, col("user_id").asc)
+    val w = Window.partitionBy(col("__blk")).orderBy(ord: _*)
+    val q = n / 4
+    val r = n % 4
+    u.withColumn("__blk", blk.cast("long"))
+      .join(offDf, "__blk")
+      .withColumn("__rn", (col("__off") + row_number().over(w)).cast("long"))
+      .withColumn(out, expr(
+        s"CAST(CASE WHEN __rn <= ${r * (q + 1)} " +
+          s"THEN ((__rn - 1) div ${q + 1}) + 1 " +
+          s"ELSE $r + ((__rn - ${r * (q + 1)} - 1) div ${math.max(q, 1L)}) + 1 " +
+          s"END AS BIGINT)"))
+      .drop("__blk", "__off", "__rn")
+  }
 }

@@ -77,6 +77,84 @@ object Multimodal {
     }
   }
 
+  /** Arrow-COLUMNAR batch extraction — the vectorized twin of
+    * [[batchExtract]], proving the batch interface a real image/audio
+    * model feeds on (the `mapInArrow` / Pandas-UDF shape: a worker
+    * receives fixed-size COLUMNAR batches, not a row iterator). Per
+    * partition: one Arrow allocator (the codec/model-session analog of
+    * per-partition setup); per batch of `batchSize` rows: a
+    * `VectorSchemaRoot` of (BigIntVector media_id, VarBinaryVector
+    * payload) is filled from the rows and handed WHOLE to the extractor,
+    * which reads the payload bytes out of the columnar buffers — exactly
+    * the root a PyArrow `RecordBatch` wraps on the Python side. The
+    * default extractor applies the SAME deterministic stub as
+    * [[fakeFeatures]] (decode itself stays the documented stub tier —
+    * the container has no codecs), so `mm_feature_extract_arrow`'s oracle
+    * is the same digest as `mm_feature_extract` and the suite asserts the
+    * two paths equal row-for-row. Memory discipline: root closed per
+    * batch, allocator closed on iterator exhaustion — no Arrow buffers
+    * outlive the partition.
+    */
+  def arrowBatchExtract(media: DataFrame, dim: Int, batchSize: Int = 512)(
+      extractBatch: org.apache.arrow.vector.VectorSchemaRoot => Array[Array[Double]] =
+        stubBatchExtractor(dim)): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        new Iterator[MediaFeatures] {
+          private val allocator = new RootAllocator(Long.MaxValue)
+          private val groups = rows.grouped(batchSize)
+          private var cur: Iterator[MediaFeatures] = Iterator.empty
+          private var open = true
+
+          private def processBatch(batch: Seq[(Long, Array[Byte])]): Iterator[MediaFeatures] = {
+            val ids = new BigIntVector("media_id", allocator)
+            val payloads = new VarBinaryVector("payload", allocator)
+            val root = VectorSchemaRoot.of(ids, payloads)
+            try {
+              ids.allocateNew(batch.size)
+              payloads.allocateNew()
+              batch.zipWithIndex.foreach { case ((id, p), i) =>
+                ids.setSafe(i, id)
+                payloads.setSafe(i, p)
+              }
+              root.setRowCount(batch.size)
+              val feats = extractBatch(root)
+              require(feats.length == batch.size,
+                s"extractor returned ${feats.length} feature rows for a ${batch.size}-row batch")
+              batch.indices.map(i => MediaFeatures(ids.get(i), feats(i))).toVector.iterator
+            } finally root.close()
+          }
+
+          override def hasNext: Boolean = {
+            while (!cur.hasNext && groups.hasNext) cur = processBatch(groups.next())
+            if (!cur.hasNext && open) { allocator.close(); open = false }
+            cur.hasNext
+          }
+          override def next(): MediaFeatures = {
+            if (!hasNext) throw new NoSuchElementException("empty partition iterator")
+            cur.next()
+          }
+        }
+      }
+  }
+
+  /** Default columnar extractor: reads each payload out of the batch's
+    * VarBinary buffers and applies the deterministic stub decode —
+    * byte-for-byte equal to [[fakeFeatures]]/[[defaultExtractor]]. A real
+    * model swaps THIS function for one that feeds the whole root to an
+    * inference session; the Spark-side plumbing does not change.
+    */
+  def stubBatchExtractor(dim: Int): org.apache.arrow.vector.VectorSchemaRoot => Array[Array[Double]] = { root =>
+    val payloads = root.getVector("payload")
+      .asInstanceOf[org.apache.arrow.vector.VarBinaryVector]
+    val perRow = defaultExtractor(dim)
+    Array.tabulate(root.getRowCount)(i => perRow(payloads.get(i)))
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Typed metadata over opaque binary payloads: byte length + digest +
@@ -285,6 +363,30 @@ object Multimodal {
       media.select(
         col("media_id"),
         fakeFeatures(col("payload"), 16).as("features"))
+        .select(col("media_id"),
+          md5(expr(
+            "array_join(transform(features, f -> cast(cast(round(f * 255) as int) as string)), ',')"))
+            .as("features_digest"))
+        .orderBy(col("media_id"))
+    },
+
+    // The SAME digest through the Arrow-columnar batch path
+    // (arrowBatchExtract): rows → VectorSchemaRoot batches → vectorized
+    // extractor → typed Dataset back into the relational plan. The oracle
+    // is identical to mm_feature_extract's by construction — the
+    // registered row proves the columnar interface is a pure re-plumbing
+    // of the extraction, not a different computation.
+    GraftQuery.of("mm_feature_extract_arrow", {
+      val byteExprs = (0 until 4).flatMap { w =>
+        val h = s"(${GraftQuery.h60Sql(s"text || ':$w'")})"
+        (0 until 4).map(b => s"(($h >> ${8 * b}) & 255)::VARCHAR")
+      }
+      s"""SELECT doc_id AS media_id,
+         |  md5(${byteExprs.mkString(" || ',' || ")}) AS features_digest
+         |FROM documents ORDER BY media_id""".stripMargin
+    }) { (s, d) =>
+      arrowBatchExtract(asMedia(documents(s, d)), 16)()
+        .toDF()
         .select(col("media_id"),
           md5(expr(
             "array_join(transform(features, f -> cast(cast(round(f * 255) as int) as string)), ',')"))

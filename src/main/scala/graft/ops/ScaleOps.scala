@@ -187,9 +187,14 @@ object ScaleOps {
       dir: String, keyCol: String, keys: Seq[Long]): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.graftbridge.Bridge
     val written = s.read.parquet(dir)
-    // honest sizing: one scalar count job (codebook discipline), ~n/8
-    // expected items per file
-    val perFile = math.max(64L, written.count() / 8)
+    // honest sizing from the ACTUAL layout: one per-file count job
+    // (bounded collect — #files rows, codebook discipline), and every
+    // bloom sized for the largest file so no file's false-positive rate
+    // degrades whatever the layout (8 files, the spec's crafted 4, or
+    // any future caller's)
+    val perFile = math.max(64L,
+      written.groupBy(input_file_name()).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).collect()(0).getLong(0))
     val blooms = written.groupBy(input_file_name().as("f"))
       .agg(Bridge.bloomFilterAgg(col(keyCol), perFile).as("bf"))
       .collect()

@@ -340,8 +340,17 @@ object Similarity {
     * ([[knnLsh]]) and threshold ([[rangeSearch]]) consumers share this.
     */
   private def lshScored(emb: DataFrame, probes: DataFrame, bits: Int,
-      excludeSelf: Boolean, broadcastProbes: Boolean): DataFrame = {
-    val withBucket = emb.withColumn("bucket", lshBucket("embedding", bits))
+      excludeSelf: Boolean, broadcastProbes: Boolean): DataFrame =
+    lshScoredIndexed(emb.withColumn("bucket", lshBucket("embedding", bits)),
+      probes, bits, excludeSelf, broadcastProbes)
+
+  /** [[lshScored]] over an ALREADY-BUCKETED index frame
+    * `(vec_id, embedding, bucket)` — the entry point for a standing index
+    * that is maintained incrementally rather than rebucketed per query
+    * (see [[incrementalLshIndex]]).
+    */
+  private def lshScoredIndexed(withBucket: DataFrame, probes: DataFrame,
+      bits: Int, excludeSelf: Boolean, broadcastProbes: Boolean): DataFrame = {
     val probeBuckets = (0 until bits).map(m => col("bucket").bitwiseXOR(lit(1L << m))) :+ col("bucket")
     val p = probes
       .withColumn("bucket", lshBucket("embedding", bits))
@@ -375,6 +384,41 @@ object Similarity {
       .filter(col("sim") >= tau)
       .select(col("probe_id"), col("neighbor_id"), col("sim"))
       .orderBy(col("probe_id"), col("neighbor_id"))
+
+  /** Incremental LSH index maintenance — the similarity twin of
+    * `dedup_incremental`: the standing index (already-bucketed corpus) is
+    * persisted ONCE; a new embedding batch is bucketed ALONE with the
+    * same plane family and unioned in. Because a vector's bucket depends
+    * only on its own embedding (deterministic md5-derived planes, no
+    * corpus statistics), merge-then-query is IDENTICAL to re-indexing
+    * from scratch — the property OpsSpec asserts frame-for-frame and the
+    * registered query's oracle replays as the from-scratch form. At
+    * 100 TB the standing index is a bucket-partitioned parquet table; the
+    * refresh buckets only the day's arrivals and appends — no full-corpus
+    * rebucketing, no shuffle of the standing side (localCheckpoint here
+    * stands in for the persisted table and truncates its lineage so the
+    * query plan provably cannot re-derive the existing side).
+    *
+    * Returns (standing index, merged index), both
+    * `(vec_id, embedding, bucket)`.
+    */
+  def incrementalLshIndex(emb: DataFrame, isNew: Column, bits: Int = 4)
+      : (DataFrame, DataFrame) = {
+    val standing = emb.filter(!isNew)
+      .withColumn("bucket", lshBucket("embedding", bits))
+      .localCheckpoint()
+    val merged = standing.unionByName(
+      emb.filter(isNew).withColumn("bucket", lshBucket("embedding", bits)))
+    (standing, merged)
+  }
+
+  /** kNN over a standing (pre-bucketed) index frame — query side of
+    * [[incrementalLshIndex]].
+    */
+  def knnLshIndexed(index: DataFrame, probes: DataFrame, k: Int,
+      bits: Int = 4, excludeSelf: Boolean = false): DataFrame =
+    topK(lshScoredIndexed(index, probes, bits, excludeSelf,
+      broadcastProbes = true), k)
 
   def knnLsh(emb: DataFrame, nProbes: Int, k: Int, bits: Int): DataFrame =
     knnLsh(emb, selfProbes(emb, nProbes), k, bits, excludeSelf = true)
@@ -847,6 +891,45 @@ object Similarity {
          |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin
     }) { (s, d) =>
       knnLsh(embeddings(s, d), nProbes = 5, k = 10)
+    },
+
+    // Incremental ANN index maintenance: the corpus splits 80/20 by a
+    // deterministic vec_id hash into a STANDING index (bucketed once,
+    // persisted — localCheckpoint stands in for the production
+    // bucket-partitioned parquet table) and a NEW batch (bucketed alone,
+    // unioned in). Queries against the merged index are provably equal to
+    // re-indexing from scratch (bucket = f(embedding) only), so the
+    // oracle replays the from-scratch single-table LSH — identical SQL
+    // shape to sim_knn_lsh but probes vec_id < 8 to keep the two rows
+    // distinct in the registry. OpsSpec asserts merged == from-scratch
+    // frame-for-frame; at 100 TB the refresh cost is O(batch), not
+    // O(corpus).
+    GraftQuery.of("sim_index_incremental", {
+      val bits = 4
+      val probeBuckets = (0 until bits).map(m => s"xor(bucket, ${1L << m})") :+ "bucket"
+      s"""WITH wb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    CAST(${bucketSql(bits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS bucket
+         |  FROM embeddings
+         |), probes AS (
+         |  SELECT vec_id AS probe_id, e AS pe,
+         |    unnest([${probeBuckets.mkString(", ")}]) AS bucket
+         |  FROM wb WHERE vec_id < 8
+         |), scored AS (
+         |  SELECT probe_id, w.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(pe, w.e), 6) AS sim
+         |  FROM probes p JOIN wb w USING (bucket) WHERE w.vec_id <> p.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, sim
+         |FROM ranked WHERE rn <= 10 ORDER BY probe_id, rnk""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      val isNew = pmod(Dedup.h60(col("vec_id").cast("string"), 13), lit(10L)) >= 8
+      val (_, merged) = incrementalLshIndex(e, isNew)
+      knnLshIndexed(merged, selfProbes(e, 8), k = 10, excludeSelf = true)
     },
 
     // Radius search: ALL neighbors at cosine ≥ 0.25 for 20 probes, through

@@ -32,10 +32,26 @@ class BloomSemiJoinPrefilter(
     buildMaxBytes: Long = 8L << 20,
     probeMinBytes: Long = 32L << 20) extends Rule[LogicalPlan] {
 
-  private def alreadyPrefiltered(p: LogicalPlan): Boolean = p match {
-    case Filter(cond, _) => cond.exists(_.isInstanceOf[BloomFilterMightContain])
-    case _ => false
-  }
+  /** True iff ANYWHERE in the probe subtree a bloom prefilter keyed on
+    * this probe attribute already exists. The check must be
+    * whole-subtree, not immediate-child: when the rule runs inside the
+    * fixed-point operator-optimization batch (the `injectOptimizerRule`
+    * deployment path), interleaved rules — ColumnPruning inserting a
+    * Project, PushDownPredicates relocating the Filter toward the scan —
+    * separate the injected Filter from the join child between
+    * iterations, and an immediate-child guard would re-inject a
+    * duplicate bloom scalar-subquery every iteration (each re-aggregating
+    * the build side; in the worst case "Max iterations reached"
+    * non-convergence). Keying on the probe attribute keeps the guard
+    * precise: an unrelated bloom filter elsewhere in the tree does not
+    * suppress a legitimate rewrite.
+    */
+  private def alreadyPrefiltered(p: LogicalPlan, probe: AttributeReference): Boolean =
+    p.exists(_.expressions.exists(_.exists {
+      case bf: BloomFilterMightContain =>
+        bf.valueExpression.references.contains(probe)
+      case _ => false
+    }))
 
   private def sideKeys(cond: Expression, left: LogicalPlan, right: LogicalPlan)
       : Option[(AttributeReference, AttributeReference)] = cond match {
@@ -48,18 +64,17 @@ class BloomSemiJoinPrefilter(
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, LeftSemi, Some(cond), _)
-        if !alreadyPrefiltered(left) &&
-          right.stats.sizeInBytes <= buildMaxBytes &&
+        if right.stats.sizeInBytes <= buildMaxBytes &&
           left.stats.sizeInBytes >= probeMinBytes =>
       sideKeys(cond, left, right) match {
-        case Some((probeKey, buildKey)) =>
+        case Some((probeKey, buildKey)) if !alreadyPrefiltered(left, probeKey) =>
           val bloom = new BloomFilterAggregate(new XxHash64(Seq(buildKey)))
             .toAggregateExpression()
           val buildAgg = Aggregate(Nil, Seq(Alias(bloom, "graft_bloom")()), right)
           val prefilter = BloomFilterMightContain(
             ScalarSubquery(buildAgg), new XxHash64(Seq(probeKey)))
           j.copy(left = Filter(prefilter, left))
-        case None => j
+        case _ => j
       }
   }
 }

@@ -142,6 +142,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental LSH index: merge-then-query equals re-indexing from scratch") {
+    val emb = Tables.embeddings(spark, sf)
+    val isNew = pmod(Dedup.h60(col("vec_id").cast("string"), 13), lit(10L)) >= 8
+    val (standing, merged) = Similarity.incrementalLshIndex(emb, isNew)
+    // the standing side is persisted: lineage truncated to an RDD scan,
+    // so the merged plan provably cannot rebucket the existing corpus
+    assert(standing.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.getClass.getSimpleName.contains("LogicalRDD")),
+      standing.queryExecution.optimizedPlan.treeString)
+    // index CONTENTS identical to bucketing the whole corpus at once
+    val scratch = emb.withColumn("bucket", Similarity.lshBucket("embedding", 4))
+    assert(merged.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      scratch.select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // QUERY results identical to the from-scratch path, frame for frame
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    val viaIndex = Similarity.knnLshIndexed(merged, probes, k = 10,
+      excludeSelf = true).collect().map(_.toSeq).toSeq
+    val viaScratch = Similarity.knnLsh(emb, probes, k = 10,
+      excludeSelf = true).collect().map(_.toSeq).toSeq
+    assert(viaIndex == viaScratch)
+  }
+
   test("int8 scalar-quantized kNN: high recall vs brute force, exact sims on returned pairs") {
     val emb = Tables.embeddings(spark, sf)
     val bruteRows = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()

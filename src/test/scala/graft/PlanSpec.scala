@@ -268,6 +268,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(500))
   }
 
+  test("rfm quartiles: every window is key-partitioned (no global-sort window), offsets broadcast back") {
+    val df: DataFrame = SparkEntry.queries("events_rfm")(spark, sf)
+    // exact-ntile via blocked ranks: the user dimension must never cross
+    // a single-partition WindowExec — at 100 TB users scale with the
+    // corpus and a global ntile sort is the classic scale-killer
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned windows:\n${bad.mkString("\n")}")
+    // the block-prefix offsets come back as a broadcast equi-join
+    val p = planOf("events_rfm")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("registry sweep: every query plan is free of unwhitelisted cartesian/nested-loop joins") {
     // The whitelist is every query whose plan legitimately carries a
     // BroadcastNestedLoopJoin, each because a genuinely BOUNDED frame

@@ -157,6 +157,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaBatch == viaExpr)
   }
 
+  test("arrow columnar batch extractor equals the row-iterator path and the expression stub") {
+    val media = graft.ops.Multimodal.asMedia(
+      graft.ops.Tables.documents(spark, "/root/testdata/sf0.001"))
+    // small batchSize forces MULTIPLE Arrow roots per partition, so the
+    // batch-boundary handling (fill, row count, close) is actually driven
+    val viaArrow = graft.ops.Multimodal.arrowBatchExtract(media, 16, batchSize = 7)()
+      .collect().map(m => m.media_id -> m.features.toSeq).toMap
+    val viaRows = graft.ops.Multimodal.batchExtract(media, 16)()
+      .collect().map(m => m.media_id -> m.features.toSeq).toMap
+    assert(viaArrow == viaRows)
+    // and a custom VECTORIZED extractor really sees columnar batches: it
+    // reports each batch's row count through the feature vector
+    val sizes = graft.ops.Multimodal.arrowBatchExtract(media, 16, batchSize = 7) { root =>
+      Array.fill(root.getRowCount)(Array(root.getRowCount.toDouble))
+    }.collect().map(_.features(0).toInt)
+    assert(sizes.nonEmpty && sizes.forall(_ <= 7) && sizes.max == 7, sizes.toSeq.distinct.toString)
+  }
+
   test("zone-map scan actually skips files AND returns the exact filter result") {
     val sf = "/root/testdata/sf0.001"
     val (all, sel, pruned) = ScaleOps.zonemapScan(spark, sf, "1997-01-01", "1997-07-01")
