@@ -42,15 +42,8 @@ final class DwcaArchive private (
     * equi-join on the id key (or broadcast when the extension is small) —
     * exactly what Catalyst picks for `core.join(ext, "left")`.
     */
-  def joined(ext: TableDescriptor): DataFrame = {
-    val core = coreDataFrame
-    val extDf = read(ext)
-    val prefix = ext.rowTypeLocalName.toLowerCase
-    val renamed = extDf.columns.foldLeft(extDf) { (df, c) =>
-      if (c == "coreid") df else df.withColumnRenamed(c, s"${prefix}_$c")
-    }
-    core.join(renamed, core("id") === renamed("coreid"), "left")
-  }
+  def joined(ext: TableDescriptor): DataFrame =
+    DwcaArchive.starJoin(coreDataFrame, read(ext), ext.rowTypeLocalName)
 
   /** Read one table of the archive per its declared dialect, naming columns
     * positionally after the DwC term local names (id/coreid per SURVEY.md T4).
@@ -135,6 +128,22 @@ final class DwcaArchive private (
 }
 
 object DwcaArchive {
+
+  /** The DwCA star join on core `id` = extension `coreid`, extension
+    * columns prefixed `<extRowTypeLocalName>_` — ONE definition shared by
+    * [[DwcaArchive.joined]] (classic reader frames) and the DSv2-provider
+    * path (`q_s2` builds the same join over `format("dwca")` frames), so
+    * the two ingestion shapes can never drift. At scale this is a plain
+    * shuffled equi-join on the id key (or broadcast when the extension is
+    * small) — exactly what Catalyst picks.
+    */
+  def starJoin(core: DataFrame, extDf: DataFrame, extRowTypeLocalName: String): DataFrame = {
+    val prefix = extRowTypeLocalName.toLowerCase
+    val renamed = extDf.columns.foldLeft(extDf) { (df, c) =>
+      if (c == "coreid") df else df.withColumnRenamed(c, s"${prefix}_$c")
+    }
+    core.join(renamed, core("id") === renamed("coreid"), "left")
+  }
 
   /** pandas' default NA token set (`pandas.io.parsers`, keep_default_na) —
     * the reference's `pd_read` treats every one of these as NaN; the

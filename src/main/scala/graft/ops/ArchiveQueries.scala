@@ -41,17 +41,23 @@ object ArchiveQueries {
 
     // S1 + S5 — core read with meta.xml dialect: all columns arrive as
     // strings named by DwC term local names; row order pinned by id.
+    // Reads THROUGH the DSv2 provider (format("dwca")) — the catalog-table
+    // ingestion shape with column pruning pushed to the scan; parity of
+    // the provider against the classic DwcaArchive.read is pinned by
+    // ArchiveParitySpec.
     GraftQuery.of("q_s1_archive_core_read",
       s"""SELECT id, occurrenceID, scientificName, decimalLatitude,
          |  decimalLongitude, eventDate, recordedBy, geodeticDatum, basisOfRecord
          |FROM read_csv('$occSimple/occurrence.txt', header = true, all_varchar = true)
          |ORDER BY CAST(id AS BIGINT)""".stripMargin) { (s, _) =>
-      DwcaArchive.open(s, occSimple).coreDataFrame
+      s.read.format("dwca").option("path", occSimple).load()
         .orderBy(col("id").cast("long"))
     },
 
     // S2 — extension read + the core ⋈ extension star join on id = coreid
     // (extension columns arrive prefixed with the extension row type).
+    // Both sides mount via the DSv2 provider; the join is the SAME
+    // DwcaArchive.starJoin the classic path uses.
     GraftQuery.of("q_s2_archive_join",
       s"""SELECT c.id, c.eventID, c.eventDate, e.coreid,
          |  e.occurrenceStatus AS occurrence_occurrenceStatus,
@@ -63,10 +69,10 @@ object ArchiveQueries {
          |                all_varchar = true)
          |) e ON c.id = e.coreid
          |ORDER BY CAST(c.id AS BIGINT)""".stripMargin) { (s, _) =>
-      val archive = DwcaArchive.open(s, eventSimple)
-      val occExt = archive.descriptor.extensions
-        .find(_.rowTypeLocalName == "Occurrence").get
-      archive.joined(occExt)
+      val core = s.read.format("dwca").option("path", eventSimple).load()
+      val ext = s.read.format("dwca").option("path", eventSimple)
+        .option("table", "Occurrence").load()
+      DwcaArchive.starJoin(core, ext, "Occurrence")
         .select(col("id"), col("eventID"), col("eventDate"), col("coreid"),
           col("occurrence_occurrenceStatus"), col("occurrence_basisOfRecord"))
         .orderBy(col("id").cast("long"))

@@ -204,4 +204,53 @@ class ArchiveParitySpec extends AnyFunSuite {
     val row = joined.filter(joined("id") === "1").head()
     assert(row.getAs[String]("occurrence_basisOfRecord") == "observation")
   }
+
+  test("DSv2 provider equals the classic reader on every fixture archive") {
+    val fixtures = Seq(
+      "/occurrence_archives/dwca-simple",
+      "/occurrence_archives/dwca-bad-coordinates", // \r\n dialect
+      "/occurrence_archives/dwca-bad-geodetic-datum",
+      "/occurrence_archives/dwca-out-of-range-coordinates",
+      "/occurrence_archives/dwca-unrecognised-basis-of-record",
+      "/event_archives/dwca-simple") // core + extension
+    fixtures.foreach { fx =>
+      val path = TestSpark.resourcePath(fx)
+      val archive = graft.dwca.DwcaArchive.open(spark, path)
+      def rowsOf(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+        df.select(cols.map(df(_)): _*).collect()
+          .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("")).toSeq
+      val v2Core = spark.read.format("dwca").option("path", path).load()
+      val classicCore = archive.coreDataFrame
+      // v2's schema is the declared columns (+ default-only constants);
+      // the classic reader may additionally keep undeclared physical
+      // columns as _cN — compare on the declared set
+      assert(v2Core.columns.toSeq.forall(classicCore.columns.contains), fx)
+      assert(rowsOf(v2Core, v2Core.columns.toSeq) ==
+        rowsOf(classicCore, v2Core.columns.toSeq), fx)
+      archive.descriptor.extensions.foreach { e =>
+        val v2Ext = spark.read.format("dwca").option("path", path)
+          .option("table", e.rowTypeLocalName).load()
+        val classicExt = archive.read(e)
+        assert(rowsOf(v2Ext, v2Ext.columns.toSeq) ==
+          rowsOf(classicExt, v2Ext.columns.toSeq), s"$fx ext ${e.rowTypeLocalName}")
+      }
+    }
+  }
+
+  test("DSv2 scan prunes columns: only the selected terms reach the parser") {
+    val path = TestSpark.resourcePath("/occurrence_archives/dwca-simple")
+    val df = spark.read.format("dwca").option("path", path).load()
+      .select("id", "scientificName")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1, df.queryExecution.executedPlan.toString)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("id", "scientificName"),
+      scans.head.scan.description())
+    // and the pruned read returns exactly the classic values
+    val classic = graft.dwca.DwcaArchive.open(spark, path).coreDataFrame
+      .select("id", "scientificName")
+    assert(df.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      classic.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
 }
