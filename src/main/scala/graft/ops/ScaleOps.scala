@@ -909,6 +909,9 @@ object ScaleOps {
     // keeps the 32 MB probe floor so tiny scans skip the bloom cost.
     // Eager materialization inside the conf window: the rule must be
     // installed when the plan OPTIMIZES, not when the query registers.
+    // NOTE: extraOptimizations is session-global — safe under the
+    // harness's sequential execution; a concurrent runner would clone
+    // the session (s.newSession()) to scope the lowered-threshold rule.
     GraftQuery.of("q_ext_rule_bloom",
       """SELECT l_returnflag, count(*) AS n_items,
         |  round(sum(l_extendedprice), 2) AS revenue
