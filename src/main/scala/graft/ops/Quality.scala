@@ -267,5 +267,56 @@ object Quality {
       ruleReport(lineitem(s, d), LineitemRules)
         .unionByName(ruleReport(orders(s, d), OrdersRulesSpark))
         .orderBy(col("rule"))
+    },
+
+    // k-anonymity profile — the privacy audit run before a table with
+    // quasi-identifiers ships: group by the QI tuple, then summarize the
+    // group-size distribution (k = min group size; how many groups and
+    // rows sit below the k=5 re-identification threshold). One QI-keyed
+    // count shuffle (map-side combined) + one bounded one-row summary —
+    // the per-group frame never materializes wide. At 100 TB the QI
+    // cardinality, not the row count, bounds state — exactly like any
+    // groupBy count; generalization/suppression loops re-run just this.
+    GraftQuery.of("dq_k_anonymity",
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(n) AS BIGINT) AS k_anonymity,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_5,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |FROM g""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("n")).as("k_anonymity"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("groups_below_5"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("rows_at_risk"))
+    },
+
+    // Per-source freshness lag — the ingestion-health check a warehouse
+    // runs per feed: each feed's newest event vs the globally newest, in
+    // exact integer seconds (second-truncated on both engines so the lag
+    // is pure integer math). One tiny groupBy + a 1-row broadcast global
+    // max — the anchor comes from the data, the way a freshness monitor
+    // actually works (no wall-clock literal to drift).
+    GraftQuery.of("dq_freshness",
+      """WITH e AS (SELECT event_type AS source, epoch_us(ts) // 1000000 AS sec
+        |  FROM events),
+        |g AS (SELECT max(sec) AS gmax FROM e)
+        |SELECT source, CAST(g.gmax - max(sec) AS BIGINT) AS lag_s,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM e, g GROUP BY source, g.gmax ORDER BY source""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("event_type").as("source"),
+          expr("unix_micros(ts) div 1000000").as("sec"))
+      val global = ev.agg(max(col("sec")).as("gmax"))
+      ev.groupBy(col("source"))
+        .agg(max(col("sec")).as("smax"), count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(global))
+        .select(col("source"), (col("gmax") - col("smax")).as("lag_s"),
+          col("n_events"))
+        .orderBy(col("source"))
     })
 }

@@ -682,6 +682,39 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): cluster-scoped
+    * semantic dedup. Every vector assigns to its nearest of `nlist`
+    * deterministic md5-order-sampled centroids (same coarse quantizer as
+    * [[knnIvf]] — a trained codebook drops in identically), then WITHIN
+    * each cluster a vector is dropped when any lower-id cluster-mate sits
+    * at cosine ≥ `tau` — the paper's keep-one-per-semantic-neighborhood
+    * rule with a deterministic keeper (min vec_id). Pairwise work is
+    * cluster-scoped: the self-join keys on cid, so cost is Σ|cluster|²,
+    * bounded by sizing nlist ∝ corpus/target-cluster-size exactly as the
+    * paper scales k — never the corpus-wide all-pairs. Shuffles: one
+    * broadcast-centroid argmax (map-side partial agg), one cid-keyed
+    * self-join, one vec_id-keyed anti-ish left join for the flag.
+    */
+  def semanticDedup(emb: DataFrame, nlist: Int = 16, tau: Double = 0.3): DataFrame = {
+    import graft.functions.Md5Hash60.md5hash60
+    val centroids = broadcast(
+      emb.orderBy(md5hash60(col("vec_id").cast("string")), col("vec_id"))
+        .limit(nlist)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val lists = assignNearest(emb, "vec_id", centroids)
+    val a = lists.select(col("cid"), col("vec_id").as("a_id"), col("embedding").as("ae"))
+    val b = lists.select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("be"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(cosineSim(col("ae"), col("be")), 6) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("__dup", lit(true))
+    lists.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact all-pairs near-dup NN — the correctness baseline the recall
     * tests measure [[nnDedupLsh]] against. Not registered as a query: the
     * all-pairs crossJoin is O(|corpus|²) and exists only to ground the
@@ -1063,5 +1096,36 @@ object Similarity {
          |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
     }) { (s, d) =>
       nnDedupLsh(embeddings(s, d))
+    },
+
+    // SemDeDup: cluster-scoped semantic dedup (drop a vector when a
+    // lower-id mate of its IVF cluster sits at cosine ≥ 0.3). The oracle
+    // replays the md5-order centroid sample, the argmax assignment
+    // (row_number = 1 ≡ max_by under (csim DESC, cid)), and the
+    // cluster-scoped pair predicate. τ = 0.3 fires at every SF on the
+    // synthetic vectors (186 / 210 / 2,494 qualifying pairs); the crafted
+    // near-dup positive path is unit-pinned in OpsSpec.
+    GraftQuery.of("dedup_semantic", {
+      val h60 = GraftQuery.h60Sql("vec_id::VARCHAR")
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+         |  FROM embeddings ORDER BY $h60, vec_id LIMIT 16
+         |), asg AS (
+         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS ne, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+         |               c.cid) AS crn
+         |  FROM embeddings e, cents c
+         |), lists AS (SELECT vec_id, ne, cid FROM asg WHERE crn = 1),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM lists a JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.ne, b.ne), 6) >= 0.3)
+         |SELECT l.vec_id, CAST(l.cid AS BIGINT) AS cid,
+         |  (d.vec_id IS NOT NULL) AS is_dup
+         |FROM lists l LEFT JOIN drops d ON l.vec_id = d.vec_id
+         |ORDER BY l.vec_id""".stripMargin
+    }) { (s, d) =>
+      semanticDedup(embeddings(s, d))
     })
 }

@@ -139,7 +139,11 @@ object EventStreams {
       .withWatermark("p_ts", "2 hours")
     v.join(p, expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"),
         joinType)
-      .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
+      // v_user ≡ p_user on matched rows; full-outer null-extends one side,
+      // so the emitted key coalesces (inner/left plans are unchanged
+      // semantically — v_user is never null there)
+      .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
+        col("v_id"), col("p_id"))
   }
 
   /** Per-user FIRST-TOUCH stage times (first view / first click / first
@@ -558,6 +562,62 @@ object EventStreams {
         t.groupBy(col("user_id"))
           .agg(count(col("p_id")).as("n_pairs"),
             sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+          .orderBy(col("user_id"))
+      }
+    },
+
+    // FULL-OUTER watermarked stream-stream join — completes the interval
+    // join's mode family (inner / left / full). Null extension is
+    // per-side state EVICTION: an unmatched view emits when the global
+    // watermark passes v_ts + 1 h (the last instant a matching purchase
+    // could arrive — same cut as the left join); an unmatched purchase
+    // emits when the watermark passes p_ts itself (matching views satisfy
+    // v_ts ≤ p_ts, so nothing new can match once views older than p_ts
+    // are late). The oracle replays both eviction cuts analytically
+    // against the end-of-stream watermark (min over both inputs of max
+    // event time − 2 h) — rows still in state at shutdown never emit,
+    // and that asymmetric pair of cuts IS the semantics a consumer of a
+    // full-outer streaming join must understand.
+    GraftQuery.of("stream_stream_full_outer",
+      """WITH mx AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m),
+        |v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT v.user_id FROM v JOIN p
+        |    ON p.user_id = v.user_id
+        |    AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |    AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000),
+        |vu AS (
+        |  SELECT v.user_id FROM v, mx
+        |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+        |      AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |      AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000)
+        |    AND epoch_us(v.ts) + 3600000000 < epoch_us(mx.m) - 7200000000),
+        |pu AS (
+        |  SELECT p.user_id FROM p, mx
+        |  WHERE NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = p.user_id
+        |      AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |      AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000)
+        |    AND epoch_us(p.ts) < epoch_us(mx.m) - 7200000000),
+        |al AS (SELECT user_id, 1 AS m, 0 AS vo, 0 AS po FROM matched
+        |  UNION ALL SELECT user_id, 0, 1, 0 FROM vu
+        |  UNION ALL SELECT user_id, 0, 0, 1 FROM pu)
+        |SELECT user_id, CAST(sum(m) AS BIGINT) AS n_pairs,
+        |  CAST(sum(vo) AS BIGINT) AS n_view_only,
+        |  CAST(sum(po) AS BIGINT) AS n_purchase_only
+        |FROM al GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      def src() = graft.ops.Tables.eventsStream(s, d)
+      val joined = viewPurchaseJoin(
+        src().filter(col("event_type") === "view"),
+        src().filter(col("event_type") === "purchase"), "full_outer")
+      val sink = s"stream_ssfo_${graft.ops.Tables.viewSuffix(d)}"
+      runToResult(s, joined, sink, OutputMode.Append()) { t =>
+        t.groupBy(col("user_id"))
+          .agg(count(when(col("v_id").isNotNull && col("p_id").isNotNull, 1)).as("n_pairs"),
+            sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_view_only"),
+            sum(when(col("v_id").isNull, 1L).otherwise(0L)).as("n_purchase_only"))
           .orderBy(col("user_id"))
       }
     },

@@ -259,6 +259,39 @@ class OpsSpec extends AnyFunSuite {
     assert(exactHits == n, s"exact path should always find the planted pair ($exactHits/$n)")
   }
 
+  test("SemDeDup drops every planted near-copy into its original's cluster") {
+    // plant a ~0.9999-cosine copy of each vector at vec_id + 10000: the
+    // copy must land in the SAME IVF cluster as its original (assignment
+    // is cosine-argmax, perturbation ~1e-3) and, having the higher id,
+    // must be the dropped side of the cluster-scoped ≥ tau pair
+    val emb = Tables.embeddings(spark, sf)
+    val planted = emb.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast(x * (1.0 + 0.002 * (i % 3 - 1)) as float))")
+        .as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").union(planted)
+    val out = Similarity.semanticDedup(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val n = emb.count()
+    // a copy sitting near-equidistant between two centroids can flip its
+    // assignment under the perturbation and miss — the boundary blind
+    // spot inherent to cluster-scoped dedup (the paper accepts it; more
+    // clusters shrink it). Require ≥ 90% caught, and EVERY copy that
+    // stayed in its original's cluster flagged.
+    val caught = (0L until n).count(v => out(v + 10000L)._2)
+    assert(caught >= 0.9 * n, s"semantic-dup recall ${caught.toDouble / n} ($caught/$n)")
+    (0L until n).foreach { v =>
+      val (origCid, _) = out(v)
+      val (copyCid, copyDup) = out(v + 10000L)
+      if (copyCid == origCid)
+        assert(copyDup, s"in-cluster planted copy of $v not flagged")
+    }
+    // keepers exist: at least one row per cluster survives
+    val keptClusters = out.values.collect { case (cid, false) => cid }.toSet
+    val allClusters = out.values.map(_._1).toSet
+    assert(keptClusters == allClusters,
+      s"clusters with no keeper: ${allClusters -- keptClusters}")
+  }
+
   test("non-broadcast probe path is result-identical (shuffle bucket join fallback)") {
     val emb = Tables.embeddings(spark, sf)
     val probes = emb.filter(col("vec_id") < 5)

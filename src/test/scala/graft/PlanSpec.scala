@@ -325,7 +325,9 @@ class PlanSpec extends AnyFunSuite {
       "sim_recall_lsh_multi" -> "broadcast brute-force truth set for recall",
       "text_tfidf_top_terms" -> "1-row ndocs frame in the idf term",
       "q11_important_stock" -> "1-row total/part-count frame for the threshold",
-      "q22_dormant_customers" -> "1-row positive-balance stats frame")
+      "q22_dormant_customers" -> "1-row positive-balance stats frame",
+      "dq_freshness" -> "1-row global-max frame crosses into the per-source lag",
+      "dedup_semantic" -> "broadcast 16-centroid codebook x corpus scan (cluster assignment)")
     // stream_* excluded: their returned frame is a localCheckpointed
     // result (bare RDD scan — nothing to inspect) and construction runs
     // the streaming query; their operator plans are locked by

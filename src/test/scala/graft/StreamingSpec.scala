@@ -134,6 +134,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("full-outer stream-stream join: null-extends evicted unmatched rows on BOTH sides") {
+    val s = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    def shape(src: MemoryStream[(Long, Timestamp, Long)]) =
+      src.toDF().toDF("event_id", "ts", "user_id")
+    val query = EventStreams
+      .viewPurchaseJoin(shape(views), shape(purchases), "full_outer")
+      .writeStream.format("memory").queryName("ssfo_out")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L), // will match
+        (2L, ts("2024-01-01 10:00:00"), 8L), // no purchase → view-only once evicted
+        (3L, ts("2024-01-02 09:00:00"), 6L)) // unmatched but NEVER evicted
+      purchases.addData(
+        (10L, ts("2024-01-01 10:30:00"), 7L), // matches view 1
+        (12L, ts("2024-01-01 10:15:00"), 9L)) // no view → purchase-only once evicted
+      query.processAllAvailable()
+      // advance both watermarks past view 2's eviction point (ts + 1h
+      // window + 2h delay) and purchase 12's (ts + 2h delay), not view 3's
+      views.addData((4L, ts("2024-01-02 10:00:00"), 99L))
+      purchases.addData((11L, ts("2024-01-02 10:00:00"), 99L))
+      query.processAllAvailable()
+      // one more batch so the state-eviction pass runs under the new watermark
+      views.addData((5L, ts("2024-01-02 10:00:01"), 99L))
+      query.processAllAvailable()
+      val out = spark.table("ssfo_out").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(out.contains((7L, 1L, 10L)), s"matched pair missing: $out")
+      assert(out.contains((8L, 2L, -1L)), s"evicted view not null-extended: $out")
+      assert(out.contains((9L, -1L, 12L)), s"evicted purchase not null-extended: $out")
+      // view 3 is inside the join window of the final watermark — still
+      // buffered, must not have emitted
+      assert(!out.exists(t => t._2 == 3L), s"un-evicted view leaked: $out")
+    } finally query.stop()
+  }
+
   test("file-source stream over the real events table equals the batch aggregation") {
     val s = spark
     // same ts normalization as graft.ops.Tables.events, streaming flavor
