@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, IsNull, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,7 +31,12 @@ import graft.dwca.{DwcaArchive, MetaXml, TableDescriptor}
   * narrows the read schema, and the partition reader hands the pruned index
   * set to univocity's `selectIndexes` — unreferenced columns are never
   * materialized from the parsed line, the same discipline as a parquet
-  * scan's ReadSchema. Semantics (dialect options, positional term naming,
+  * scan's ReadSchema. FILTER PUSHDOWN (`SupportsPushDownFilters`) accepts
+  * the flat string predicates a CSV row loop can fully decide — EqualTo /
+  * In / IsNull / IsNotNull / StringStartsWith — and drops non-matching
+  * rows inside the reader (a filter column pruned from the output is still
+  * parsed for the decision); everything else returns as a residual for the
+  * post-scan Filter. Semantics (dialect options, positional term naming,
   * pandas NA-token normalization, default-only constant fields) are
   * identical to [[graft.dwca.DwcaArchive.read]], which ArchiveParitySpec
   * pins against the reference fixtures; q_s1/q_s2 run THROUGH this
@@ -120,16 +125,42 @@ final class DwcaTable(td: TableDescriptor, dataFile: String, tableSchema: Struct
 }
 
 final class DwcaScanBuilder(td: TableDescriptor, dataFile: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new DwcaScan(td, dataFile, required)
+  /** Accept the flat string predicates a row-skipping CSV scan can fully
+    * decide (EqualTo / In / IsNull / IsNotNull / StringStartsWith over a
+    * declared field); everything else stays a post-scan residual. Accepted
+    * filters are evaluated against the PARSED value (post NA-token
+    * normalization), so `IsNull` matches pandas-NA tokens exactly as the
+    * classic reader's frame would — the parity the spec pins.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val known = full.fieldNames.toSet
+    def acceptable(f: Filter): Boolean = f match {
+      case EqualTo(a, v) => known(a) && (v == null || v.isInstanceOf[String])
+      case In(a, vs) => known(a) && vs.forall(v => v == null || v.isInstanceOf[String])
+      case IsNull(a) => known(a)
+      case IsNotNull(a) => known(a)
+      case StringStartsWith(a, _) => known(a)
+      case _ => false
+    }
+    val (acc, residual) = filters.partition(acceptable)
+    pushed = acc
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new DwcaScan(td, dataFile, required, pushed)
 }
 
-final class DwcaScan(td: TableDescriptor, dataFile: String, required: StructType)
+final class DwcaScan(td: TableDescriptor, dataFile: String, required: StructType,
+    pushed: Array[Filter])
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -140,19 +171,22 @@ final class DwcaScan(td: TableDescriptor, dataFile: String, required: StructType
     Array(DwcaFilePartition(dataFile))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DwcaReaderFactory(td, required)
+    new DwcaReaderFactory(td, required, pushed)
 
   override def description(): String =
-    s"DwcaScan ${td.rowTypeLocalName} cols=[${required.fieldNames.mkString(",")}]"
+    s"DwcaScan ${td.rowTypeLocalName} cols=[${required.fieldNames.mkString(",")}] " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 }
 
 final case class DwcaFilePartition(path: String) extends InputPartition
 
-final class DwcaReaderFactory(td: TableDescriptor, required: StructType)
+final class DwcaReaderFactory(td: TableDescriptor, required: StructType,
+    pushed: Array[Filter])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new DwcaPartitionReader(partition.asInstanceOf[DwcaFilePartition].path, td, required)
+    new DwcaPartitionReader(partition.asInstanceOf[DwcaFilePartition].path, td, required,
+      pushed)
 }
 
 /** Per-partition univocity CSV parse honoring the meta.xml dialect, with
@@ -161,7 +195,8 @@ final class DwcaReaderFactory(td: TableDescriptor, required: StructType)
   * fail LOUDLY with the same policy as the classic reader (silently
   * mis-splitting rows would corrupt every downstream count).
   */
-final class DwcaPartitionReader(path: String, td: TableDescriptor, required: StructType)
+final class DwcaPartitionReader(path: String, td: TableDescriptor, required: StructType,
+    pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
 
   import com.univocity.parsers.csv.{CsvParser, CsvParserSettings}
@@ -171,17 +206,36 @@ final class DwcaPartitionReader(path: String, td: TableDescriptor, required: Str
   private val defaults: Map[String, String] =
     td.defaultOnlyFields.flatMap(f => f.default.map(f.localName -> _)).toMap
 
+  // the parse must materialize required positionals PLUS any positional a
+  // pushed filter references (a filter column pruned from the output still
+  // has to be read to decide the row) — required first, filter extras after
+  private val filterCols: Array[String] = pushed.flatMap {
+    case EqualTo(a, _) => Some(a)
+    case In(a, _) => Some(a)
+    case IsNull(a) => Some(a)
+    case IsNotNull(a) => Some(a)
+    case StringStartsWith(a, _) => Some(a)
+    case _ => None
+  }.distinct
+
+  private val parsedNames: Array[String] = {
+    val reqPos = required.fieldNames.filter(positional.contains)
+    reqPos ++ filterCols.filter(c => positional.contains(c) && !reqPos.contains(c))
+  }
+  private val selectedIndexes: Array[Int] = parsedNames.map(positional.indexOf)
+  // name → position in the SELECTED parse array (univocity emits selected
+  // fields in selection order)
+  private val selPos: Map[String, Int] = parsedNames.zipWithIndex.toMap
+
   // required field → producer: Left(position in the SELECTED parse array)
   // or Right(constant: a default-only field's value, or null)
-  private val selectedIndexes: Array[Int] =
-    required.fields.map(f => positional.indexOf(f.name)).filter(_ >= 0)
-  private val producers: Array[Either[Int, UTF8String]] = {
-    var sel = -1
+  private val producers: Array[Either[Int, UTF8String]] =
     required.fields.map { f =>
-      if (positional.contains(f.name)) { sel += 1; Left(sel) }
-      else Right(defaults.get(f.name).map(UTF8String.fromString).orNull)
+      selPos.get(f.name) match {
+        case Some(sel) => Left(sel)
+        case None => Right(defaults.get(f.name).map(UTF8String.fromString).orNull)
+      }
     }
-  }
 
   private val parser: CsvParser = {
     val settings = new CsvParserSettings
@@ -221,8 +275,36 @@ final class DwcaPartitionReader(path: String, td: TableDescriptor, required: Str
 
   private var row: Array[String] = _
 
+  /** Parsed value of a filter-referenced field for the CURRENT row, after
+    * the same NA-token normalization the output path applies — so pushed
+    * `IsNull` decides exactly like a post-scan filter over the classic
+    * frame would.
+    */
+  private def rawValue(name: String): String = selPos.get(name) match {
+    case Some(sel) =>
+      val v = if (sel < row.length) row(sel) else null
+      if (v == null || DwcaPartitionReader.NaTokens.contains(v)) null else v
+    case None => defaults.get(name).orNull
+  }
+
+  /** Spark `sources.Filter` semantics over string values: comparisons with
+    * null never match (three-valued logic collapses to false for a WHERE).
+    */
+  private def matches(): Boolean = pushed.forall {
+    case EqualTo(a, v) =>
+      val x = rawValue(a); x != null && v != null && x == v.asInstanceOf[String]
+    case In(a, vs) =>
+      val x = rawValue(a); x != null && vs.exists(v => v != null && v.asInstanceOf[String] == x)
+    case IsNull(a) => rawValue(a) == null
+    case IsNotNull(a) => rawValue(a) != null
+    case StringStartsWith(a, p) =>
+      val x = rawValue(a); x != null && x.startsWith(p)
+    case _ => true // unreachable: pushFilters only accepts the cases above
+  }
+
   override def next(): Boolean = {
     row = parser.parseNext()
+    while (row != null && !matches()) row = parser.parseNext()
     row != null
   }
 

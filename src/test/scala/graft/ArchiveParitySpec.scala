@@ -253,4 +253,54 @@ class ArchiveParitySpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
       classic.collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
+
+  test("DSv2 scan pushes string filters: rows drop at the parser, values match classic") {
+    import org.apache.spark.sql.functions.col
+    val path = TestSpark.resourcePath("/occurrence_archives/dwca-bad-geodetic-datum")
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.size == 1, df.queryExecution.executedPlan.toString)
+      scans.head.scan
+    }
+    val classic = graft.dwca.DwcaArchive.open(spark, path).coreDataFrame
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+
+    // EqualTo reaches the scan (description advertises it) and the
+    // filter column stays readable even when pruned from the output
+    val eq = spark.read.format("dwca").option("path", path).load()
+      .filter(col("geodeticDatum") === "GIRAFFE").select("id", "scientificName")
+    assert(scanOf(eq).description().contains("EqualTo(geodeticDatum,GIRAFFE)"),
+      scanOf(eq).description())
+    assert(sorted(eq) == sorted(classic.filter(col("geodeticDatum") === "GIRAFFE")
+      .select("id", "scientificName")))
+
+    // In + StartsWith compose; non-pushable predicates stay residual
+    val mixed = spark.read.format("dwca").option("path", path).load()
+      .filter(col("geodeticDatum").isin("WGS84", "EPSG:4326") &&
+        col("scientificName").startsWith("A") &&
+        org.apache.spark.sql.functions.length(col("id")) > 0)
+    val d = scanOf(mixed).description()
+    assert(d.contains("In(geodeticDatum"), d)
+    assert(d.contains("StringStartsWith(scientificName,A)"), d)
+    assert(!d.contains("length"), d) // length(...) is the residual, not pushed
+    assert(sorted(mixed) == sorted(classic
+      .filter(col("geodeticDatum").isin("WGS84", "EPSG:4326") &&
+        col("scientificName").startsWith("A") &&
+        org.apache.spark.sql.functions.length(col("id")) > 0)))
+
+    // IsNull decides on the NA-normalized value, matching the classic frame
+    val nn = spark.read.format("dwca").option("path", path).load()
+      .filter(col("geodeticDatum").isNotNull)
+    assert(scanOf(nn).description().contains("IsNotNull(geodeticDatum)"),
+      scanOf(nn).description())
+    assert(nn.count() == classic.filter(col("geodeticDatum").isNotNull).count())
+
+    // an always-false pushed filter returns zero rows (the row loop skips all)
+    val none = spark.read.format("dwca").option("path", path).load()
+      .filter(col("geodeticDatum") === "NO_SUCH_DATUM")
+    assert(none.count() == 0)
+  }
 }
