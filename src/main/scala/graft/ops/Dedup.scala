@@ -341,6 +341,26 @@ object Dedup {
     docs.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-cluster quality-argmax keeper (see the `dedup_keep_best`
+    * Scaladoc): cluster assignment from [[clusters]], quality = the
+    * integer fasttext-shape classifier sum, keeper = max by
+    * (score, -doc_id) struct ordering — deterministic ties, no window.
+    */
+  def keepBest(docs: DataFrame): DataFrame = {
+    val labels = clusters(lshCandidatePairs(docs))
+    val w = docs.select(col("doc_id"), expr(
+      """coalesce(aggregate(split(text, ' '), 0L, (acc, t) ->
+        |  acc + CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000),
+        |  0L)""".stripMargin).as("w"))
+    labels.join(w, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("w"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.nid")).as("keeper_id"), col("best.w").as("keeper_w"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** 32-bit SimHash over the token bag (order-insensitive near-dup hash).
     *
     * All 32 bit-plane sums are FUSED into one groupBy(doc_id) aggregation
@@ -695,6 +715,44 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // QUALITY-ARGMAX keeper selection — corpus_keep's policy upgrade:
+    // production dedup keeps the BEST member of each near-dup cluster
+    // (highest classifier score), not the first-seen (min-id) one
+    // (RefinedWeb/FineWeb keep-best-of-dups). Per cluster: one count +
+    // one argmax over (score, -doc_id) — the typed-argmax struct-max
+    // idiom (J-family precedent), so the tie-break is deterministic and
+    // engine-portable. The score is the registered fasttext-shape
+    // classifier (text_classifier_score's integer weight sum) resolved
+    // by ONE doc_id equi-join; at 100 TB the cluster frame is the small
+    // side and the argmax is a map-side-combinable aggregate.
+    GraftQuery.of("dedup_keep_best", {
+      val w = "(('0x' || substr(md5(t), 1, 15))::UBIGINT % 2001)::BIGINT - 1000"
+      s"""WITH RECURSIVE $lshEdgesSqlCtes, sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM verified
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM verified
+         |), reach AS (
+         |  SELECT src AS node, src AS m FROM (SELECT DISTINCT src FROM sym)
+         |  UNION
+         |  SELECT s.src, r.m FROM sym s JOIN reach r ON r.node = s.dst
+         |), labels AS (
+         |  SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node),
+         |w AS (
+         |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+         |    string_split(text, ' '), t -> $w)), 0) AS BIGINT) AS w
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT l.cluster_id, l.doc_id, w.w,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |                       ORDER BY w.w DESC, l.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+         |  FROM labels l JOIN w USING (doc_id))
+         |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |  doc_id AS keeper_id, w AS keeper_w
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+    }) { (s, d) =>
+      keepBest(documents(s, d))
+    },
+
     // CDC shared-chunk near-dup detection: split every document at its
     // content-defined cut points (16-byte windowed Rabin hash, mask 63),
     // hash each chunk, and emit star edges between documents sharing at
@@ -808,6 +866,34 @@ object Dedup {
         withBucket.filter(col("__bucket") >= 8))
     },
 
+    // Bloom-prefiltered incremental ingest — same CONTRACT as
+    // dedup_incremental (identical oracle: the sketch must be invisible
+    // in the answer), different 100 TB shape: the standing index is
+    // summarized into a broadcast bloom, fresh rows test map-side, and
+    // only bloom-positive survivors pay the index equi-join — the
+    // definite-new majority of a typical crawl batch never shuffles at
+    // all. See [[incrementalDedupBloom]].
+    GraftQuery.of("dedup_incremental_bloom", {
+      val h = h60Sql("doc_id::VARCHAR", 11)
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    $h % 10 AS bucket
+         |  FROM documents),
+         |ex AS (
+         |  SELECT fp, min(doc_id) AS keeper FROM fp WHERE bucket < 8 GROUP BY 1)
+         |SELECT f.doc_id, e.keeper IS NOT NULL AS is_dup_of_existing,
+         |  coalesce(e.keeper, -1) AS dup_of
+         |FROM fp f LEFT JOIN ex e USING (fp)
+         |WHERE f.bucket >= 8 ORDER BY f.doc_id""".stripMargin
+    }) { (s, d) =>
+      val withBucket = documents(s, d)
+        .withColumn("__bucket", pmod(h60(col("doc_id").cast("string"), 11), lit(10L)))
+      incrementalDedupBloom(
+        withBucket.filter(col("__bucket") < 8),
+        withBucket.filter(col("__bucket") >= 8))
+    },
+
     // Substring-level dedup with REWRITE (Lee et al. '22 "Deduplicating
     // Training Data Makes Language Models Better", §4.1 ExactSubstr): any
     // 8-gram that also occurs in another document marks its 8 word
@@ -903,5 +989,46 @@ object Dedup {
         col("keeper").isNotNull.as("is_dup_of_existing"),
         coalesce(col("keeper"), lit(-1L)).as("dup_of"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Bloom-prefiltered incremental dedup — [[incrementalDedup]]'s 100 TB
+    * refresh shape: the standing corpus's fingerprint set is summarized
+    * ONCE into a bloom sketch (bounded bytes, the broadcast-codebook
+    * class of artifact), every fresh document tests against the broadcast
+    * sketch map-side, and only the bloom-positive survivors pay the
+    * equi-join against the standing index — bloom-negative rows are
+    * DEFINITELY new (no false negatives) and short-circuit to the output
+    * without ever shuffling. False positives cost one extra probe each
+    * and are eliminated by the exact verify join, so the result is
+    * row-identical to [[incrementalDedup]] (the oracle replays the exact
+    * semantics; the sketch is invisible in the answer). At a daily-batch
+    * cadence the sketch is built once per index version and reused across
+    * batches; the verify join degrades gracefully as FP rate rises — the
+    * sketch is sized here for ~1M items at ~3% FP.
+    */
+  def incrementalDedupBloom(existing: DataFrame, fresh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val fpL = graft.functions.Md5Hash60.md5hash60(
+      regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val index = existing
+      .groupBy(normFingerprint(col("text")).as("fp"), fpL.as("fpl"))
+      .agg(min(col("doc_id")).as("keeper"))
+    // bounded sketch collect (~1.2 MB) — the same discipline as the
+    // IVF codebooks and zone maps: driver holds the summary, never rows
+    val bloomBytes = index
+      .agg(Bridge.bloomFilterAgg(col("fpl"), 1L << 20).as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    val tagged = fresh
+      .select(col("doc_id"), normFingerprint(col("text")).as("fp"), fpL.as("fpl"))
+      .withColumn("maybe", Bridge.mightContain(bloomBytes, col("fpl")))
+    val definiteNew = tagged.filter(!col("maybe"))
+      .select(col("doc_id"), lit(false).as("is_dup_of_existing"),
+        lit(-1L).as("dup_of"))
+    val verified = tagged.filter(col("maybe"))
+      .join(index.select(col("fp"), col("keeper")), Seq("fp"), "left")
+      .select(col("doc_id"),
+        col("keeper").isNotNull.as("is_dup_of_existing"),
+        coalesce(col("keeper"), lit(-1L)).as("dup_of"))
+    definiteNew.unionByName(verified).orderBy(col("doc_id"))
   }
 }

@@ -541,5 +541,76 @@ object Graph {
         .filter(pmod(md5hash60(col("node").cast("string")), lit(20L)) === 0)
         .select(col("node"))
       trustRank(sampled, seeds).orderBy(col("node"))
+    },
+
+    // Multi-source BFS depth (bounded reachability) from the trustrank
+    // seed set on the sampled co-purchase graph — the crawl-frontier /
+    // taint-propagation primitive ("everything within 3 hops of a spam
+    // seed"): per round, the frontier joins the edge list once and a
+    // LEFT ANTI against the settled set keeps first-visit (= minimum)
+    // depth. 3 rounds = 3 bounded (join + anti-join) passes with
+    // per-round lineage truncation (the pagerank discipline); at 100 TB
+    // each pass shuffles on the node key and the settled frame grows
+    // monotonically — the standard iterative-BFS shape (Pregel's
+    // message round as two equi-joins). The oracle unrolls the same
+    // three frontier expansions as MATERIALIZED CTEs.
+    GraftQuery.of("graph_bfs_depth", {
+      val h = GraftQuery.h60Sql("src::VARCHAR || '|' || dst::VARCHAR")
+      val hs = GraftQuery.h60Sql("node::VARCHAR")
+      val roundCtes = (1 to 3).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT node, depth FROM d${r - 1}
+           |  UNION ALL
+           |  SELECT f.node, $r AS depth FROM (
+           |    SELECT DISTINCT e.dst AS node
+           |    FROM e JOIN d${r - 1} p ON p.node = e.src AND p.depth = ${r - 1}) f
+           |  ANTI JOIN d${r - 1} s ON f.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e1 AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM li a JOIN li b USING (l_orderkey)
+         |  WHERE a.l_partkey < b.l_partkey),
+         |samp AS MATERIALIZED (SELECT src, dst FROM e1 WHERE $h % 8 = 0),
+         |e AS MATERIALIZED (SELECT src, dst FROM samp UNION ALL SELECT dst, src FROM samp),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |d0 AS MATERIALIZED (
+         |  SELECT node, 0 AS depth FROM nodes WHERE $hs % 20 = 0),
+         |$roundCtes
+         |SELECT node, CAST(depth AS BIGINT) AS depth
+         |FROM d3 ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      val sampled = coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+        .filter(pmod(md5hash60(
+          concat_ws("|", col("src").cast("string"), col("dst").cast("string"))),
+          lit(8L)) === 0)
+      val seeds = degrees(sampled)
+        .filter(pmod(md5hash60(col("node").cast("string")), lit(20L)) === 0)
+        .select(col("node"))
+      bfsDepth(sampled, seeds, rounds = 3)
     })
+
+  /** Minimum-depth multi-source BFS, capped at `rounds` hops: settled =
+    * (node, first-visit depth); each round expands the previous frontier
+    * through the symmetrized edge list and anti-joins the settled set so
+    * only unvisited nodes enter at depth r. Lineage is truncated per
+    * round ([[pagerank]]'s discipline) — the settled frame is the only
+    * state, and it grows monotonically toward the reachable set.
+    */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = symmetrize(edges).localCheckpoint(true)
+    var settled = seeds.select(col("node"), lit(0L).as("depth"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val frontier = settled.filter(col("depth") === (r - 1).toLong)
+        .select(col("node").as("src"))
+      val next = frontier.join(e, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("depth"))
+      settled = settled.unionByName(next).localCheckpoint(true)
+    }
+    settled.orderBy(col("node"))
+  }
 }

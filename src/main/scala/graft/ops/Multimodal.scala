@@ -392,5 +392,92 @@ object Multimodal {
             "array_join(transform(features, f -> cast(cast(round(f * 255) as int) as string)), ',')"))
             .as("features_digest"))
         .orderBy(col("media_id"))
+    },
+
+    // PERCEPTUAL-HASH near-duplicate detection — the image-dedup staple
+    // (pHash/dHash): a 60-bit locality-preserving fingerprint per media
+    // item, band-bucketed candidate generation, exact Hamming verification.
+    // The DCT-sign step is the documented stub tier (no codecs in the
+    // container): bit j derives from payload BLOCK j (here: token
+    // 1 + (j mod n) of the text/plain payload — a real decoder substitutes
+    // block luma means; see [[phash60]]), so near-identical payloads agree
+    // on most bits exactly as a real pHash does. Everything downstream of
+    // the bit derivation is the production shape: 4 bands × 15 bits
+    // (Hamming-LSH — a pair within distance 8 shares a band unless all
+    // diffs concentrate 2+ per band), star edges per bucket (min-id
+    // anchor, O(bucket) not O(bucket²), mega-bucket guard), and a
+    // `bit_count(xor)` verify join that touches CANDIDATES only. At
+    // 100 TB: one groupBy per band (map-side combined), never all-pairs —
+    // the same envelope as dedup_lsh_pairs with the MinHash signature
+    // swapped for a 60-bit integer.
+    GraftQuery.of("mm_phash_dedup", {
+      val block = s"j::VARCHAR || ':' || toks[1 + (j % len(toks))]"
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |ph AS (SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(0, 60), j ->
+         |      CASE WHEN (${GraftQuery.h60Sql(block)}) % 2 = 1
+         |        THEN (1::UBIGINT << j) ELSE 0::UBIGINT END)) AS BIGINT) AS phash
+         |  FROM docs),
+         |bands AS (SELECT doc_id, phash, b AS band_idx,
+         |    CAST((phash >> (15 * b)) & 32767 AS BIGINT) AS band_val
+         |  FROM ph, unnest(range(0, 4)) t(b)),
+         |k AS (SELECT band_idx, band_val, min(doc_id) AS anchor, count(*) AS bs
+         |  FROM bands GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 10000),
+         |pairs AS (SELECT DISTINCT k.anchor AS media_id_a, b.doc_id AS media_id_b
+         |  FROM bands b JOIN k USING (band_idx, band_val) WHERE b.doc_id > k.anchor)
+         |SELECT media_id_a, media_id_b,
+         |  CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS hamming
+         |FROM pairs
+         |JOIN ph pa ON pa.doc_id = media_id_a
+         |JOIN ph pb ON pb.doc_id = media_id_b
+         |WHERE bit_count(xor(pa.phash, pb.phash)) <= 8
+         |ORDER BY media_id_a, media_id_b""".stripMargin
+    }) { (s, d) =>
+      phashDedup(documents(s, d))
     })
+
+  /** 60-bit perceptual hash of the payload-block stream: bit j = parity of
+    * the keyed digest of block `j mod n` (n = payload block count). With a
+    * real codec the block value is a DCT/luma statistic; the stub uses the
+    * text/plain payload's whitespace blocks. Locality: an edit touching
+    * one block flips ~60/n bits, so near-dup payloads land at small
+    * Hamming distance — which is the property the band join exploits.
+    */
+  def phash60(toks: Column): Column = {
+    import graft.functions.Md5Hash60.md5hash60
+    val n = size(toks)
+    (0 until 60).map { j =>
+      md5hash60(concat(lit(s"$j:"), element_at(toks, (lit(j) % n) + 1)))
+        .bitwiseAND(lit(1L)) * lit(1L << j)
+    }.reduce(_ + _)
+  }
+
+  /** Hamming-LSH candidate generation (4 bands × 15 bits) + exact
+    * `bit_count(xor)` verification over [[phash60]] fingerprints. See the
+    * registered `mm_phash_dedup` Scaladoc for the scale analysis.
+    */
+  def phashDedup(docs: DataFrame, maxHamming: Int = 8,
+      maxBucket: Long = 10000L): DataFrame = {
+    val ph = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), phash60(col("toks")).as("phash"))
+    val bands = ph.select(col("doc_id"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("band_idx"))
+      .withColumn("band_val",
+        expr("shiftright(phash, 15 * band_idx) & 32767").cast("long"))
+    val keepers = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(min(col("doc_id")).as("anchor"), count(lit(1)).as("bs"))
+      .filter(col("bs") > 1 && col("bs") <= maxBucket)
+    val pairs = bands.join(keepers, Seq("band_idx", "band_val"))
+      .filter(col("doc_id") > col("anchor"))
+      .select(col("anchor").as("media_id_a"), col("doc_id").as("media_id_b"))
+      .distinct()
+    pairs
+      .join(ph.select(col("doc_id").as("media_id_a"), col("phash").as("pa")), "media_id_a")
+      .join(ph.select(col("doc_id").as("media_id_b"), col("phash").as("pb")), "media_id_b")
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_id_a"), col("media_id_b"), col("hamming"))
+      .orderBy(col("media_id_a"), col("media_id_b"))
+  }
 }

@@ -432,6 +432,38 @@ object Pipeline {
         .orderBy(col("shard"), col("pos"))
     },
 
+    // PER-EPOCH reshuffle — the dataloader contract multi-epoch training
+    // actually needs: a DIFFERENT deterministic permutation each epoch
+    // (same-order epochs overfit to batch composition), each epoch's
+    // order a pure function of (doc_id, epoch) so any worker can replay
+    // any epoch without coordination or stored state. Same salted-hash
+    // permutation as pipeline_shuffle_order with the epoch folded into
+    // the hash input; position numbering stays per (epoch, shard) — 24
+    // bounded sorts, never a global window — and the 3× row expansion is
+    // an explode, not a shuffle.
+    GraftQuery.of("pipeline_epoch_shuffle", {
+      val h = Dedup.h60Sql("doc_id::VARCHAR || '@' || epoch::VARCHAR", 7)
+      s"""SELECT CAST(epoch AS BIGINT) AS epoch, shard, pos, doc_id FROM (
+         |  SELECT doc_id, epoch, $h % 8 AS shard,
+         |    CAST(row_number() OVER (PARTITION BY epoch, $h % 8
+         |                            ORDER BY $h, doc_id) AS BIGINT) AS pos
+         |  FROM documents, unnest([0, 1, 2]) t(epoch))
+         |ORDER BY epoch, shard, pos""".stripMargin
+    }) { (s, d) =>
+      val key = Dedup.h60(
+        concat_ws("@", col("doc_id").cast("string"), col("epoch").cast("string")), 7)
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("__key"), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("epoch"))
+        .withColumn("__key", key)
+        .withColumn("shard", pmod(col("__key"), lit(8L)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("epoch").cast("long").as("epoch"), col("shard"),
+          col("pos"), col("doc_id"))
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    },
+
     // Deterministic weighted subsample to a uniform language mixture:
     // every language Bernoulli-downsampled to ≈ the rarest language's
     // volume — the ACTION pipeline_mix_weights computes weights for.

@@ -318,5 +318,48 @@ object Quality {
         .select(col("source"), (col("gmax") - col("smax")).as("lag_s"),
           col("n_events"))
         .orderBy(col("source"))
+    },
+
+    // Distribution drift between the EARLY and LATE halves of the stream —
+    // the train/serve-skew monitor a feature pipeline runs before
+    // retraining: per event_type, the per-mille share of each time half
+    // and their absolute difference (total-variation drift, in per-mille).
+    // EXACT INTEGERS end to end: the split point is the data's own
+    // midpoint tested as `2*sec <= min+max` (no division), shares are
+    // integer `div` per-mille. Shape at 100 TB: one bounded min/max row
+    // broadcast, one event_type-keyed count shuffle (map-side combined),
+    // one #types-row totals broadcast — the drift report never touches a
+    // row twice and carries state bounded by type cardinality. PSI's
+    // ln-weighted variant swaps the |Δ| for a log term; the integer TV
+    // form is the hash-checkable core.
+    GraftQuery.of("dq_drift",
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 AS sec FROM events),
+        |b AS (SELECT min(sec) AS mn, max(sec) AS mx FROM e),
+        |t AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN 2 * sec <= mn + mx THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+        |    CAST(sum(CASE WHEN 2 * sec > mn + mx THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |  FROM e, b GROUP BY 1),
+        |tot AS (SELECT sum(n_early) AS te, sum(n_late) AS tl FROM t)
+        |SELECT event_type, n_early, n_late,
+        |  CAST((n_early * 1000) // te AS BIGINT) AS share_early_pm,
+        |  CAST((n_late * 1000) // tl AS BIGINT) AS share_late_pm,
+        |  CAST(abs((n_early * 1000) // te - (n_late * 1000) // tl) AS BIGINT) AS drift_pm
+        |FROM t, tot ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+        .select(col("event_type"), expr("unix_micros(ts) div 1000000").as("sec"))
+      val bounds = e.agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+      val perType = e.crossJoin(broadcast(bounds))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("sec") * 2 <= col("mn") + col("mx"), 1L).otherwise(0L)).as("n_early"),
+          sum(when(col("sec") * 2 > col("mn") + col("mx"), 1L).otherwise(0L)).as("n_late"))
+      val totals = perType.agg(sum(col("n_early")).as("te"), sum(col("n_late")).as("tl"))
+      perType.crossJoin(broadcast(totals))
+        .select(col("event_type"), col("n_early"), col("n_late"),
+          expr("(n_early * 1000) div te").as("share_early_pm"),
+          expr("(n_late * 1000) div tl").as("share_late_pm"),
+          abs(expr("(n_early * 1000) div te") - expr("(n_late * 1000) div tl"))
+            .as("drift_pm"))
+        .orderBy(col("event_type"))
     })
 }

@@ -798,6 +798,32 @@ object ScaleOps {
         .orderBy(col("o_orderpriority"))
     },
 
+    // AQE SKEW-JOIN — the RUNTIME answer to the same straggler problem
+    // q_salted_join solves by hand: a synthetic hot key (70% of lineitem
+    // rows collapse onto key 0) joins a distinct-key dim under a
+    // sort-merge join with AQE's skew-split thresholds lowered to fire at
+    // test scale (factor 1, 16 KB advisory/threshold — production keeps
+    // the 256 MB-class defaults and the SAME plan shape emerges on a real
+    // hot partition). OptimizeSkewedJoin splits the oversized partition
+    // into advisory-sized slices and replicates the matching dim slice —
+    // no salting column, no manual R, decided from runtime map statistics.
+    // The oracle is the plain join (a physical re-plan must be invisible
+    // in the answer); ScaleOpsSpec asserts the final adaptive plan
+    // actually carries the skew-split reader. Conf window is set+finally
+    // restored around an eager localCheckpoint, the q_ext_rule_bloom
+    // discipline (the conf must hold when the plan EXECUTES — AQE decides
+    // at runtime, not at registration).
+    GraftQuery.of("q_aqe_skew_join",
+      """WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0
+        |    ELSE l_orderkey END AS k, l_quantity FROM lineitem),
+        |d AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 10 >= 7
+        |  UNION ALL SELECT 0)
+        |SELECT k % 8 AS kb, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM l JOIN d USING (k) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      withSkewJoinConfs(s) { aqeSkewJoinPlan(s, d).localCheckpoint(true) }
+    },
+
     // Order-independent bucketed table checksum (anti-entropy / replica
     // verification): every row folds to a 60-bit md5 fingerprint of its
     // canonical string form, rows hash into 16 buckets, and each bucket
@@ -988,4 +1014,69 @@ object ScaleOps {
       val p = 1 << b
       s"(($x $divOp $p) % 2) * ${1 << (2 * b + 1)} + (($y $divOp $p) % 2) * ${1 << (2 * b)}"
     }.mkString(" + ")
+
+  /** The skewed fact⋈dim plan under `q_aqe_skew_join` (hot key 0 carries
+    * 70% of lineitem): exposed so the spec can execute it inside
+    * [[withSkewJoinConfs]] and assert the final adaptive plan carries the
+    * skew-split reader.
+    */
+  private[graft] def aqeSkewJoinPlan(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    // a skewed reduce partition can only split along MAP-task boundaries,
+    // and a single-row-group parquet file yields ONE data-bearing mapper
+    // at test scale — the round-robin repartition manufactures the
+    // many-mapper layout every real 100 TB scan has natively
+    val li = lineitem(s, d).select(
+      when(col("l_orderkey") % 10 < 7, 0L).otherwise(col("l_orderkey")).as("k"),
+      col("l_quantity"))
+      .repartition(8)
+    // the dim key set is built WITHOUT an aggregate: o_orderkey is unique,
+    // the filter keeps the %10>=7 keys and the hot key 0 arrives as a
+    // one-row union — semantically the same distinct key set, but the
+    // join's build side stays Sort←ShuffleStage, the only shape
+    // OptimizeSkewedJoin's pattern splits (a post-shuffle HashAggregate
+    // between Sort and stage silently disqualifies the join)
+    val dim = orders(s, d)
+      .filter(col("o_orderkey") % 10 >= 7)
+      .select(col("o_orderkey").as("k"))
+      .unionAll(s.range(1).select(lit(0L).as("k")))
+    li.join(dim, Seq("k"))
+      .groupBy((col("k") % 8).as("kb"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("kb"))
+  }
+
+  /** Scoped AQE-skew conf window: thresholds lowered so the skew split
+    * fires at test scale, broadcast disabled so the join stays sort-merge
+    * (skew splitting applies to SMJ/SHJ), every touched key restored in
+    * `finally` (session-global confs — the q_ext_rule_bloom discipline;
+    * safe under the harness's sequential execution).
+    */
+  private[graft] def withSkewJoinConfs[T](s: org.apache.spark.sql.SparkSession)(
+      body: => T): T = {
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      // the skew split feeds a downstream aggregate here, so honoring it
+      // costs one extra shuffle — exactly the trade a real hot-key job
+      // accepts; without force, AQE silently skips the split in this shape
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      // a skewed reduce partition splits along MAPPER boundaries — a
+      // single-file scan (one map task) is unsplittable however hot the
+      // key, so the scan is forced to many input slices at test scale
+      "spark.sql.files.maxPartitionBytes" -> "16KB",
+      "spark.sql.files.openCostInBytes" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }

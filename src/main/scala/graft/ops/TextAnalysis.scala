@@ -969,5 +969,53 @@ object TextAnalysis {
           size(split(col("text"), " ")).cast("long").as("n_toks"))
         .withColumn("keep", col("sum_w") > 0)
         .orderBy(col("doc_id"))
+    },
+
+    // In-corpus bigram language-model scoring — the CCNet/KenLM quality
+    // gate's hash-checkable core: train the LM (bigram → corpus count) and
+    // score every document by its average bigram log-frequency, all in one
+    // engine pass. EXACT INTEGERS: log2 is floored via the binary-string
+    // length (`len(bin(c)) - 1` — identical on both engines, no float log
+    // ever exists), the per-doc average is integer-`div` milli-units. A
+    // doc whose bigrams are corpus-common scores high (familiar prose); a
+    // doc of rare/garbled transitions scores low — the same ordering a
+    // perplexity filter produces, with floor-log2 granularity. Shape at
+    // 100 TB: the LM is ONE gram-keyed count shuffle (map-side combined,
+    // state = distinct bigrams, the same envelope as tfidf's DF table);
+    // scoring re-joins the gram stream to the LM gram-keyed (equi-join,
+    // never all-pairs) and collapses doc-keyed. A pre-trained LM swaps the
+    // first CTE for a lookup table; the scoring join is unchanged.
+    GraftQuery.of("text_lm_bigram_score",
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+        |  FROM docs, unnest(range(1, len(toks))) t(i) WHERE len(toks) >= 2),
+        |lm AS (SELECT gram, count(*) AS c FROM g GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(len(bin(c)) - 1) AS BIGINT) AS sum_flog2
+        |  FROM g JOIN lm USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(s.sum_flog2, 0) AS BIGINT) AS sum_flog2,
+        |  CAST(coalesce((s.sum_flog2 * 1000) // s.n_bigrams, 0) AS BIGINT) AS score_milli
+        |FROM docs d LEFT JOIN sc s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"))
+          .as("gram"))
+      val lm = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      val scored = grams.join(lm, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(length(bin(col("c"))) - 1).cast("long").as("sum_flog2"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("sum_flog2"), lit(0L)).as("sum_flog2"),
+          coalesce(expr("(sum_flog2 * 1000) div n_bigrams"), lit(0L)).as("score_milli"))
+        .orderBy(col("doc_id"))
     })
 }

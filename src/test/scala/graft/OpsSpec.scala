@@ -829,4 +829,59 @@ class OpsSpec extends AnyFunSuite {
       .head()
     assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
   }
+
+  test("phash locality: identical payloads at Hamming 0, one-block edit flips few bits") {
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val oneEdit = ((0 until 30).map(i => s"w$i") ++ Seq("CHANGED") ++
+      (31 until 60).map(i => s"w$i")).mkString(" ")
+    val docs = docsDf(0L -> base, 1L -> base, 2L -> oneEdit,
+      3L -> "completely different text about other things entirely")
+    val out = Multimodal.phashDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // exact copy: same phash, Hamming 0
+    assert(out.contains((0L, 1L, 0L)), s"exact pair missing: $out")
+    // one block of 60 changed → exactly one bit position re-derives →
+    // Hamming ≤ 2 (the bit may or may not flip), still band-detected
+    val edited = out.filter(p => p._1 == 0L && p._2 == 2L)
+    assert(edited.nonEmpty && edited.head._3 <= 2, s"edited pair wrong: $out")
+    // the unrelated doc never survives the Hamming cut
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $out")
+  }
+
+  test("bloom-prefiltered incremental dedup is row-identical to the exact join form") {
+    val existing = docsDf(0L -> "alpha beta gamma", 1L -> "delta epsilon",
+      2L -> "alpha beta gamma")
+    val fresh = docsDf(10L -> "ALPHA   beta gamma", // normalizes to a dup of 0
+      11L -> "zeta eta theta", // bloom-negative: definitely new
+      12L -> "delta epsilon") // dup of 1
+    val exact = Dedup.incrementalDedup(existing, fresh).collect().map(_.toSeq).toSeq
+    val bloom = Dedup.incrementalDedupBloom(existing, fresh).collect().map(_.toSeq).toSeq
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    assert(exact == Seq(Seq(10L, true, 0L), Seq(11L, false, -1L), Seq(12L, true, 1L)))
+  }
+
+  test("bigram LM score: hand-computed floor-log2 milli average") {
+    // corpus: "a b" occurs 3x (doc0 twice, doc1 once), "b a" 1x, "x y" 1x
+    val docs = docsDf(0L -> "a b a b", 1L -> "a b", 2L -> "x y")
+    val out = TextAnalysis.queries.find(_.name == "text_lm_bigram_score").get
+    // rebuild over the crafted frame via the public pieces: replicate the
+    // registered derivation inline (the registered query reads testdata)
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"))
+        .as("gram"))
+    val lm = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    val scored = grams.join(lm, Seq("gram")).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("c"))) - 1).cast("long").as("sum_flog2"),
+        expr("(sum(length(bin(c)) - 1) * 1000) div count(1)").as("score_milli"))
+      .orderBy(col("doc_id")).collect()
+    // doc0 bigrams: "a b"(c=3,fl2=1), "b a"(c=1,fl2=0), "a b"(1) → sum 2, n 3 → 666
+    assert(scored(0).getLong(1) == 3L && scored(0).getLong(2) == 2L &&
+      scored(0).getLong(3) == 666L)
+    // doc1: "a b"(1) → 1000; doc2: "x y"(c=1,fl2=0) → 0
+    assert(scored(1).getLong(3) == 1000L && scored(2).getLong(3) == 0L)
+    assert(out.oracle.nonEmpty)
+  }
 }

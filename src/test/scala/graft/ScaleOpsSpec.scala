@@ -288,4 +288,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n_items"))).toSeq
     assert(salted == plain)
   }
+
+  test("AQE skew join: final adaptive plan splits the hot partition, result invariant") {
+    val sf = "/root/testdata/sf0.001"
+    val underAqe = ScaleOps.withSkewJoinConfs(spark) {
+      val df = ScaleOps.aqeSkewJoinPlan(spark, sf)
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"no skew-split marker in the final adaptive plan:\n$finalPlan")
+      rows
+    }
+    // physical re-plan must be invisible in the answer: same rows under
+    // the default confs (where the tiny input never trips the skew split)
+    val plain = ScaleOps.aqeSkewJoinPlan(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(underAqe == plain)
+  }
 }
