@@ -824,6 +824,48 @@ object ScaleOps {
       withSkewJoinConfs(s) { aqeSkewJoinPlan(s, d).localCheckpoint(true) }
     },
 
+    // BUCKETIZED RANGE JOIN — the point-in-interval lookup every web-corpus
+    // pipeline runs as "IP → geo range" or "offset → license span": probe
+    // values join a dimension of IRREGULAR [lo, hi) tiers (widths grow
+    // quadratically here, so no plain equi-join exists). The naive theta
+    // join is probe × ranges — the oracle deliberately IS that naive
+    // non-equi join, proving the bucketized plan semantically identical:
+    // each tier explodes to the fixed-width buckets it covers (bounded:
+    // Σ width/W + #tiers rows), probes compute ONE bucket key map-side,
+    // and the join is a bucket EQUI-join (broadcast here — the tier
+    // spine is dimension-sized) with the exact lo<=k<hi residual. Per
+    // probe the candidate set is the tiers overlapping its bucket (~1),
+    // not |tiers| — the candidate-generation discipline of the interval
+    // join (J-family) applied to a static dimension.
+    GraftQuery.of("q_range_lookup",
+      """WITH t AS (SELECT b AS tier, b * b * 100 AS lo, (b+1) * (b+1) * 100 AS hi
+        |  FROM unnest(range(0, 32)) u(b)),
+        |p AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) % 102400 AS k
+        |  FROM events)
+        |SELECT CAST(t.tier AS BIGINT) AS tier,
+        |  CAST(t.lo AS BIGINT) AS lo, CAST(t.hi AS BIGINT) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(sum(p.k) AS BIGINT) AS sum_k
+        |FROM p JOIN t ON p.k >= t.lo AND p.k < t.hi
+        |GROUP BY 1, 2, 3 ORDER BY tier""".stripMargin) { (s, d) =>
+      val W = 1024L
+      val tiers = s.range(32).select(col("id").as("tier"),
+        (col("id") * col("id") * 100L).as("lo"),
+        ((col("id") + 1) * (col("id") + 1) * 100L).as("hi"))
+      val tierBuckets = tiers.select(col("tier"), col("lo"), col("hi"),
+        explode(expr(s"sequence(lo div $W, (hi - 1) div $W)")).as("bucket"))
+      // `%` (truncated, sign of dividend), NOT pmod: a negative cents row
+      // must stay negative and miss every tier on BOTH engines identically
+      val probes = events(s, d).select(col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT) % 102400").as("k"))
+        .withColumn("bucket", expr(s"k div $W"))
+      probes.join(broadcast(tierBuckets), Seq("bucket"))
+        .filter(col("k") >= col("lo") && col("k") < col("hi"))
+        .groupBy(col("tier"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_hits"), sum(col("k")).as("sum_k"))
+        .orderBy(col("tier"))
+    },
+
     // Order-independent bucketed table checksum (anti-entropy / replica
     // verification): every row folds to a 60-bit md5 fingerprint of its
     // canonical string form, rows hash into 16 buckets, and each bucket

@@ -1127,5 +1127,63 @@ object Similarity {
          |ORDER BY l.vec_id""".stripMargin
     }) { (s, d) =>
       semanticDedup(embeddings(s, d))
+    },
+
+    // CLUSTER-COHESION AUDIT — the embedding-QA report a labeled corpus
+    // ships with (are the classes actually tight in vector space, which
+    // class is diffuse, is a label collapsed?): per label, the SUM
+    // centroid and every member's integer dot against it. EXACT INTEGERS
+    // throughout: coordinates quantize to milli-units once (the sq8
+    // discipline), the centroid is the per-dim integer SUM (never a mean
+    // — an integer division of a possibly-negative sum floors vs
+    // truncates differently across engines; sum-centroid = n × mean, the
+    // consumer divides, the minhash-estimator precedent), so c_norm2 /
+    // sum_dot / sum_q2 reconstruct mean cosine cohesion downstream with
+    // zero FP in the gate. Shape at 100 TB: one posexplode (map-side 64×,
+    // no shuffle), one (label, dim)-keyed sum (state = labels × dims),
+    // the centroid table broadcast back label-keyed, dots as codegen'd
+    // zip_with/aggregate lambdas — the corpus is scanned twice, shuffled
+    // once (bounded), and nothing row-sized crosses the driver.
+    GraftQuery.of("sim_cluster_cohesion",
+      """WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |ex AS (SELECT label, vec_id, d AS dim, qv[d] AS v
+        |  FROM q, unnest(range(1, len(qv) + 1)) t(d)),
+        |cent AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS c
+        |  FROM ex GROUP BY 1, 2),
+        |cn AS (SELECT label, CAST(sum(c * c) AS BIGINT) AS c_norm2
+        |  FROM cent GROUP BY 1),
+        |dots AS (SELECT e.label, e.vec_id,
+        |    CAST(sum(e.v * c.c) AS BIGINT) AS dot,
+        |    CAST(sum(e.v * e.v) AS BIGINT) AS q2
+        |  FROM ex e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+        |  GROUP BY 1, 2)
+        |SELECT CAST(d.label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_vecs, cn.c_norm2,
+        |  CAST(sum(d.dot) AS BIGINT) AS sum_dot,
+        |  CAST(sum(d.q2) AS BIGINT) AS sum_q2
+        |FROM dots d JOIN cn ON cn.label = d.label
+        |GROUP BY 1, cn.c_norm2 ORDER BY label""".stripMargin) { (s, d) =>
+      val q = embeddings(s, d).select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+          .as("qv"))
+      val ex = q.select(col("label"), posexplode(col("qv")).as(Seq("dim", "v")))
+      val centArr = ex.groupBy(col("label"), col("dim")).agg(sum(col("v")).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("cv"),
+          sum(col("c") * col("c")).as("c_norm2"))
+      q.join(broadcast(centArr), Seq("label"))
+        .select(col("label"), col("c_norm2"),
+          expr("aggregate(zip_with(qv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .as("dot"),
+          expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)").as("q2"))
+        .groupBy(col("label").cast("long").as("label"), col("c_norm2"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dot")).as("sum_dot"),
+          sum(col("q2")).as("sum_q2"))
+        .select(col("label"), col("n_vecs"), col("c_norm2"), col("sum_dot"),
+          col("sum_q2"))
+        .orderBy(col("label"))
     })
 }
