@@ -458,9 +458,13 @@ object Multimodal {
     */
   def phashDedup(docs: DataFrame, maxHamming: Int = 8,
       maxBucket: Long = 10000L): DataFrame = {
+    // materialized ONCE (the pagerank edge-set discipline): the fingerprint
+    // frame feeds the band explode AND both sides of the verify join — an
+    // unmaterialized plan would re-run the 60-digest scan three times
     val ph = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), phash60(col("toks")).as("phash"))
+      .localCheckpoint(true)
     val bands = ph.select(col("doc_id"), col("phash"),
         explode(expr("sequence(0, 3)")).as("band_idx"))
       .withColumn("band_val",

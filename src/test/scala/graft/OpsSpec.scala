@@ -830,6 +830,49 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
   }
 
+  test("bfsDepth: chain graph settles at first-visit depth, unreached nodes absent") {
+    val schema = StructType(Seq(
+      StructField("src", LongType, nullable = false),
+      StructField("dst", LongType, nullable = false)))
+    // chain 0-1-2-3-4-5 plus isolated edge 10-11; seed = node 0
+    val edges = spark.createDataFrame(Seq(
+      Row(0L, 1L), Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(4L, 5L),
+      Row(10L, 11L)).asJava, schema)
+    val seeds = spark.createDataFrame(Seq(Row(0L)).asJava,
+      StructType(Seq(StructField("node", LongType, nullable = false))))
+    val out = Graph.bfsDepth(edges, seeds, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // depths 0..3 along the chain; 4, 5 beyond the cap; 10, 11 unreachable
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), s"got $out")
+  }
+
+  test("keepBest picks the highest-score cluster member, not the min id") {
+    // docs 0 and 1 share the token SET exactly (Jaccard 1.0 → every LSH
+    // band collides deterministically); doc 1 repeats w1, so its
+    // classifier sum differs by exactly weight(w1) — the argmax is
+    // score-driven, not id-driven, whichever sign that weight has
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = docsDf(
+      0L -> base,
+      1L -> (base + " w1"),
+      2L -> "completely unrelated text about something else entirely different")
+    val out = Dedup.keepBest(docs).collect()
+    assert(out.length == 1) // docs 0 and 1 cluster; doc 2 is not in any cluster
+    val r = out.head
+    assert(r.getAs[Long]("cluster_id") == 0L && r.getAs[Long]("n_members") == 2L)
+    // the keeper is whichever of 0/1 scores higher on the hash classifier —
+    // recompute the expected winner from the same public expression
+    val w = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id"), expr(
+        """aggregate(split(text, ' '), 0L, (acc, t) ->
+          |  acc + CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000)"""
+          .stripMargin).as("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val expected = if (w(0L) >= w(1L)) 0L else 1L // tie → min id
+    assert(r.getAs[Long]("keeper_id") == expected &&
+      r.getAs[Long]("keeper_w") == w(expected))
+  }
+
   test("phash locality: identical payloads at Hamming 0, one-block edit flips few bits") {
     val base = (0 until 60).map(i => s"w$i").mkString(" ")
     val oneEdit = ((0 until 30).map(i => s"w$i") ++ Seq("CHANGED") ++
