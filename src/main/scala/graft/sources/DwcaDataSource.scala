@@ -125,12 +125,36 @@ final class DwcaTable(td: TableDescriptor, dataFile: String, tableSchema: Struct
 }
 
 final class DwcaScanBuilder(td: TableDescriptor, dataFile: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** COUNT(*) pushdown — the archive-cardinality probe every ingest runs
+    * first ("how many occurrence rows is this 40 GB zip?"): an ungrouped
+    * bare count answers INSIDE the reader — the CSV scan advances records
+    * (and decides any pushed row filters) without materializing a single
+    * column value, and ships back ONE long. Complete pushdown is sound
+    * here because the archive scan is a single input partition (dialect
+    * correctness forbids mid-file splits), so the partition-local count
+    * IS the final answer. Anything grouped, or any other aggregate,
+    * declines — Spark keeps its own aggregation over the normal scan.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countStar = supportCompletePushDown(agg)
+    countStar
+  }
 
   /** Accept the flat string predicates a row-skipping CSV scan can fully
     * decide (EqualTo / In / IsNull / IsNotNull / StringStartsWith over a
@@ -156,7 +180,64 @@ final class DwcaScanBuilder(td: TableDescriptor, dataFile: String, full: StructT
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new DwcaScan(td, dataFile, required, pushed)
+  override def build(): Scan =
+    if (countStar) new DwcaCountScan(td, dataFile, pushed)
+    else new DwcaScan(td, dataFile, required, pushed)
+}
+
+/** Scan for a completely-pushed ungrouped COUNT(*): one partition, one
+  * emitted row of one BIGINT. Pushed row filters still apply — the count
+  * is of SURVIVING records, decided by the same in-reader predicate path
+  * as a normal scan.
+  */
+final class DwcaCountScan(td: TableDescriptor, dataFile: String, pushed: Array[Filter])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    new StructType().add("count_star", org.apache.spark.sql.types.LongType, false)
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DwcaFilePartition(dataFile))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DwcaCountReaderFactory(td, pushed)
+
+  override def description(): String =
+    s"DwcaCountScan ${td.rowTypeLocalName} PushedAggregates: [COUNT(*)] " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+}
+
+final class DwcaCountReaderFactory(td: TableDescriptor, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new DwcaCountReader(partition.asInstanceOf[DwcaFilePartition].path, td, pushed)
+}
+
+/** Drives the ordinary partition reader with an EMPTY projection (filter
+  * columns still parse for the row decision — see [[DwcaPartitionReader]])
+  * and reduces it to the single count row.
+  */
+final class DwcaCountReader(path: String, td: TableDescriptor, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val inner = new DwcaPartitionReader(path, td, new StructType(), pushed)
+  private var emitted = false
+  private var count = 0L
+
+  override def next(): Boolean =
+    if (emitted) false
+    else {
+      while (inner.next()) count += 1
+      emitted = true
+      true
+    }
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+
+  override def close(): Unit = inner.close()
 }
 
 final class DwcaScan(td: TableDescriptor, dataFile: String, required: StructType,

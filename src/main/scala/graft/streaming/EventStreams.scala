@@ -363,6 +363,43 @@ object EventStreams {
       }
     },
 
+    // STREAMING HEAVY HITTERS — per hour window, the top-3 users by event
+    // count (the abuse/hot-key monitor a stream platform runs continuously).
+    // The STREAMING side maintains the watermarked windowed per-user
+    // counts — state bounded by horizon × active users, the same envelope
+    // as the hourly agg — and the top-k RANK runs in the sink finisher
+    // (the serving-layer read), the standard split: rank-in-stream would
+    // need per-window ordered state that Structured Streaming's agg model
+    // doesn't keep, and the SpaceSaving sketch twin (q_a13_topk_sketch)
+    // covers the in-stream-approximate tier of the same question. Ties
+    // break deterministically (count DESC, user_id) on both engines.
+    GraftQuery.of("stream_topk",
+      """WITH c AS (SELECT date_trunc('hour', ts) AS h, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT h, user_id, n,
+        |  row_number() OVER (PARTITION BY h ORDER BY n DESC, user_id) AS rnk FROM c)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  CAST(rnk AS BIGINT) AS rnk, user_id, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rnk <= 3 ORDER BY hour_start, rnk""".stripMargin) { (s, d) =>
+      val raw = graft.ops.Tables.eventsStream(s, d)
+      val plan = raw
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("hour_start"), col("user_id"), col("n"))
+      val sink = s"stream_topk_${graft.ops.Tables.viewSuffix(d)}"
+      runToResult(s, plan, sink, OutputMode.Complete()) { t =>
+        val byHour = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hour_start"))
+          .orderBy(col("n").desc, col("user_id"))
+        t.withColumn("rnk", row_number().over(byHour).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("rnk"), col("user_id"), col("n"))
+          .orderBy(col("hour_start"), col("rnk"))
+      }
+    },
+
     // The PRODUCTION sink path: the same windowed aggregation written by
     // writeStream.format("parquet") in APPEND mode with a checkpoint dir —
     // exactly-once file commit through the sink's offset/commit logs — then

@@ -303,4 +303,43 @@ class ArchiveParitySpec extends AnyFunSuite {
       .filter(col("geodeticDatum") === "NO_SUCH_DATUM")
     assert(none.count() == 0)
   }
+
+  test("DSv2 COUNT(*) pushes to the scan: one emitted long, values match classic") {
+    import org.apache.spark.sql.functions.col
+    val path = TestSpark.resourcePath("/occurrence_archives/dwca-bad-geodetic-datum")
+    def countScanOf(df: org.apache.spark.sql.DataFrame) = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.size == 1, df.queryExecution.executedPlan.toString)
+      scans.head.scan
+    }
+    val classic = graft.dwca.DwcaArchive.open(spark, path).coreDataFrame
+
+    // bare count: the scan becomes the count scan, no column materializes
+    val bare = spark.read.format("dwca").option("path", path).load()
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    assert(countScanOf(bare).description().contains("PushedAggregates: [COUNT(*)]"),
+      countScanOf(bare).description())
+    assert(bare.collect()(0).getLong(0) == classic.count())
+
+    // count composes with a pushed row filter: count of SURVIVORS
+    val filtered = spark.read.format("dwca").option("path", path).load()
+      .filter(col("geodeticDatum") === "WGS84")
+    val fCount = filtered.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    val fd = countScanOf(fCount).description()
+    assert(fd.contains("PushedAggregates: [COUNT(*)]") &&
+      fd.contains("EqualTo(geodeticDatum,WGS84)"), fd)
+    assert(fCount.collect()(0).getLong(0) ==
+      classic.filter(col("geodeticDatum") === "WGS84").count())
+
+    // a GROUPED count declines pushdown: the normal scan carries it
+    // (AQE wraps this plan, so the scan is asserted via the plan string)
+    val grouped = spark.read.format("dwca").option("path", path).load()
+      .groupBy(col("geodeticDatum")).count()
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("PushedAggregates") && gPlan.contains("DwcaScan"), gPlan)
+    assert(grouped.count() == classic.groupBy(col("geodeticDatum")).count().count())
+  }
 }
