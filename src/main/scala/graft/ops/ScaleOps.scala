@@ -820,7 +820,10 @@ object ScaleOps {
         |  UNION ALL SELECT 0)
         |SELECT k % 8 AS kb, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-        |FROM l JOIN d USING (k) GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+        |FROM l JOIN d USING (k) GROUP BY 1 ORDER BY 1""".stripMargin) { (outer, d) =>
+      // cloned session: the lowered skew thresholds + broadcast disable
+      // can never leak into a concurrent plan on the shared session
+      val s = outer.newSession()
       withSkewJoinConfs(s) { aqeSkewJoinPlan(s, d).localCheckpoint(true) }
     },
 
@@ -977,16 +980,19 @@ object ScaleOps {
     // keeps the 32 MB probe floor so tiny scans skip the bloom cost.
     // Eager materialization inside the conf window: the rule must be
     // installed when the plan OPTIMIZES, not when the query registers.
-    // NOTE: extraOptimizations is session-global — safe under the
-    // harness's sequential execution; a concurrent runner would clone
-    // the session (s.newSession()) to scope the lowered-threshold rule.
+    // The lowered-threshold rule registers on a CLONED session
+    // (s.newSession(): own SQLConf + experimental, shared SparkContext
+    // and catalog) so a concurrent plan on the shared session can never
+    // be optimized under the 1-byte probe floor — the race the r6 advice
+    // flagged is structurally gone, not just sequenced around.
     GraftQuery.of("q_ext_rule_bloom",
       """SELECT l_returnflag, count(*) AS n_items,
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (outer, d) =>
+      val s = outer.newSession()
       val rule = new graft.rules.BloomSemiJoinPrefilter(probeMinBytes = 1L)
       val prev = s.experimental.extraOptimizations
       s.experimental.extraOptimizations = prev :+ rule
