@@ -361,5 +361,56 @@ object Quality {
           abs(expr("(n_early * 1000) div te") - expr("(n_late * 1000) div tl"))
             .as("drift_pm"))
         .orderBy(col("event_type"))
+    },
+
+    // Tukey-fence outlier audit per event type — the numeric-column DQ
+    // staple (flag values beyond 1.5×IQR of the quartiles). EXACT
+    // INTEGERS throughout: values are cents, quartiles are RANK-BASED
+    // (value at rank ceil(n/4) / ceil(3n/4) — no interpolated float
+    // quantile exists), and the fence tests cross-multiply
+    // (2c < 5·q1 − 3·q3 for low, 2c > 5·q3 − 3·q1 for high) so no
+    // half-unit division ever rounds. Shape: one (type)-keyed window
+    // sort for ranks + one type-keyed aggregate — the exact tier; at
+    // 100 TB the same report swaps ranks for approx_percentile
+    // (q_percentiles_approx's documented tradeoff) and the fences keep
+    // the identical cross-multiplied form.
+    GraftQuery.of("dq_outlier_fences",
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |q AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(CASE WHEN rn <= (n + 3) // 4 THEN cents END) AS BIGINT) AS q1,
+        |    CAST(max(CASE WHEN rn <= (3 * n + 3) // 4 THEN cents END) AS BIGINT) AS q3
+        |  FROM r GROUP BY 1)
+        |SELECT q.event_type, q.n, q.q1, q.q3,
+        |  CAST(sum(CASE WHEN 2 * c.cents < 5 * q.q1 - 3 * q.q3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN 2 * c.cents > 5 * q.q3 - 3 * q.q1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high
+        |FROM c JOIN q USING (event_type)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = events(s, d).select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val byType = Window.partitionBy(col("event_type"))
+      val ranked = c
+        .withColumn("rn", row_number().over(byType.orderBy(col("cents"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+      val q = ranked.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") <= expr("(n + 3) div 4"), col("cents"))).as("q1"),
+          max(when(col("rn") <= expr("(3 * n + 3) div 4"), col("cents"))).as("q3"))
+      c.join(broadcast(q), Seq("event_type"))
+        .groupBy(col("event_type"), col("n"), col("q1"), col("q3"))
+        .agg(
+          sum(when(col("cents") * 2 < col("q1") * 5 - col("q3") * 3, 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("cents") * 2 > col("q3") * 5 - col("q1") * 3, 1L).otherwise(0L))
+            .as("n_high"))
+        .orderBy(col("event_type"))
     })
 }

@@ -363,6 +363,49 @@ object ScaleOps {
         .orderBy(col("event_id"))
     },
 
+    // NEAREST as-of — completes the direction family (backward /
+    // forward / nearest): each purchase matches its closest view within
+    // ±1 h by |Δt|, ties to the EARLIER view then smaller id — the
+    // sensor-fusion / clock-alignment matcher ("which reading belongs to
+    // this event"). Shape: one user_id equi-join with the ±window as a
+    // residual (the attribution-join discipline — per-user fan-out
+    // bounded by activity; heavier per-user volume composes the interval
+    // join's time-cell bucketing), then ONE struct-min argmin per
+    // purchase (the typed-argmax idiom — no per-purchase window sort).
+    // delta_us is SIGNED (negative = view preceded purchase), exact
+    // integer micros.
+    GraftQuery.of("events_asof_nearest",
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS v_id, user_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.p_id, p.user_id, p.p_us, v.v_id, v.v_us,
+        |    abs(v.v_us - p.p_us) AS ad
+        |  FROM p JOIN v USING (user_id)
+        |  WHERE abs(v.v_us - p.p_us) <= 3600000000),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY p_id
+        |    ORDER BY ad, v_us, v_id) AS rn FROM j)
+        |SELECT p_id, user_id, v_id AS nearest_view,
+        |  CAST(v_us - p_us AS BIGINT) AS delta_us
+        |FROM r WHERE rn = 1 ORDER BY p_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("user_id"),
+          unix_micros(col("ts")).as("v_us"))
+      p.join(v, Seq("user_id"))
+        .filter(abs(col("v_us") - col("p_us")) <= lit(3600000000L))
+        .groupBy(col("p_id"), col("user_id"), col("p_us"))
+        .agg(min(struct(abs(col("v_us") - col("p_us")).as("ad"),
+          col("v_us"), col("v_id"))).as("best"))
+        .select(col("p_id"), col("user_id"),
+          col("best.v_id").as("nearest_view"),
+          (col("best.v_us") - col("p_us")).as("delta_us"))
+        .orderBy(col("p_id"))
+    },
+
     // Right-to-be-forgotten REWRITE — the GDPR/CCPA deletion pass a lake
     // owes its users: materialize the table, then rewrite it MINUS a
     // deletion-request set via one broadcast LEFT ANTI join (the request

@@ -136,6 +136,40 @@ class ArchiveParitySpec extends AnyFunSuite {
     assert(df.filter(df("occurrenceID") === "o1").count() == 1)
   }
 
+  test("quoted fields with embedded delimiters: classic and DSv2 parse identically") {
+    val dir = java.nio.file.Files.createTempDirectory("dwca-quoted").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(dir, "meta.xml").toPath,
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<archive xmlns="http://rs.tdwg.org/dwc/text/">
+        |  <core rowType="http://rs.tdwg.org/dwc/terms/Occurrence" encoding="utf-8" fieldsTerminatedBy="," linesTerminatedBy="\n" fieldsEnclosedBy="&quot;" ignoreHeaderLines="1">
+        |    <files><location>occ.txt</location></files>
+        |    <id index="0" />
+        |    <field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>
+        |    <field index="2" term="http://rs.tdwg.org/dwc/terms/basisOfRecord"/>
+        |  </core>
+        |</archive>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dir, "occ.txt").toPath,
+      "id,occurrenceID,basisOfRecord\n" +
+        "1,\"o,1\",HumanObservation\n" + // embedded delimiter inside quotes
+        "2,\"plain\",\"Machine,Observation\"\n" +
+        "3,unquoted,HumanObservation\n")
+    val classic = graft.dwca.DwcaArchive.open(spark, dir.getAbsolutePath).coreDataFrame
+      .select("id", "occurrenceID", "basisOfRecord")
+    val v2 = spark.read.format("dwca").option("path", dir.getAbsolutePath).load()
+      .select("id", "occurrenceID", "basisOfRecord")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(rows(classic) == rows(v2), s"classic=${rows(classic)} v2=${rows(v2)}")
+    assert(rows(classic).map(_(1)).toSet == Set("o,1", "plain", "unquoted"))
+    // a pushed EqualTo on a value containing the delimiter still decides
+    // correctly inside the DSv2 reader (the quote parse happens first)
+    import org.apache.spark.sql.functions.col
+    val hit = spark.read.format("dwca").option("path", dir.getAbsolutePath).load()
+      .filter(col("occurrenceID") === "o,1")
+    assert(hit.count() == 1)
+  }
+
   test("ignoreHeaderLines>1 + custom terminator/encoding fails loudly, not silently") {
     def archiveWith(coreAttrs: String): java.io.File = {
       val dir = java.nio.file.Files.createTempDirectory("dwca-guard").toFile
