@@ -824,6 +824,42 @@ object Events {
         .orderBy(col("user_id"))
     },
 
+    // SEASONAL-NAIVE FORECAST BACKTEST — the baseline every demand/load
+    // forecaster must beat, evaluated IN-ENGINE: predict each hour's
+    // per-type revenue as the SAME HOUR 24 h EARLIER and score the
+    // prediction with integer MAE in exact cents. hour ids are integer
+    // `epoch_us div 3600e6`, the naive join is one (type, hour)-keyed
+    // equi-join of the hourly frame against itself shifted by 24 — two
+    // bounded shuffles over an (hours × types) frame, never the raw
+    // stream twice. sum_abs_err_cents / n_hours is the MAE the consumer
+    // divides (minhash-estimator precedent); swapping the +24 literal
+    // re-scores any other seasonal lag.
+    GraftQuery.of("events_forecast_backtest",
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(abs(a.cents - p.cents)) AS BIGINT) AS sum_abs_err_cents,
+        |  CAST(sum(a.cents) AS BIGINT) AS sum_actual_cents
+        |FROM h a JOIN h p
+        |  ON a.event_type = p.event_type AND a.hour_id = p.hour_id + 24
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val hourly = events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      val actual = hourly.select(col("event_type"), col("hour_id"),
+        col("cents").as("a_cents"))
+      val naive = hourly.select(col("event_type"),
+        (col("hour_id") + 24).as("hour_id"), col("cents").as("p_cents"))
+      actual.join(naive, Seq("event_type", "hour_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(abs(col("a_cents") - col("p_cents"))).as("sum_abs_err_cents"),
+          sum(col("a_cents")).as("sum_actual_cents"))
+        .orderBy(col("event_type"))
+    },
+
     // TOP USER PATHS — the transition matrix's higher-order sibling:
     // most common 3-step event-type sequences across user timelines
     // (path/journey mining: "view>view>purchase beats view>click>

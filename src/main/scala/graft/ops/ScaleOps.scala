@@ -435,6 +435,52 @@ object ScaleOps {
         .orderBy(col("event_type"))
     },
 
+    // PSEUDONYMIZATION REWRITE — the governance pass that ships analytics
+    // data outside the trust boundary: user_id → keyed 60-bit digest (the
+    // salt is a literal here; production holds it in a KMS), value →
+    // coarse magnitude band, and the REWRITTEN table is re-read for the
+    // stats so the proof is about what landed on disk. The emitted
+    // `consistent` column pins REFERENTIAL CONSISTENCY — per type,
+    // distinct pseudonyms == distinct users, i.e. the mapping is
+    // injective in practice and joins across pseudonymized tables keep
+    // working — which is the property pseudonymization must preserve and
+    // redaction destroys (cf. text_pii_redact for the destructive tier).
+    // Banding uses |cents| so the floor-vs-truncate integer-division
+    // divergence on negatives can never reach the oracle compare.
+    GraftQuery.of("sink_pseudonymize", {
+      val h = GraftQuery.h60Sql("user_id::VARCHAR || ':psalt7'")
+      s"""WITH src AS (SELECT event_type, user_id,
+         |    CAST($h AS BIGINT) AS pseudo_uid,
+         |    abs(CAST(round(value * 100) AS BIGINT)) // 500 AS value_band
+         |  FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(DISTINCT pseudo_uid) AS BIGINT) AS nd_pseudo,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS nd_user,
+         |  count(DISTINCT pseudo_uid) = count(DISTINCT user_id) AS consistent,
+         |  CAST(count(DISTINCT value_band) AS BIGINT) AS n_bands
+         |FROM src GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/events_pseudo"
+      val ev = events(s, d)
+      ev.select(col("event_type"),
+          md5hash60(concat(col("user_id").cast("string"), lit(":psalt7")))
+            .as("pseudo_uid"),
+          expr("abs(CAST(round(value * 100) AS BIGINT)) div 500").as("value_band"))
+        .write.mode("overwrite").parquet(base)
+      val pseudoStats = s.read.parquet(base)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("pseudo_uid")).as("nd_pseudo"),
+          countDistinct(col("value_band")).as("n_bands"))
+      val userStats = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("nd_user"))
+      pseudoStats.join(userStats, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("nd_pseudo"), col("nd_user"),
+          (col("nd_pseudo") === col("nd_user")).as("consistent"), col("n_bands"))
+        .orderBy(col("event_type"))
+    },
+
     // PERMISSIVE corrupt-record ingestion — the bad-data tolerance every
     // production CSV pipeline needs: rows are written with a
     // deterministically-injected malformation (quantity → 'BAD' where
