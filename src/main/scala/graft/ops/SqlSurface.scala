@@ -111,5 +111,38 @@ object SqlSurface {
                |  SELECT CASE WHEN o_totalprice < 0.0 THEN NULL ELSE o_custkey END
                |  FROM $ov WHERE o_orderdate >= TIMESTAMP '2000-01-01')
                |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // NULL-SAFE equi-join (`<=>` / IS NOT DISTINCT FROM) — the missing
+    // third join-null semantics next to plain equality (nulls never
+    // match) and NOT IN (null poisons everything): here the NULL GROUP
+    // MATCHES the null group — the dimension-conformance shape where
+    // "unknown" is a real category that must line up across tables
+    // (unattributed revenue joining the unattributed-bucket budget row).
+    // Both sides pre-aggregate to ≤50-row keyed frames (so the join null
+    // semantics, not the volume, is what's under test); NULL ordering is
+    // pinned explicitly (Spark's asc = NULLS FIRST; DuckDB defaults
+    // NULLS LAST — the exact portability trap the explicit clause kills).
+    GraftQuery.of("q_null_safe_join",
+      """WITH l AS (SELECT CASE WHEN user_id % 50 = 0 THEN NULL
+        |      ELSE user_id % 50 END AS k, count(*) AS l_n
+        |    FROM events GROUP BY 1),
+        |r AS (SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+        |      ELSE c_custkey % 50 END AS k, count(*) AS r_n
+        |    FROM customer GROUP BY 1)
+        |SELECT l.k, l.l_n, r.r_n
+        |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |ORDER BY l.k NULLS FIRST""".stripMargin) { (s, d) =>
+      val l = events(s, d)
+        .groupBy(when(col("user_id") % 50 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id") % 50).as("k"))
+        .agg(count(lit(1)).as("l_n"))
+      val r = customer(s, d)
+        .groupBy(when(col("c_custkey") % 50 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey") % 50).as("k"))
+        .agg(count(lit(1)).as("r_n"))
+      l.join(r, l("k") <=> r("k"))
+        .select(l("k"), col("l_n"), col("r_n"))
+        .orderBy(l("k").asc_nulls_first)
     })
 }

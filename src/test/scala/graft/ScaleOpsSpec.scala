@@ -289,6 +289,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("bucketed table point lookup prunes to one bucket, values exact") {
+    val sf = "/root/testdata/sf0.001"
+    // build the bucket tables via the shared helper (also returns the
+    // joined frame; here only the catalog tables matter)
+    ScaleOps.bucketedOrdersCustomer(spark, sf).localCheckpoint(true)
+    val suf = graft.ops.Tables.viewSuffix(sf) + "_" +
+      java.lang.ProcessHandle.current().pid()
+    try {
+      // filter-only scans get bucketing auto-disabled ("no benefit"
+      // heuristic — it doesn't model pruning); force the bucketed read
+      // so the point lookup can skip 7 of 8 buckets
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val probe = spark.table(s"graft_bk_ord_$suf").filter(col("o_custkey") === 37L)
+      val plan = probe.queryExecution.executedPlan.toString
+      // bucket pruning reaches the scan: 1 of 8 buckets selected
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+      val expected = graft.ops.Tables.orders(spark, sf)
+        .filter(col("o_custkey") === 37L).select(col("o_orderkey"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(probe.select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+        == expected)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      Seq(s"graft_bk_ord_$suf", s"graft_bk_cust_$suf")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("AQE skew join: final adaptive plan splits the hot partition, result invariant") {
     val sf = "/root/testdata/sf0.001"
     val underAqe = ScaleOps.withSkewJoinConfs(spark) {
