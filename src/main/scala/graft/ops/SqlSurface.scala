@@ -144,5 +144,35 @@ object SqlSurface {
       l.join(r, l("k") <=> r("k"))
         .select(l("k"), col("l_n"), col("r_n"))
         .orderBy(l("k").asc_nulls_first)
+    },
+
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE) — the hierarchical walk
+    // relational engines historically punted to application code: every
+    // sampled part climbs its numeric-trie ancestry (parent = key div 10 —
+    // the org-chart/BOM shape with a guaranteed-acyclic parent function),
+    // emitting depth-to-root and the exact integer ancestor-chain sum.
+    // The IDENTICAL SQL text runs on both engines (`//` vs `div` is the
+    // one spelled difference) — the recursion is bounded by key digits
+    // (≤7 levels), so the iterative union Spark plans underneath is
+    // fixed-depth, the same envelope as the unrolled-CTE graph oracles.
+    GraftQuery.of("q_recursive_cte",
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth
+        |  FROM part WHERE p_partkey % 97 = 0
+        |  UNION ALL
+        |  SELECT node, cur // 10, depth + 1 FROM anc WHERE cur > 0)
+        |SELECT node, CAST(max(depth) AS BIGINT) AS depth_to_root,
+        |  CAST(sum(cur) AS BIGINT) AS chain_sum
+        |FROM anc GROUP BY 1 ORDER BY node""".stripMargin) { (s, d) =>
+      val pv = s"part_rec_${viewSuffix(d)}"
+      part(s, d).createOrReplaceTempView(pv)
+      s.sql(s"""WITH RECURSIVE anc AS (
+               |  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth
+               |  FROM $pv WHERE p_partkey % 97 = 0
+               |  UNION ALL
+               |  SELECT node, cur div 10, depth + 1 FROM anc WHERE cur > 0)
+               |SELECT node, CAST(max(depth) AS BIGINT) AS depth_to_root,
+               |  CAST(sum(cur) AS BIGINT) AS chain_sum
+               |FROM anc GROUP BY 1 ORDER BY node""".stripMargin)
     })
 }
