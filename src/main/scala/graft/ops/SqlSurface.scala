@@ -174,5 +174,61 @@ object SqlSurface {
                |SELECT node, CAST(max(depth) AS BIGINT) AS depth_to_root,
                |  CAST(sum(cur) AS BIGINT) AS chain_sum
                |FROM anc GROUP BY 1 ORDER BY node""".stripMargin)
+    },
+
+    // VARIANT semi-structured path (Spark 4's open-ended JSON type): the
+    // props payload parses ONCE into a variant and typed accessors pull
+    // fields — the modern replacement for schema-on-read from_json when
+    // the shape is open-ended (new keys appear without a schema change;
+    // a binary-encoded variant column in parquet also skips the per-read
+    // reparse this query pays). The oracle reads the same field through
+    // DuckDB's JSON accessor; all compared values are exact integers.
+    GraftQuery.of("q_variant_props",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(sum(CASE WHEN CAST(props->>'k' AS BIGINT) % 2 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val k = expr("variant_get(parse_json(props), '$.k', 'bigint')")
+      events(s, d)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") % 2 === 0, 1L).otherwise(0L)).as("n_even_k"))
+        .orderBy(col("event_type"))
+    },
+
+    // SQL-DEFINED scalar UDF (Spark 4's CREATE FUNCTION ... RETURN): the
+    // business-logic tier analysts own — a price-band function lives in
+    // the CATALOG as SQL text, not in a JVM jar, and the optimizer
+    // INLINES its body (no black-box UDF barrier: the banding CASE
+    // participates in codegen like any expression — the reason this
+    // beats a Scala closure registered via udf()). The oracle inlines
+    // the identical CASE by hand, proving the function call is pure
+    // sugar. Function name is dataset-suffixed: catalog objects are
+    // session-global, the temp-view discipline applies.
+    GraftQuery.of("q_sql_udf",
+      """WITH b AS (SELECT
+        |    CAST(CASE WHEN CAST(round(l_extendedprice * 100) AS BIGINT) < 2000000 THEN 0
+        |         WHEN CAST(round(l_extendedprice * 100) AS BIGINT) < 5000000 THEN 1
+        |         ELSE 2 END AS BIGINT) AS band,
+        |    l_quantity
+        |  FROM lineitem)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val fn = s"graft_priceband_${viewSuffix(d)}"
+      val lv = s"li_sqludf_${viewSuffix(d)}"
+      lineitem(s, d).createOrReplaceTempView(lv)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY FUNCTION $fn(cents BIGINT)
+               |RETURNS BIGINT
+               |RETURN CASE WHEN cents < 2000000 THEN 0
+               |            WHEN cents < 5000000 THEN 1 ELSE 2 END""".stripMargin)
+      s.sql(s"""SELECT $fn(CAST(round(l_extendedprice * 100) AS BIGINT)) AS band,
+               |  CAST(count(*) AS BIGINT) AS n_items,
+               |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+               |FROM $lv GROUP BY 1 ORDER BY 1""".stripMargin)
     })
 }
