@@ -230,5 +230,36 @@ object SqlSurface {
                |  CAST(count(*) AS BIGINT) AS n_items,
                |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
                |FROM $lv GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // IN-FLIGHT METRICS (`observe` + `Observation`): DQ counters ride
+    // the SAME job as the real work — zero extra scans, the way Deequ
+    // analyzers and production freshness/null monitors actually deploy
+    // (a second counting pass over 100 TB is the anti-pattern). The
+    // carrier job is a genuine aggregation (per-type event counts); the
+    // observation taps its scan for rows / null props / distinct-ish
+    // users and THOSE METRICS are the emitted result, so the API goes
+    // through the oracle gate, not a README claim. `Observation.get`
+    // blocks on the action's QueryExecutionListener — the carrier result
+    // is materialized (and discarded) inside the query function.
+    GraftQuery.of("q_observe_metrics",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_props,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val carrier = events(s, d)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      carrier.collect() // the real job; the observation rides its scan
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long], m("n_null_props").asInstanceOf[Long],
+        m("sum_cents").asInstanceOf[Long]))
+        .toDF("n_rows", "n_null_props", "sum_cents")
     })
 }
