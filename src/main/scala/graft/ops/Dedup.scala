@@ -894,6 +894,50 @@ object Dedup {
         withBucket.filter(col("__bucket") >= 8))
     },
 
+    // URL CANONICALIZATION DEDUP — the crawl-frontier staple (CCNet/
+    // RefinedWeb dedupe by canonical URL before ever fetching content):
+    // scheme+host lowercase, tracking-only query strings stripped,
+    // trailing slash normalized — then exact dedup on the canonical form.
+    // The corpus has no URL column, so the three variant classes every
+    // canonicalizer faces are SYNTHESIZED deterministically from doc_id:
+    // cased, trailing-slashed, and utm-tracking-tagged
+    // spellings of the same logical URL (doc_id div 7 ⇒ ~7-member dup
+    // groups). Both engines run the IDENTICAL regex chain — the
+    // canonicalizer IS the operator; the dedup downstream is D1's
+    // one-shuffle groupBy keyed on the canonical string.
+    GraftQuery.of("dedup_url_canonical",
+      """WITH u AS (SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'https://' || 'cdn.example/page/' || (doc_id // 7)::VARCHAR
+        |      WHEN 1 THEN 'HTTPS://' || 'CDN.EXAMPLE/page/' || (doc_id // 7)::VARCHAR || '/'
+        |      ELSE 'https://' || 'cdn.example/page/' || (doc_id // 7)::VARCHAR || '?utm_source=feed&utm_medium=rss'
+        |    END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(lower(url), '\?utm_[^#]*$', ''),
+        |                   '/$', '') AS canon
+        |  FROM u)
+        |SELECT canon, CAST(count(*) AS BIGINT) AS n_variants,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_spellings
+        |FROM c GROUP BY 1 ORDER BY canon""".stripMargin) { (s, d) =>
+      val url = expr(
+        """CASE CAST(doc_id % 3 AS INT)
+          |  WHEN 0 THEN concat('https://cdn.example/page/', CAST(doc_id div 7 AS STRING))
+          |  WHEN 1 THEN concat('HTTPS://CDN.EXAMPLE/page/', CAST(doc_id div 7 AS STRING), '/')
+          |  ELSE concat('https://cdn.example/page/', CAST(doc_id div 7 AS STRING), '?utm_source=feed&utm_medium=rss')
+          |END""".stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canon",
+          regexp_replace(regexp_replace(lower(col("url")), "\\?utm_[^#]*$", ""),
+            "/$", ""))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keeper"),
+          countDistinct(col("url")).as("n_spellings"))
+        .orderBy(col("canon"))
+    },
+
     // Substring-level dedup with REWRITE (Lee et al. '22 "Deduplicating
     // Training Data Makes Language Models Better", §4.1 ExactSubstr): any
     // 8-gram that also occurs in another document marks its 8 word

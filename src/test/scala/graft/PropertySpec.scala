@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, split}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -244,5 +245,55 @@ class PropertySpec extends AnyFunSuite {
           s"seed=$seed lang=$lang kept=$kept target=$mn")
       }
     }
+  }
+
+  test("bfsDepth equals driver-side BFS shortest hop counts on random graphs") {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    val edgeGen = Gen.listOfN(30, for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+    } yield (a, b))
+    (1L to 5L).foreach { seed =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(seed)).get.distinct
+      val seeds = edges.flatMap(e => Seq(e._1, e._2)).distinct.filter(_ % 5 == 0)
+      // reference: plain queue BFS over the symmetrized adjacency
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dist = scala.collection.mutable.Map[Long, Long](seeds.map(_ -> 0L): _*)
+      var frontier = seeds
+      for (d <- 1L to 3L) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = d)
+      }
+      val got = graft.ops.Graph.bfsDepth(edges.toDF("src", "dst"),
+        seeds.toDF("node"), rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist.toMap, s"seed=$seed edges=$edges seeds=$seeds")
+    }
+  }
+
+  test("phash Hamming distance is monotone-ish in edit count and zero on copies") {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val base = (0 until 60).map(i => s"tok$i")
+    def edited(k: Int): String =
+      base.zipWithIndex.map { case (t, i) => if (i < k) s"ED$i" else t }.mkString(" ")
+    // distance to the unedited doc after k block edits, computed via the
+    // public phash60 column (no band/cut so large distances stay visible)
+    val frame = docs((0L -> base.mkString(" ")) +: (1 to 5).map(k =>
+      (k.toLong, edited(k * 6))): _*)
+      .select(col("doc_id"),
+        graft.ops.Multimodal.phash60(split(col("text"), " ")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(frame(0L), frame(0L)) == 0)
+    val dists = (1 to 5).map(k => ham(frame(0L), frame(k.toLong)))
+    // each step edits 6 more of the 60 blocks → expected ~half of the
+    // touched bits flip; require broad monotone growth, not exact counts
+    assert(dists.head <= dists.last, s"dists=$dists")
+    assert(dists.last >= 10, s"5×6 block edits should flip many bits: $dists")
+    assert(dists.head <= 8, s"6 block edits should flip few bits: $dists")
   }
 }
