@@ -860,6 +860,41 @@ object Events {
         .orderBy(col("event_type"))
     },
 
+    // HOURLY p50/p95 — the dashboard percentile row every ops metric
+    // pipeline emits per window: RANK-BASED exact integer percentiles
+    // (value at rank ceil(n/2) / ceil(19n/20) — the dq_outlier_fences
+    // discipline: no interpolated float quantile exists on either
+    // engine), one hour-keyed rank window + one hour-keyed aggregate;
+    // window count bounds the state, and at 100 TB the same report swaps
+    // ranks for per-window approx_percentile with identical shape.
+    GraftQuery.of("events_hourly_p95",
+      """WITH c AS (SELECT event_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT hour_id, cents,
+        |    row_number() OVER (PARTITION BY hour_id ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY hour_id) AS n
+        |  FROM c)
+        |SELECT hour_id, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN rn <= (n + 1) // 2 THEN cents END) AS BIGINT) AS p50_cents,
+        |  CAST(max(CASE WHEN rn <= (19 * n + 19) // 20 THEN cents END) AS BIGINT)
+        |    AS p95_cents
+        |FROM r GROUP BY 1 ORDER BY hour_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = events(s, d).select(col("event_id"),
+        expr("unix_micros(ts) div 3600000000").as("hour_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val byHour = Window.partitionBy(col("hour_id"))
+      c.withColumn("rn", row_number().over(byHour.orderBy(col("cents"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byHour))
+        .groupBy(col("hour_id"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") <= expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
+          max(when(col("rn") <= expr("(19 * n + 19) div 20"), col("cents")))
+            .as("p95_cents"))
+        .orderBy(col("hour_id"))
+    },
+
     // TOP USER PATHS — the transition matrix's higher-order sibling:
     // most common 3-step event-type sequences across user timelines
     // (path/journey mining: "view>view>purchase beats view>click>

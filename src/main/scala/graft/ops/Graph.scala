@@ -589,6 +589,49 @@ object Graph {
         .filter(pmod(md5hash60(col("node").cast("string")), lit(20L)) === 0)
         .select(col("node"))
       bfsDepth(sampled, seeds, rounds = 3)
+    },
+
+    // DEGREE ASSORTATIVITY components — "do hubs link to hubs?" (crawl
+    // graphs are typically disassortative; a sudden shift flags link
+    // farms): the Pearson degree-degree correlation over edges, emitted
+    // as its EXACT INTEGER sufficient statistics (m, Σ du·dv, Σ(du+dv),
+    // Σ(du²+dv²)) — the consumer assembles r = (m·Σdudv − (Σ(du+dv)/2)²·…)
+    // from four integers, the estimator-precedent split that keeps every
+    // compared value hash-exact. One degree aggregate + two node-keyed
+    // equi-joins of the edge list against it — never all-pairs; same
+    // sampled subgraph as the other G-family entries so the oracle
+    // reconstructs it verbatim.
+    GraftQuery.of("graph_assortativity", {
+      val h = GraftQuery.h60Sql("src::VARCHAR || '|' || dst::VARCHAR")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e1 AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM li a JOIN li b USING (l_orderkey)
+         |  WHERE a.l_partkey < b.l_partkey),
+         |samp AS MATERIALIZED (SELECT src, dst FROM e1 WHERE $h % 8 = 0),
+         |e AS (SELECT src, dst FROM samp UNION ALL SELECT dst, src FROM samp),
+         |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS m,
+         |  CAST(sum(da.deg * db.deg) AS BIGINT) AS s_prod,
+         |  CAST(sum(da.deg + db.deg) AS BIGINT) AS s_sum,
+         |  CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS s_sq
+         |FROM samp s
+         |JOIN deg da ON da.node = s.src
+         |JOIN deg db ON db.node = s.dst""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      val sampled = coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+        .filter(pmod(md5hash60(
+          concat_ws("|", col("src").cast("string"), col("dst").cast("string"))),
+          lit(8L)) === 0)
+      val deg = degrees(sampled).select(col("node"), col("deg"))
+      sampled
+        .join(deg.select(col("node").as("src"), col("deg").as("da")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("db")), "dst")
+        .agg(count(lit(1)).as("m"),
+          sum(col("da") * col("db")).as("s_prod"),
+          sum(col("da") + col("db")).as("s_sum"),
+          sum(col("da") * col("da") + col("db") * col("db")).as("s_sq"))
     })
 
   /** Minimum-depth multi-source BFS, capped at `rounds` hops: settled =
