@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CdcBoundaries, CosineSim, Md5Hash60, NGrams, RollingHash61, SpaceSavingTopK}
+import graft.functions.{CdcBoundaries, CosineSim, ExactTopKLong, Md5Hash60, NGrams, RollingHash61, SpaceSavingTopK}
 
 /** SQL registration of the engine's native Catalyst expressions, so
   * `spark.sql("SELECT md5hash60(text) ...")` works like a built-in:
@@ -71,6 +71,10 @@ object GraftExtensions {
     "space_saving_topk" -> { args =>
       require(args.size == 3, "space_saving_topk(expr, k, capacity)")
       SpaceSavingTopK(args.head, intLit(args(1), "k"), intLit(args(2), "capacity"))
+    },
+    "exact_topk" -> { args =>
+      require(args.size == 2, "exact_topk(expr, k)")
+      ExactTopKLong(args.head, intLit(args(1), "k"))
     },
     "cdc_boundaries" -> { args =>
       require(args.size == 3, "cdc_boundaries(expr, window, mask)")

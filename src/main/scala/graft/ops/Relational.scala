@@ -160,6 +160,32 @@ object Relational {
         .orderBy(col("cnt").desc, col("value"))
     },
 
+    // EXACT per-group top-k VALUES through the bounded-heap
+    // TypedImperativeAggregate (graft.functions.ExactTopKLong) — the
+    // scale-correct form of `row_number() OVER (... ORDER BY v DESC) <= k`:
+    // the window sorts every group in full and a WindowExec sees every
+    // row; the aggregate keeps a k-slot min-heap per partial (O(k) state,
+    // map-side combined — only k values per partition×group cross the
+    // shuffle). The oracle IS the window formulation, so the green row
+    // proves agg == window on the value multiset; PlanSpec asserts no
+    // Window/sort appears in the physical plan.
+    GraftQuery.of("q_exact_topk_agg",
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents DESC) AS rn
+        |  FROM c)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rnk, cents
+        |FROM r WHERE rn <= 5 ORDER BY event_type, rnk""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.ExactTopK.exactTopKLong(col("cents"), 5).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("i", "cents")))
+        .select(col("event_type"), (col("i") + 1).cast("long").as("rnk"), col("cents"))
+        .orderBy(col("event_type"), col("rnk"))
+    },
+
     // A14 + E5 — date-part derived histograms (breakdown.py:77-102).
     GraftQuery.of("q_a14_date_histogram",
       """SELECT CAST(date_part('year', ts) AS BIGINT) AS y,

@@ -283,6 +283,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("exact top-k agg: no Window in the plan, ObjectHashAggregate carries the heap") {
+    val p = planOf("q_exact_topk_agg")
+    // the window formulation this replaces would show WindowExec + a
+    // per-group sort of every row; the agg form is a plain (object hash)
+    // aggregation — only the k-slot heaps cross the shuffle
+    assert(!p.linesIterator.exists(_.contains("Window")), p.take(3000))
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+  }
+
   test("registry sweep: every query plan is free of unwhitelisted cartesian/nested-loop joins") {
     // The whitelist is every query whose plan legitimately carries a
     // BroadcastNestedLoopJoin, each because a genuinely BOUNDED frame

@@ -47,4 +47,27 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(top.getLong(1) >= 500L)
     assert(top.getLong(1) - top.getLong(2) <= 500L)
   }
+
+  test("exact_topk heap agg equals the window formulation, keeps duplicates, skips nulls") {
+    val s = spark
+    import s.implicits._
+    // duplicates at the cut (two 90s), a null, and > k values per group
+    val rows = Seq(("a", Some(100L)), ("a", Some(90L)), ("a", Some(90L)),
+      ("a", Some(80L)), ("a", Some(10L)), ("a", None),
+      ("b", Some(5L)), ("b", Some(7L)))
+    val df = s.sparkContext.parallelize(rows, 3)
+      .toDF("g", "v").select(col("g"), col("v").cast("long").as("v"))
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.ExactTopK.exactTopKLong(col("v"), 3).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got("a") == List(100L, 90L, 90L), got) // duplicate 90 retained
+    assert(got("b") == List(7L, 5L), got) // fewer than k → all, sorted desc
+    // the SQL surface resolves too (registered via GraftExtensions)
+    graft.GraftExtensions.register(s)
+    df.createOrReplaceTempView("exact_topk_in")
+    val viaSql = s.sql(
+      "SELECT g, exact_topk(v, 3) AS top FROM exact_topk_in GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(viaSql == got)
+  }
 }
