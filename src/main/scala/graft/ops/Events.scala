@@ -880,18 +880,11 @@ object Events {
         |  CAST(max(CASE WHEN rn <= (19 * n + 19) // 20 THEN cents END) AS BIGINT)
         |    AS p95_cents
         |FROM r GROUP BY 1 ORDER BY hour_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val c = events(s, d).select(col("event_id"),
         expr("unix_micros(ts) div 3600000000").as("hour_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      val byHour = Window.partitionBy(col("hour_id"))
-      c.withColumn("rn", row_number().over(byHour.orderBy(col("cents"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(byHour))
-        .groupBy(col("hour_id"))
-        .agg(max(col("n")).as("n"),
-          max(when(col("rn") <= expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
-          max(when(col("rn") <= expr("(19 * n + 19) div 20"), col("cents")))
-            .as("p95_cents"))
+      RankStats.valueAtCeilRanks(c, part = "hour_id", value = "cents",
+          tie = "event_id", fracs = Seq(("p50_cents", 1, 2), ("p95_cents", 19, 20)))
         .orderBy(col("hour_id"))
     },
 

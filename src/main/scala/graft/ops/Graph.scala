@@ -620,10 +620,14 @@ object Graph {
          |JOIN deg db ON db.node = s.dst""".stripMargin
     }) { (s, d) =>
       import graft.functions.Md5Hash60.md5hash60
+      // materialized ONCE (the bfsDepth/pagerank discipline): the edge
+      // frame feeds the degree aggregate AND both final joins — without
+      // the checkpoint the distinct self-join runs three times
       val sampled = coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
         .filter(pmod(md5hash60(
           concat_ws("|", col("src").cast("string"), col("dst").cast("string"))),
           lit(8L)) === 0)
+        .localCheckpoint(true)
       val deg = degrees(sampled).select(col("node"), col("deg"))
       sampled
         .join(deg.select(col("node").as("src"), col("deg").as("da")), "src")

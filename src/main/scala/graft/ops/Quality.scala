@@ -393,17 +393,10 @@ object Quality {
         |    AS BIGINT) AS n_high
         |FROM c JOIN q USING (event_type)
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val c = events(s, d).select(col("event_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      val byType = Window.partitionBy(col("event_type"))
-      val ranked = c
-        .withColumn("rn", row_number().over(byType.orderBy(col("cents"), col("event_id"))))
-        .withColumn("n", count(lit(1)).over(byType))
-      val q = ranked.groupBy(col("event_type"))
-        .agg(max(col("n")).as("n"),
-          max(when(col("rn") <= expr("(n + 3) div 4"), col("cents"))).as("q1"),
-          max(when(col("rn") <= expr("(3 * n + 3) div 4"), col("cents"))).as("q3"))
+      val q = RankStats.valueAtCeilRanks(c, part = "event_type", value = "cents",
+        tie = "event_id", fracs = Seq(("q1", 1, 4), ("q3", 3, 4)))
       c.join(broadcast(q), Seq("event_type"))
         .groupBy(col("event_type"), col("n"), col("q1"), col("q3"))
         .agg(

@@ -168,10 +168,15 @@ object Relational {
     // map-side combined — only k values per partition×group cross the
     // shuffle). The oracle IS the window formulation, so the green row
     // proves agg == window on the value multiset; PlanSpec asserts no
-    // Window/sort appears in the physical plan.
+    // Window/sort appears in the physical plan. NULL CONTRACT: the agg
+    // skips nulls (standard aggregate semantics) while a bare window
+    // rank would count NULLS-LAST rows toward k — the oracle's
+    // `value IS NOT NULL` guard pins both sides to the same non-null
+    // multiset (latent on this corpus, which has no null values).
     GraftQuery.of("q_exact_topk_agg",
       """WITH c AS (SELECT event_type,
-        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        |  WHERE value IS NOT NULL),
         |r AS (SELECT event_type, cents,
         |    row_number() OVER (PARTITION BY event_type ORDER BY cents DESC) AS rn
         |  FROM c)

@@ -461,7 +461,11 @@ object ScaleOps {
          |FROM src GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, d) =>
       import graft.functions.Md5Hash60.md5hash60
-      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/events_pseudo"
+      // PID-suffixed like the bucket tables: Verify alongside Bench on
+      // the same SF is a normal local workflow, and a shared path's
+      // mode-overwrite would race the other process's lazy re-read
+      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}" +
+        s"/events_pseudo_${java.lang.ProcessHandle.current().pid()}"
       val ev = events(s, d)
       ev.select(col("event_type"),
           md5hash60(concat(col("user_id").cast("string"), lit(":psalt7")))
@@ -1187,8 +1191,11 @@ object ScaleOps {
   /** Scoped AQE-skew conf window: thresholds lowered so the skew split
     * fires at test scale, broadcast disabled so the join stays sort-merge
     * (skew splitting applies to SMJ/SHJ), every touched key restored in
-    * `finally` (session-global confs — the q_ext_rule_bloom discipline;
-    * safe under the harness's sequential execution).
+    * `finally`. Callers MUST pass a CLONED session (`outer.newSession()`,
+    * as the registered q_aqe_skew_join does): confs are session-global,
+    * and the clone is what makes the lowered thresholds invisible to any
+    * concurrent plan on the shared session — sequencing is NOT the
+    * safety argument.
     */
   private[graft] def withSkewJoinConfs[T](s: org.apache.spark.sql.SparkSession)(
       body: => T): T = {

@@ -160,8 +160,9 @@ class ArchiveParitySpec extends AnyFunSuite {
       .select("id", "occurrenceID", "basisOfRecord")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
-    assert(rows(classic) == rows(v2), s"classic=${rows(classic)} v2=${rows(v2)}")
-    assert(rows(classic).map(_(1)).toSet == Set("o,1", "plain", "unquoted"))
+    val (cRows, vRows) = (rows(classic), rows(v2)) // collect once each
+    assert(cRows == vRows, s"classic=$cRows v2=$vRows")
+    assert(cRows.map(_(1)).toSet == Set("o,1", "plain", "unquoted"))
     // a pushed EqualTo on a value containing the delimiter still decides
     // correctly inside the DSv2 reader (the quote parse happens first)
     import org.apache.spark.sql.functions.col

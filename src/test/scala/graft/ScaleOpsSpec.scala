@@ -319,8 +319,10 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("AQE skew join: final adaptive plan splits the hot partition, result invariant") {
     val sf = "/root/testdata/sf0.001"
-    val underAqe = ScaleOps.withSkewJoinConfs(spark) {
-      val df = ScaleOps.aqeSkewJoinPlan(spark, sf)
+    // cloned session, as withSkewJoinConfs requires of its callers
+    val s2 = spark.newSession()
+    val underAqe = ScaleOps.withSkewJoinConfs(s2) {
+      val df = ScaleOps.aqeSkewJoinPlan(s2, sf)
       val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       val finalPlan = df.queryExecution.executedPlan.toString
       assert(finalPlan.contains("skew=true"),
