@@ -108,7 +108,17 @@ object Bench {
     // BASELINE.md); value_single_pass = the plain first-pass total, for
     // consumers comparing against single-pass baselines without reading
     // the agg/passes fields.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"agg":"min","value_single_pass":${pass1.map(_._2).sum},"pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par32_sec":$calibPar32,"calib_par8_end_sec":$calibParEnd,"calib_stream_sec":$calibStream,"calib_stream_end_sec":$calibStreamEnd}"""
+    // per-family subtotals (prefix before the first '_'): the unit every
+    // adjudication sums by hand otherwise — fixed cost (stream family)
+    // separates from data-proportional work at a glance
+    val families = results
+      .groupBy { case (k, _) =>
+        if (k.matches("^q[0-9]+_.*")) "tpch" else k.takeWhile(_ != '_') }
+      .toSeq.sortBy(_._1)
+      .map { case (f, qs2) =>
+        s"\"" + f + "\":" + math.rint(qs2.map(_._2).sum * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$families,"sf":"$sfDir","passes":2,"agg":"min","value_single_pass":${pass1.map(_._2).sum},"pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par32_sec":$calibPar32,"calib_par8_end_sec":$calibParEnd,"calib_stream_sec":$calibStream,"calib_stream_end_sec":$calibStreamEnd}"""
     println(json)
     // The harness that snapshots this run keeps only the LAST ~2000 chars of
     // output, and sbt appends its own "[success] ..." trailer — with 84
