@@ -1131,6 +1131,58 @@ object Events {
           concat(col("r_q").cast("string"), col("f_q").cast("string"),
             col("m_q").cast("string")).as("segment"))
         .orderBy(col("user_id"))
+    },
+
+    // Cohort LTV triangle — the revenue twin of events_retention: users
+    // cohorted by the week of their FIRST event (any type), purchase
+    // revenue in integer cents bucketed by whole weeks since the cohort
+    // start, plus the cumulative ("lifetime") revenue running across each
+    // cohort's week offsets. The cumsum window partitions by cohort and
+    // orders by the week offset — partitions are O(corpus age in weeks)
+    // rows AFTER aggregation, so the window is driver-cheap no matter the
+    // corpus size; the only data-proportional shuffles are the first-event
+    // group-by and the user-keyed equi-join, both identical in shape to
+    // events_retention. Week arithmetic is the proven retention idiom
+    // (date_trunc-week ↔ datediff-days // 7 — exact integer parity).
+    GraftQuery.of("events_cohort_ltv",
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, f.cohort,
+        |    CAST(datediff('day', f.cohort::DATE, date_trunc('week', e.ts)::DATE) // 7
+        |      AS BIGINT) AS wk,
+        |    CAST(round(e.value * 100) AS BIGINT) AS cents
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase'),
+        |g AS (
+        |  SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, wk,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS buyers,
+        |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM p GROUP BY 1, 2)
+        |SELECT cohort_week, wk, buyers, revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week ORDER BY wk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_revenue_cents
+        |FROM g ORDER BY cohort_week, wk""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val f = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val g = ev.filter(col("event_type") === "purchase")
+        .join(f, Seq("user_id"))
+        .select(col("user_id"),
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(date_trunc("week", col("ts")), col("cohort")) / 7)
+            .cast("long").as("wk"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("cohort_week"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("buyers"),
+          sum(col("cents")).as("revenue_cents"))
+      val cum = Window.partitionBy(col("cohort_week")).orderBy(col("wk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.select(col("cohort_week"), col("wk"), col("buyers"), col("revenue_cents"),
+          sum(col("revenue_cents")).over(cum).as("cum_revenue_cents"))
+        .orderBy(col("cohort_week"), col("wk"))
     })
 
   /** Exact ntile(4) over the total order (measure ± , user_id) with NO

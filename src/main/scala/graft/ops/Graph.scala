@@ -636,7 +636,74 @@ object Graph {
           sum(col("da") * col("db")).as("s_prod"),
           sum(col("da") + col("db")).as("s_sum"),
           sum(col("da") * col("da") + col("db") * col("db")).as("s_sq"))
+    },
+
+    // Adamic–Adar link prediction — the degree-weighted upgrade of
+    // graph_common_neighbors: a shared neighbor predicts a link in
+    // inverse proportion to how promiscuous it is, so each wedge center
+    // w contributes weight 1/log(deg w) instead of 1. The weight is the
+    // repo's INTEGER floor-log2 surrogate (text_lm_bigram_score's
+    // `length(bin(deg))-1` — no float log on either engine):
+    // w_milli = 1e6 div flog2(deg), summed per candidate pair as exact
+    // BIGINT milli-units. A wedge center has ≥2 distinct neighbors by
+    // construction (a.dst < b.dst), so flog2 ≥ 1 — no zero divisor.
+    // Same h60 p=1/8 sampled subgraph and wedge equi-join as the G6
+    // family (candidates = wedges, never all-pairs); the per-center
+    // weight joins the symmetrized edge list BEFORE the wedge join so
+    // the aggregation stays one map-side-combinable shuffle. Top-20
+    // under the (aa_milli DESC, x, y) total order — tie-deterministic.
+    GraftQuery.of("graph_adamic_adar", {
+      val h = GraftQuery.h60Sql("src::VARCHAR || '|' || dst::VARCHAR")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e1 AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM li a JOIN li b USING (l_orderkey)
+         |  WHERE a.l_partkey < b.l_partkey),
+         |samp AS MATERIALIZED (SELECT src, dst FROM e1 WHERE $h % 8 = 0),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst FROM samp UNION ALL SELECT dst, src FROM samp),
+         |wdeg AS (SELECT src AS node,
+         |    CAST(1000000 // (length(bin(count(*))) - 1) AS BIGINT) AS w_milli
+         |  FROM e GROUP BY 1 HAVING count(*) >= 2),
+         |w AS (
+         |  SELECT a.dst AS x, b.dst AS y, CAST(count(*) AS BIGINT) AS common_cnt,
+         |    CAST(sum(wd.w_milli) AS BIGINT) AS aa_milli
+         |  FROM e a JOIN e b ON a.src = b.src JOIN wdeg wd ON wd.node = a.src
+         |  WHERE a.dst < b.dst GROUP BY 1, 2)
+         |SELECT x, y, common_cnt, aa_milli FROM w
+         |ORDER BY aa_milli DESC, x, y LIMIT 20""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      val sampled = coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+        .filter(pmod(md5hash60(
+          concat_ws("|", col("src").cast("string"), col("dst").cast("string"))),
+          lit(8L)) === 0)
+      adamicAdar(sampled, 20)
     })
+
+  /** Adamic–Adar-weighted common-neighbor scores over undirected (src,
+    * dst) edges, top `k` under the (aa_milli DESC, x, y) total order.
+    * Weight of a wedge center = 1e6 div floor-log2(degree) in exact
+    * integer milli-units — see the registered `graph_adamic_adar`
+    * Scaladoc for the surrogate rationale and scale shape.
+    */
+  def adamicAdar(edges: DataFrame, k: Int): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint(true) // degree agg + both wedge sides
+    // deg-1 nodes can never center a wedge, and ANSI mode evaluates the
+    // weight for every aggregated row — filter BEFORE the flog2 divide
+    // (flog2(1) = 0) rather than guard it; also shrinks the broadcast
+    val wdeg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).filter(col("deg") >= 2)
+      .select(col("node"),
+        expr("CAST(1000000 div (length(bin(deg)) - 1) AS BIGINT)").as("w_milli"))
+    sym.as("a")
+      .join(sym.as("b"), col("a.src") === col("b.src"))
+      .filter(col("a.dst") < col("b.dst"))
+      .join(broadcast(wdeg), col("a.src") === col("node"))
+      .groupBy(col("a.dst").as("x"), col("b.dst").as("y"))
+      .agg(count(lit(1)).as("common_cnt"), sum(col("w_milli")).as("aa_milli"))
+      .orderBy(col("aa_milli").desc, col("x"), col("y")).limit(k)
+  }
 
   /** Minimum-depth multi-source BFS, capped at `rounds` hops: settled =
     * (node, first-visit depth); each round expands the previous frontier

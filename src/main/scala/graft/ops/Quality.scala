@@ -405,5 +405,90 @@ object Quality {
           sum(when(col("cents") * 2 > col("q3") * 5 - col("q1") * 3, 1L).otherwise(0L))
             .as("n_high"))
         .orderBy(col("event_type"))
+    },
+
+    // l-diversity audit — the privacy sibling of dq_k_anonymity: a
+    // quasi-identifier group can be k-anonymous yet still leak if every
+    // member shares one sensitive value (homogeneity attack). Per QI
+    // group (nation × segment), count DISTINCT sensitive values (account
+    // balance banded to 2000-unit income bands) and report the corpus
+    // floor plus the below-threshold exposure. Two chained hash
+    // aggregations — the count(DISTINCT) expands to a (QI, band) group-by
+    // before the final fold, so state is bounded by group × band
+    // cardinality, never row count. Same 100 TB shape as dq_k_anonymity;
+    // a generalization loop re-runs just this aggregate per lattice step.
+    GraftQuery.of("dq_l_diversity",
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS BIGINT) AS l,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(l) AS BIGINT) AS l_diversity,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_3,
+        |  CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+        |FROM g""".stripMargin) { (s, d) =>
+      customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(
+          countDistinct(floor(col("c_acctbal") / 2000).cast("long")).as("l"),
+          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("l")).as("l_diversity"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("groups_below_3"),
+          sum(when(col("l") < 3, col("n")).otherwise(0L)).as("rows_at_risk"))
+    },
+
+    // Benford first-digit audit — the classic fabricated-data detector:
+    // naturally-occurring multiplicative quantities follow
+    // P(d) = log10(1 + 1/d); synthetic or tampered columns don't. The
+    // digit comes from the INTEGER rendering of floor(price) (exact on
+    // both engines — no float log10 in the grouping key), the expected
+    // fractions are compile-time literals of log10(1+1/d), and the
+    // deviation is a 6-dp rounding of an integer-derived ratio minus an
+    // exact literal. One scan + one 9-group aggregate + a 9-row broadcast
+    // join: prices the same at 100 TB as at 60k rows.
+    GraftQuery.of("dq_benford",
+      """WITH v AS (
+        |  SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |    AS digit
+        |  FROM lineitem WHERE l_extendedprice >= 1),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |e AS (SELECT * FROM (VALUES
+        |  ('1', 0.30102999566398), ('2', 0.17609125905568), ('3', 0.12493873660830),
+        |  ('4', 0.09691001300806), ('5', 0.07918124604762), ('6', 0.06694678963061),
+        |  ('7', 0.05799194697769), ('8', 0.05115252244738), ('9', 0.04575749056067))
+        |  AS e(digit, exp_frac))
+        |SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n, e.exp_frac,
+        |  round(coalesce(c.n, 0)::DOUBLE / t.total, 6) AS obs_frac,
+        |  round(coalesce(c.n, 0)::DOUBLE / t.total - e.exp_frac, 6) AS dev
+        |FROM e LEFT JOIN c USING (digit) CROSS JOIN t
+        |ORDER BY e.digit""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val expected = Seq(
+        "1" -> 0.30102999566398, "2" -> 0.17609125905568, "3" -> 0.12493873660830,
+        "4" -> 0.09691001300806, "5" -> 0.07918124604762, "6" -> 0.06694678963061,
+        "7" -> 0.05799194697769, "8" -> 0.05115252244738, "9" -> 0.04575749056067)
+        .toDF("digit", "exp_frac")
+      val counts = lineitem(s, d)
+        .filter(col("l_extendedprice") >= 1)
+        .select(substring(floor(col("l_extendedprice")).cast("long").cast("string"),
+          1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("total"))
+      // counts/total are ≤9-row / 1-row aggregate outputs — broadcast
+      // them and stream nothing: the whole join tree is driver-tiny
+      // (the preserved side of an outer join cannot be the build side,
+      // so the hint goes on the aggregated sides, not `expected`)
+      expected
+        .join(broadcast(counts), Seq("digit"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("digit"),
+          coalesce(col("n"), lit(0L)).as("n"), col("exp_frac"),
+          round(coalesce(col("n"), lit(0L)) / col("total"), 6).as("obs_frac"),
+          round(coalesce(col("n"), lit(0L)) / col("total") - col("exp_frac"), 6)
+            .as("dev"))
+        .orderBy(col("digit"))
     })
 }

@@ -46,6 +46,26 @@ class GraphSpec extends AnyFunSuite {
     assert(curve == Map(0L -> 7L, 1L -> 6L, 2L -> 5L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("adamicAdar discounts promiscuous wedge centers by floor-log2 degree") {
+    import spark.implicits._
+    // hubs 100 (deg 2 → weight 1e6) and 200 (deg 4 → flog2 = 2 → 5e5);
+    // leaves 3, 4 have deg 1 and must never center a wedge
+    val edges = Seq((100L, 1L), (100L, 2L), (200L, 1L), (200L, 2L),
+      (200L, 3L), (200L, 4L)).toDF("src", "dst")
+    val rows = Graph.adamicAdar(edges, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+    val out = rows.toMap
+    // (100,200) via centers 1 AND 2, both deg-2: 2 × 1e6
+    assert(out((100L, 200L)) == ((2L, 2000000L)))
+    // (1,2) via center 100 (1e6) + center 200 (5e5)
+    assert(out((1L, 2L)) == ((2L, 1500000L)))
+    // pairs seen only through hub 200 carry its discounted weight
+    assert(out((3L, 4L)) == ((1L, 500000L)))
+    assert(out((1L, 3L)) == ((1L, 500000L)))
+    // ordering: aa_milli DESC, then (x, y)
+    assert(rows.map(_._1).take(3).toSeq == Seq((100L, 200L), (1L, 2L), (1L, 3L)))
+  }
+
   test("coOccurrenceEdges builds distinct undirected src<dst pairs per container") {
     import spark.implicits._
     val df = Seq(

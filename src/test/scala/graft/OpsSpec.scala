@@ -927,4 +927,36 @@ class OpsSpec extends AnyFunSuite {
     assert(scored(1).getLong(3) == 1000L && scored(2).getLong(3) == 0L)
     assert(out.oracle.nonEmpty)
   }
+
+  test("cohort LTV: first-event week cohorts, purchase-only revenue, running cumsum") {
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ev(id: Long, t: String, u: Long, typ: String, v: Double) =
+      Row(id, java.sql.Timestamp.valueOf(t), u, typ, v, null)
+    // 2024-01-01 is a Monday — both users cohort to week 2024-01-01; the
+    // signup proves cohorting uses ANY first event while revenue counts
+    // purchases only
+    val rows = Seq(
+      ev(1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      ev(2L, "2024-01-02 09:00:00", 1L, "purchase", 10.0),
+      ev(3L, "2024-01-16 09:00:00", 1L, "purchase", 5.5), // wk 2
+      ev(4L, "2024-01-03 11:00:00", 2L, "purchase", 20.0))
+    val dir = java.nio.file.Files.createTempDirectory("ltv").toString
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_cohort_ltv")(spark, dir).collect()
+    assert(out.length == 2)
+    val wk0 = out(0)
+    assert(wk0.getAs[String]("cohort_week") == "2024-01-01")
+    assert(wk0.getAs[Long]("wk") == 0L && wk0.getAs[Long]("buyers") == 2L)
+    assert(wk0.getAs[Long]("revenue_cents") == 3000L)
+    assert(wk0.getAs[Long]("cum_revenue_cents") == 3000L)
+    val wk2 = out(1)
+    assert(wk2.getAs[Long]("wk") == 2L && wk2.getAs[Long]("buyers") == 1L)
+    assert(wk2.getAs[Long]("revenue_cents") == 550L)
+    assert(wk2.getAs[Long]("cum_revenue_cents") == 3550L)
+  }
 }

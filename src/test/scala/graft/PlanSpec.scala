@@ -336,6 +336,7 @@ class PlanSpec extends AnyFunSuite {
       "q11_important_stock" -> "1-row total/part-count frame for the threshold",
       "q22_dormant_customers" -> "1-row positive-balance stats frame",
       "dq_freshness" -> "1-row global-max frame crosses into the per-source lag",
+      "dq_benford" -> "1-row digit-total frame crosses into the 9-row digit spine",
       "dq_drift" -> "1-row min/max-bounds frame + 1-row share-totals frame cross into the per-type counts",
       "dedup_semantic" -> "broadcast 16-centroid codebook x corpus scan (cluster assignment)")
     // stream_* excluded: their returned frame is a localCheckpointed

@@ -124,4 +124,43 @@ class QualitySpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("rel") -> r.getAs[Long]("n_orphans")).toMap
     assert(out.size == 4 && out.values.forall(_ == 0L))
   }
+
+  test("l-diversity flags the homogeneous group a k-anonymity check misses") {
+    // group (1, A): k=3 AND l=3 (bands 0, 1, 2) — diverse, not at risk.
+    // group (2, B): k=2 — would pass a k>=2 gate — but BOTH members share
+    //   income band 0 → l=1, the homogeneity attack l-diversity exists for.
+    val crafted = Seq(
+      (1L, "c1", 1, 100.0, "A"),
+      (2L, "c2", 1, 2500.0, "A"),
+      (3L, "c3", 1, 4500.0, "A"),
+      (4L, "c4", 2, 100.0, "B"),
+      (5L, "c5", 2, 150.0, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val dir = java.nio.file.Files.createTempDirectory("ldiv").toString
+    crafted.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = SparkEntry.queries("dq_l_diversity")(spark, dir).collect().head
+    assert(out.getAs[Long]("n_groups") == 2L)
+    assert(out.getAs[Long]("l_diversity") == 1L)
+    assert(out.getAs[Long]("groups_below_3") == 1L)
+    assert(out.getAs[Long]("rows_at_risk") == 2L)
+  }
+
+  test("benford digits come from exact integer rendering; absent digits report 0") {
+    // digits: 100.5→1, 19999.99→1, 250.0→2, 900.0→9; 0.5 is excluded by
+    // the >=1 guard (no first digit to take)
+    val crafted = Seq(100.5, 19999.99, 250.0, 900.0, 0.5).toDF("l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("benford").toString
+    crafted.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("dq_benford")(spark, dir).collect()
+    assert(rows.length == 9) // all nine digits, observed or not
+    val byDigit = rows.map(r => r.getAs[String]("digit") ->
+      (r.getAs[Long]("n"), r.getAs[Double]("obs_frac"))).toMap
+    assert(byDigit("1") == ((2L, 0.5)))
+    assert(byDigit("2") == ((1L, 0.25)))
+    assert(byDigit("9") == ((1L, 0.25)))
+    assert(byDigit("5") == ((0L, 0.0)))
+    // deviation is obs − the Benford literal, rounded to 6dp
+    val d1 = rows.find(_.getAs[String]("digit") == "1").get
+    assert(d1.getAs[Double]("dev") == math.rint((0.5 - 0.30102999566398) * 1e6) / 1e6)
+  }
 }
