@@ -1183,6 +1183,41 @@ object Events {
       g.select(col("cohort_week"), col("wk"), col("buyers"), col("revenue_cents"),
           sum(col("revenue_cents")).over(cum).as("cum_revenue_cents"))
         .orderBy(col("cohort_week"), col("wk"))
+    },
+
+    // Inter-arrival-time histogram — the traffic-shape diagnostic that
+    // sizes session gaps, debounce thresholds, and watermark horizons
+    // from the data instead of folklore: per-user consecutive-event gaps
+    // (lag over exact epoch micros, (us, event_id)-ordered so ties are
+    // deterministic), bucketed on a log2 grid via the integer
+    // floor-log2 idiom (`length(bin(gap_s + 1)) - 1` — gap 0 lands in
+    // bucket 0, no float log on either engine), with exact min/max gap
+    // seconds per bucket. One user-partitioned sort window (never
+    // global) + one ~35-group aggregate — J23 debounce's window shape
+    // feeding a bounded histogram; identical price at any corpus size.
+    GraftQuery.of("events_inter_arrival_hist",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT us - lag(us) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS gap_us FROM e),
+        |b AS (SELECT gap_us // 1000000 AS gap_s FROM g WHERE gap_us IS NOT NULL)
+        |SELECT CAST(length(bin(gap_s + 1)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+        |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(byUser))
+        .filter(col("gap_us").isNotNull)
+        .select(expr("gap_us div 1000000").as("gap_s"))
+        .groupBy((length(bin(col("gap_s") + 1)) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_s")).as("min_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+        .orderBy(col("bucket"))
     })
 
   /** Exact ntile(4) over the total order (measure ± , user_id) with NO

@@ -959,4 +959,30 @@ class OpsSpec extends AnyFunSuite {
     assert(wk2.getAs[Long]("revenue_cents") == 550L)
     assert(wk2.getAs[Long]("cum_revenue_cents") == 3550L)
   }
+
+  test("inter-arrival histogram: per-user gaps on a log2 grid, cross-user gaps never counted") {
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ev(id: Long, t: String, u: Long) =
+      Row(id, java.sql.Timestamp.valueOf(t), u, "view", 0.0, null)
+    // user 1 gaps: 0s (same-second pair, tie-broken by event_id), 3s, 60s;
+    // user 2: single event → no gap. The 10:00:00 boundary between users
+    // must NOT produce a cross-user gap.
+    val rows = Seq(
+      ev(1L, "2024-01-01 10:00:00", 1L), ev(2L, "2024-01-01 10:00:00", 1L),
+      ev(3L, "2024-01-01 10:00:03", 1L), ev(4L, "2024-01-01 10:01:03", 1L),
+      ev(5L, "2024-01-01 10:00:01", 2L))
+    val dir = java.nio.file.Files.createTempDirectory("iah").toString
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_inter_arrival_hist")(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Long]("min_gap_s"), r.getAs[Long]("max_gap_s"))))
+      .toMap
+    // gap 0 → flog2(1) = bucket 0; gap 3 → flog2(4) = 2; gap 60 → flog2(61) = 5
+    assert(out == Map(0L -> ((1L, 0L, 0L)), 2L -> ((1L, 3L, 3L)), 5L -> ((1L, 60L, 60L))))
+  }
 }
