@@ -461,11 +461,11 @@ object ScaleOps {
          |FROM src GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, d) =>
       import graft.functions.Md5Hash60.md5hash60
-      // PID-suffixed like the bucket tables: Verify alongside Bench on
-      // the same SF is a normal local workflow, and a shared path's
-      // mode-overwrite would race the other process's lazy re-read
-      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}" +
-        s"/events_pseudo_${java.lang.ProcessHandle.current().pid()}"
+      // per-PROCESS scratch (shutdown-hook-cleaned): Verify alongside
+      // Bench on the same SF is a normal local workflow, and a shared
+      // path's mode-overwrite would race the other process's lazy re-read;
+      // the hook keeps repeated runs from accumulating orphaned PID trees
+      val base = processScratch(d, "events_pseudo")
       val ev = events(s, d)
       ev.select(col("event_type"),
           md5hash60(concat(col("user_id").cast("string"), lit(":psalt7")))

@@ -63,6 +63,31 @@ object Tables {
     * on one session against different dirs.
     */
   def viewSuffix(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Per-PROCESS scratch root under /tmp/graft_sink, deleted by a JVM
+    * shutdown hook: the PID suffix only has to span concurrently-running
+    * processes (Verify alongside Bench on the same SF is a normal local
+    * workflow), so tying the directory's lifetime to the process keeps
+    * repeated runs from accumulating orphaned sink trees.
+    */
+  private lazy val processScratchRoot: String = {
+    val p = s"/tmp/graft_sink/pid_${java.lang.ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val f = new java.io.File(p)
+      if (f.exists()) {
+        java.nio.file.Files.walk(f.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.delete(q))
+      }
+    }))
+    p
+  }
+
+  /** Scratch directory for a per-dataset materialized artifact, cleaned up
+    * on JVM exit (see [[processScratchRoot]]).
+    */
+  def processScratch(d: String, name: String): String =
+    s"$processScratchRoot/${new java.io.File(d).getName}/$name"
 }
 
 /** One registered engine query: a Spark implementation plus (when the

@@ -423,4 +423,20 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("graph consumers scan the materialized edge artifact, not the fact table") {
+    // full-edge consumer: the plan reads the standing graph_edges parquet —
+    // the co-occurrence construction (distinct + self-join over lineitem)
+    // ran ONCE at artifact build, never inside a consumer
+    val pd = planOf("graph_degree_hist")
+    assert(pd.contains("graph_edges"), pd.take(3000))
+    assert(!pd.contains("lineitem"), pd.take(3000))
+    // sampled consumer: the precomputed Doulion flag arrives as a
+    // PUSHED-DOWN parquet filter on the same scan (no per-query md5 pass)
+    val pa = planOf("graph_assortativity")
+    assert(pa.contains("graph_edges"), pa.take(3000))
+    assert(!pa.contains("lineitem"), pa.take(3000))
+    assert(pa.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("samp")), pa.take(4000))
+  }
 }
