@@ -1062,9 +1062,15 @@ object Dedup {
     val bloomBytes = index
       .agg(Bridge.bloomFilterAgg(col("fpl"), 1L << 20).as("bf"))
       .collect()(0).getAs[Array[Byte]]("bf")
+    // EMPTY standing corpus → bloom_filter_agg yields NULL, and a null
+    // sketch would fail at execution; semantically every fresh row is
+    // then definitely new, which is exactly `maybe = false`
+    val maybeCol =
+      if (bloomBytes == null) lit(false)
+      else Bridge.mightContain(bloomBytes, col("fpl"))
     val tagged = fresh
       .select(col("doc_id"), normFingerprint(col("text")).as("fp"), fpL.as("fpl"))
-      .withColumn("maybe", Bridge.mightContain(bloomBytes, col("fpl")))
+      .withColumn("maybe", maybeCol)
     val definiteNew = tagged.filter(!col("maybe"))
       .select(col("doc_id"), lit(false).as("is_dup_of_existing"),
         lit(-1L).as("dup_of"))

@@ -341,9 +341,13 @@ object Quality {
         |  FROM e, b GROUP BY 1),
         |tot AS (SELECT sum(n_early) AS te, sum(n_late) AS tl FROM t)
         |SELECT event_type, n_early, n_late,
-        |  CAST((n_early * 1000) // te AS BIGINT) AS share_early_pm,
-        |  CAST((n_late * 1000) // tl AS BIGINT) AS share_late_pm,
-        |  CAST(abs((n_early * 1000) // te - (n_late * 1000) // tl) AS BIGINT) AS drift_pm
+        |  CAST(CASE WHEN te = 0 THEN 0 ELSE (n_early * 1000) // te END AS BIGINT)
+        |    AS share_early_pm,
+        |  CAST(CASE WHEN tl = 0 THEN 0 ELSE (n_late * 1000) // tl END AS BIGINT)
+        |    AS share_late_pm,
+        |  CAST(abs((CASE WHEN te = 0 THEN 0 ELSE (n_early * 1000) // te END)
+        |    - (CASE WHEN tl = 0 THEN 0 ELSE (n_late * 1000) // tl END)) AS BIGINT)
+        |    AS drift_pm
         |FROM t, tot ORDER BY event_type""".stripMargin) { (s, d) =>
       val e = events(s, d)
         .select(col("event_type"), expr("unix_micros(ts) div 1000000").as("sec"))
@@ -354,12 +358,16 @@ object Quality {
           sum(when(col("sec") * 2 <= col("mn") + col("mx"), 1L).otherwise(0L)).as("n_early"),
           sum(when(col("sec") * 2 > col("mn") + col("mx"), 1L).otherwise(0L)).as("n_late"))
       val totals = perType.agg(sum(col("n_early")).as("te"), sum(col("n_late")).as("tl"))
+      // a DEGENERATE corpus (every event at one timestamp) puts all rows
+      // in the early half, so the late share's divisor is 0 — its share
+      // is then 0‰ by definition, guarded identically on both engines
+      val earlyPm = expr("CASE WHEN te = 0 THEN 0L ELSE (n_early * 1000) div te END")
+      val latePm = expr("CASE WHEN tl = 0 THEN 0L ELSE (n_late * 1000) div tl END")
       perType.crossJoin(broadcast(totals))
         .select(col("event_type"), col("n_early"), col("n_late"),
-          expr("(n_early * 1000) div te").as("share_early_pm"),
-          expr("(n_late * 1000) div tl").as("share_late_pm"),
-          abs(expr("(n_early * 1000) div te") - expr("(n_late * 1000) div tl"))
-            .as("drift_pm"))
+          earlyPm.as("share_early_pm"),
+          latePm.as("share_late_pm"),
+          abs(earlyPm - latePm).as("drift_pm"))
         .orderBy(col("event_type"))
     },
 

@@ -22,9 +22,19 @@ object RankStats {
 
   /** Per `part` group: `n` plus, for each (alias, a, b), the value of
     * `value` at rank ceil(a·n/b) under (value, tie) ascending order.
+    *
+    * CONTRACT: `part`/`value`/`tie` are COLUMN NAMES (not expression
+    * strings — `value` is interpolated into the rank-threshold `expr`),
+    * and `__rn`/`__n` are reserved helper names the caller's frame must
+    * not already carry — both are rejected eagerly rather than silently
+    * miscomputing.
     */
   def valueAtCeilRanks(df: DataFrame, part: String, value: String, tie: String,
       fracs: Seq[(String, Int, Int)]): DataFrame = {
+    require(Seq(part, value, tie).forall(df.columns.contains),
+      s"part/value/tie must be existing column names; have ${df.columns.mkString(",")}")
+    require(!df.columns.contains("__rn") && !df.columns.contains("__n"),
+      "__rn/__n are reserved helper columns of valueAtCeilRanks")
     val byP = Window.partitionBy(col(part))
     val ranked = df
       .withColumn("__rn", row_number().over(byP.orderBy(col(value), col(tie))))

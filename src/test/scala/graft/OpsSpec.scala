@@ -903,6 +903,15 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == Seq(Seq(10L, true, 0L), Seq(11L, false, -1L), Seq(12L, true, 1L)))
   }
 
+  test("bloom-prefiltered incremental dedup: EMPTY standing corpus marks all fresh rows new") {
+    // bloom_filter_agg over zero rows yields a NULL sketch; the guard must
+    // short-circuit to "definitely new" rather than probe a null bloom
+    val existing = docsDf().limit(0)
+    val fresh = docsDf(10L -> "alpha", 11L -> "beta")
+    val out = Dedup.incrementalDedupBloom(existing, fresh).collect().map(_.toSeq).toSeq
+    assert(out == Seq(Seq(10L, false, -1L), Seq(11L, false, -1L)), out.toString)
+  }
+
   test("bigram LM score: hand-computed floor-log2 milli average") {
     // corpus: "a b" occurs 3x (doc0 twice, doc1 once), "b a" 1x, "x y" 1x
     val docs = docsDf(0L -> "a b a b", 1L -> "a b", 2L -> "x y")
