@@ -1085,7 +1085,7 @@ object Events {
     // freq; cents div 1e5 for monetary — div is monotone, so blocks never
     // interleave), the per-block row_number runs as a KEY-PARTITIONED
     // window, and each block adds the row count of all strictly-prior
-    // blocks — a prefix over the collected block dimension (bounded by
+    // blocks — an IN-PLAN prefix over the block dimension (bounded by
     // VALUE RANGE, not data size) broadcast back as an equi-join. The
     // bucket is then pure arithmetic on the global rank (ntile's
     // first-r-buckets-get-the-extra-row rule). The fact reduces
@@ -1221,41 +1221,44 @@ object Events {
     })
 
   /** Exact ntile(4) over the total order (measure ± , user_id) with NO
-    * unpartitioned window — the scale-safe quartile assignment behind
-    * `events_rfm`. `blk` must be a monotone function of the measure (so
-    * block ranges never interleave under the sort direction): global rank
-    * = (rows in strictly-prior blocks) + row_number within the block.
-    * Block counts collect to the driver — bounded by the measure's VALUE
-    * RANGE (days, per-user purchase counts, cents div 1e5), not by data
-    * size — and return as a broadcast equi-join. The bucket is ntile's
-    * exact arithmetic: with N = 4q + r, buckets 1..r take q+1 rows.
+    * data-sized window and NO driver round-trip — the scale-safe quartile
+    * assignment behind `events_rfm`. `blk` must be a monotone function of
+    * the measure (so block ranges never interleave under the sort
+    * direction): global rank = (rows in strictly-prior blocks) +
+    * row_number within the block. The prior-block offsets are a prefix
+    * sum over the BLOCK dimension — bounded by the measure's VALUE RANGE
+    * (days, per-user purchase counts, cents div 1e5), not by data size —
+    * computed IN-PLAN as the J19/J20 two-phase shape (window over the
+    * tiny block frame, broadcast back as an equi-join), so block-key
+    * cardinality never rides through the driver. The bucket is ntile's
+    * exact arithmetic carried by a broadcast 1-row total: with
+    * N = 4q + r, buckets 1..r take q+1 rows.
     */
   private def blockedNtile4(u: DataFrame, m: String, desc: Boolean,
       blk: Column, out: String): DataFrame = {
     val cnts = u.withColumn("__blk", blk.cast("long"))
       .groupBy("__blk").agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val ordered = if (desc) cnts.sortBy(b => -b._1) else cnts.sortBy(_._1)
-    val n = ordered.iterator.map(_._2).sum
-    var acc = 0L
-    val offs = ordered.map { case (b, c) => val row = (b, acc); acc += c; row }
-    val sess = u.sparkSession
-    import sess.implicits._
-    val offDf = broadcast(offs.toSeq.toDF("__blk", "__off"))
+    // prefix over blocks: the ONE unpartitioned window runs on the
+    // bounded block frame (the documented two-phase pattern), never data
+    val bw = Window.orderBy(if (desc) col("__blk").desc else col("__blk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = broadcast(
+      cnts.select(col("__blk"), coalesce(sum(col("__c")).over(bw), lit(0L)).as("__off")))
+    val tot = broadcast(cnts.agg(sum(col("__c")).as("__n")))
     val ord =
       if (desc) Seq(col(m).desc, col("user_id").asc)
       else Seq(col(m).asc, col("user_id").asc)
     val w = Window.partitionBy(col("__blk")).orderBy(ord: _*)
-    val q = n / 4
-    val r = n % 4
     u.withColumn("__blk", blk.cast("long"))
       .join(offDf, "__blk")
+      .crossJoin(tot)
       .withColumn("__rn", (col("__off") + row_number().over(w)).cast("long"))
       .withColumn(out, expr(
-        s"CAST(CASE WHEN __rn <= ${r * (q + 1)} " +
-          s"THEN ((__rn - 1) div ${q + 1}) + 1 " +
-          s"ELSE $r + ((__rn - ${r * (q + 1)} - 1) div ${math.max(q, 1L)}) + 1 " +
-          s"END AS BIGINT)"))
-      .drop("__blk", "__off", "__rn")
+        """CAST(CASE WHEN __rn <= (__n % 4) * ((__n div 4) + 1)
+          |  THEN ((__rn - 1) div ((__n div 4) + 1)) + 1
+          |  ELSE (__n % 4) + ((__rn - (__n % 4) * ((__n div 4) + 1) - 1)
+          |    div greatest(__n div 4, 1L)) + 1
+          |  END AS BIGINT)""".stripMargin))
+      .drop("__blk", "__off", "__rn", "__n")
   }
 }

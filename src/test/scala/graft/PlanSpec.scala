@@ -313,6 +313,7 @@ class PlanSpec extends AnyFunSuite {
       "events_dau_wau" -> "1-row day-bounds frame clips the cover-day explode",
       "events_funnel" -> "1-row per-stage counts cross into the funnel",
       "events_peak_concurrency" -> "1-row peak/session-count frames cross into the argmin",
+      "events_rfm" -> "1-row user-total frame per measure (blocked exact ntile)",
       "events_resample_1h" -> "bounded hour spine x 5-row type dimension",
       "graph_pagerank" -> "1-row N frame joins every rank row",
       "graph_triangles" -> "1-row sampled-edge count frame crosses into the count",
