@@ -76,5 +76,27 @@ object ArchiveQueries {
         .select(col("id"), col("eventID"), col("eventDate"), col("coreid"),
           col("occurrence_occurrenceStatus"), col("occurrence_basisOfRecord"))
         .orderBy(col("id").cast("long"))
+    },
+
+    // X16 — DSv2 COUNT(*) aggregate pushdown under the oracle hash: the
+    // archive-cardinality probe answers INSIDE the scan (one emitted
+    // long, no row materializes), and the registered query REQUIRES the
+    // pushed aggregate in its own physical plan before returning — a
+    // regression to a row-scan count fails the correctness gate, not
+    // just a spec. The oracle counts the same CSV rows in DuckDB.
+    GraftQuery.of("q_s1_archive_count_pushdown",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows
+         |FROM read_csv('$occSimple/occurrence.txt', header = true,
+         |              all_varchar = true)""".stripMargin) { (s, _) =>
+      val df = s.read.format("dwca").option("path", occSimple).load()
+        .agg(count(lit(1)).as("n_rows"))
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      require(scans.size == 1 &&
+        scans.head.scan.description().contains("PushedAggregates: [COUNT(*)]"),
+        s"COUNT(*) did not push into the DwCA scan:\n" +
+          df.queryExecution.executedPlan.toString.take(2000))
+      df
     })
 }

@@ -270,6 +270,36 @@ object ScaleOps {
         .foreach(t => dropTableAndDir(s, t))
     },
 
+    // K16 — bucket-PRUNED point lookup under the oracle hash: the
+    // read-side payoff of bucketing. An equality filter on the bucket
+    // column scans 1 of 8 buckets — the registered query REQUIRES
+    // `SelectedBucketsCount: 1 out of 8` in its own physical plan before
+    // returning, so a regression to a full scan fails the correctness
+    // gate; the oracle states the same filter over the base table, which
+    // proves pruning lost no qualifying row. The forced-bucketed conf
+    // lives on a CLONED session (filter-only scans get bucketing
+    // auto-disabled by the "no benefit" heuristic, which doesn't model
+    // pruning) so the shared session's conf is untouched.
+    GraftQuery.of("q_bucket_point_lookup",
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey = 37 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val suf = viewSuffix(d) + "_" + java.lang.ProcessHandle.current().pid()
+      val t = s"graft_bk16_ord_$suf"
+      dropTableAndDir(s, t)
+      try {
+        orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable(t)
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val probe = s2.table(t).filter(col("o_custkey") === 37L)
+        val plan = probe.queryExecution.executedPlan.toString
+        require(plan.contains("SelectedBucketsCount: 1 out of 8"),
+          s"bucket pruning did not reach the scan:\n${plan.take(2000)}")
+        probe.orderBy(col("o_orderkey")).localCheckpoint(true)
+      } finally dropTableAndDir(s, t)
+    },
+
     // Point-in-time enrichment: every event carries the id/value of the
     // user's most recent purchase at-or-before it. The oracle replays the
     // identical union+window formulation (same ordering, same tie rules).
