@@ -888,6 +888,67 @@ object Events {
         .orderBy(col("hour_id"))
     },
 
+    // The 100 TB percentile swap, PROVEN: events_hourly_p95 documents
+    // "at scale, swap exact ranks for per-window approx_percentile with
+    // identical shape" — this twin executes that swap under the
+    // q_approx_quantiles rank-error-envelope discipline. The sketch's
+    // merge order isn't SQL-replayable, so the approximate VALUES stay
+    // out of the compare; what's hash-checked per hour is the exact
+    // rank-based p50/p95 (same arithmetic as the exact twin) plus
+    // booleans asserting the sketch's answers sit within ±1% rank of
+    // their targets — computed in-engine by counting rows ≤ / < each
+    // sketch answer against the broadcast per-hour probe frame. One
+    // per-hour sketch aggregate (constant memory, mergeable — the
+    // global-sort-free tier) + one rank window for the exact reference.
+    GraftQuery.of("events_hourly_p95_approx",
+      """WITH c AS (SELECT event_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT hour_id, cents,
+        |    row_number() OVER (PARTITION BY hour_id ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY hour_id) AS n
+        |  FROM c)
+        |SELECT hour_id, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN rn <= (n + 1) // 2 THEN cents END) AS BIGINT) AS p50_cents,
+        |  CAST(max(CASE WHEN rn <= (19 * n + 19) // 20 THEN cents END) AS BIGINT)
+        |    AS p95_cents,
+        |  TRUE AS p50_within_bounds, TRUE AS p95_within_bounds
+        |FROM r GROUP BY 1 ORDER BY hour_id""".stripMargin) { (s, d) =>
+      val acc = 100 // eps = 1% rank error
+      val c = events(s, d).select(col("event_id"),
+        expr("unix_micros(ts) div 3600000000").as("hour_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val apx = c.groupBy(col("hour_id"))
+        .agg(expr(s"approx_percentile(cents, array(0.5, 0.95), $acc)").as("apx"))
+        .select(col("hour_id"),
+          element_at(col("apx"), 1).as("a50"), element_at(col("apx"), 2).as("a95"))
+      val checks = c.join(broadcast(apx), "hour_id")
+        .groupBy(col("hour_id"), col("a50"), col("a95"))
+        .agg(count(lit(1)).as("nn"),
+          sum(when(col("cents") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("cents") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("cents") <= col("a95"), 1L).otherwise(0L)).as("le95"),
+          sum(when(col("cents") < col("a95"), 1L).otherwise(0L)).as("lt95"))
+        // envelope = eps·n plus ONE rank of index-convention slack: with
+        // per-hour groups this small (n ≈ 100), eps·n < 1 rank, and the
+        // sketch's continuous-index target (p·(n−1)+1) vs this oracle's
+        // ceil(p·n) differ by up to one discrete rank — measured exactly
+        // ±1 at sf0.1, never more
+        .select(col("hour_id"),
+          (col("le50") >= (lit(0.5) - lit(1.0 / acc)) * col("nn") - 1 &&
+            col("lt50") <= (lit(0.5) + lit(1.0 / acc)) * col("nn") + 1)
+            .as("p50_within_bounds"),
+          (col("le95") >= (lit(0.95) - lit(1.0 / acc)) * col("nn") - 1 &&
+            col("lt95") <= (lit(0.95) + lit(1.0 / acc)) * col("nn") + 1)
+            .as("p95_within_bounds"))
+      RankStats.valueAtCeilRanks(c, part = "hour_id", value = "cents",
+          tie = "event_id", fracs = Seq(("p50_cents", 1, 2), ("p95_cents", 19, 20)))
+        .join(checks, "hour_id")
+        .select(col("hour_id"), col("n"), col("p50_cents"), col("p95_cents"),
+          col("p50_within_bounds"), col("p95_within_bounds"))
+        .orderBy(col("hour_id"))
+    },
+
     // TOP USER PATHS — the transition matrix's higher-order sibling:
     // most common 3-step event-type sequences across user timelines
     // (path/journey mining: "view>view>purchase beats view>click>
