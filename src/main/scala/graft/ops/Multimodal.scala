@@ -9,14 +9,18 @@ import Tables._
   * columns with typed metadata, and run feature extraction as a
   * per-partition batch operation.
   *
-  * The real decode step (image/audio codecs) is STUBBED — the container has
-  * no media libraries — by [[fakeFeatures]], a deterministic hash-derived
-  * feature vector. Everything around the stub is real and load-bearing at
-  * scale: binary columns flow through parquet scans untouched (no
-  * row-group-wide string decode), metadata extraction is codegen'd
-  * expression work, and the feature extractor has the batch shape a
-  * vectorized UDF would have (array<double> out, fixed dim, no driver
-  * round-trips).
+  * The MODEL-feature decode step (JPEG/MP4 codecs, embedding models) is
+  * STUBBED — the container has no media libraries — by [[fakeFeatures]],
+  * a deterministic hash-derived feature vector. Two container formats ARE
+  * decoded for real with what the JDK itself provides: PNG via
+  * javax.imageio and RIFF/WAV via pure byte arithmetic (see
+  * `mm_png_decode` / `mm_wav_decode` — dims and sample statistics come
+  * from parsing genuine bytes on disk). Everything around the remaining
+  * stubs is real and load-bearing at scale: binary columns flow through
+  * parquet scans untouched (no row-group-wide string decode), metadata
+  * extraction is codegen'd expression work, and the feature extractor has
+  * the batch shape a vectorized UDF would have (array<double> out, fixed
+  * dim, no driver round-trips).
   */
 object Multimodal {
 
@@ -434,7 +438,194 @@ object Multimodal {
          |ORDER BY media_id_a, media_id_b""".stripMargin
     }) { (s, d) =>
       phashDedup(documents(s, d))
+    },
+
+    // REAL PNG round-trip (see the codec-tier comment above [[pngDims]]):
+    // per document a genuine PNG is encoded (ImageIO, lossless 8-bit
+    // gray), LANDS ON DISK through a parquet sink, is re-read, and the
+    // emitted dims + pixel sum come from DECODING those bytes — signature,
+    // IHDR, and zlib-inflated IDAT raster, not a payload hash. Both codec
+    // steps run in the mapPartitions slot (per-partition setup, no driver
+    // round-trip); the oracle predicts the decoder's output analytically
+    // from the generator formula, so one misparsed byte hash-mismatches.
+    GraftQuery.of("mm_png_decode",
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |  CAST(8 + (doc_id // 9) % 9 AS BIGINT) AS h,
+        |  CAST(list_sum(flatten(list_transform(range(0, 8 + (doc_id // 9) % 9), y ->
+        |    list_transform(range(0, 8 + doc_id % 9), x ->
+        |      (31 * doc_id + 7 * x + 13 * y) % 256)))) AS BIGINT) AS px_sum
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val out = processScratch(d, "png_payloads")
+      documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map(id => (id, encodePng(id))))
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).as[(Long, Array[Byte])]
+        .mapPartitions(rows => rows.map { case (id, bytes) =>
+          val (w, h, sum) = decodePng(bytes)
+          PngInfo(id, w, h, sum)
+        })
+        .toDF().orderBy(col("media_id"))
+    },
+
+    // REAL WAV round-trip — the audio twin of mm_png_decode: a genuine
+    // RIFF/WAVE container (PCM fmt chunk + little-endian 16-bit data) per
+    // document through the same sink-then-decode path; sample rate,
+    // count, |energy| and peak come from WALKING THE CHUNK LIST and
+    // decoding the PCM bytes. This retires mm_audio_energy's "payload
+    // bytes stand in for samples" caveat for the container tier.
+    GraftQuery.of("mm_wav_decode",
+      """SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(64 + doc_id % 128 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(0, 64 + doc_id % 128), i ->
+        |    abs((17 * doc_id + 29 * i) % 4096 - 2048))) AS BIGINT) AS abs_energy,
+        |  CAST(list_max(list_transform(range(0, 64 + doc_id % 128), i ->
+        |    (17 * doc_id + 29 * i) % 4096 - 2048)) AS BIGINT) AS peak
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val out = processScratch(d, "wav_payloads")
+      documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map(id => (id, encodeWav(id))))
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).as[(Long, Array[Byte])]
+        .mapPartitions(rows => rows.map { case (id, bytes) =>
+          val (rate, n, energy, peak) = decodeWav(bytes)
+          WavInfo(id, rate, n, energy, peak)
+        })
+        .toDF().orderBy(col("media_id"))
     })
+
+  // ---------------------------------------------------------------------
+  // REAL codecs — the one tier that was previously simulated. No media
+  // library ships in the container, but PNG grayscale is losslessly
+  // encodable/decodable with the JDK's own javax.imageio, and RIFF/WAV
+  // PCM is pure byte arithmetic. The payloads are SYNTHESIZED
+  // deterministically from row keys (the testdata carries no real media),
+  // but everything after synthesis is genuine: real PNG/WAV bytes land on
+  // disk through a parquet sink, are re-read, and the emitted dims /
+  // sample statistics come from PARSING THOSE BYTES (zlib-inflated IDAT
+  // rasters, little-endian chunk walks) — not from a hash of the payload.
+  // The oracle replays the generator formula analytically, so a decoder
+  // that misparses one byte hash-mismatches.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic tiny grayscale test image for `id`: w = 8 + id mod 9,
+    * h = 8 + (id div 9) mod 9, pixel(x, y) = (31·id + 7x + 13y) mod 256.
+    */
+  private[graft] def pngDims(id: Long): (Int, Int) =
+    ((8 + id % 9).toInt, (8 + (id / 9) % 9).toInt)
+
+  /** A REAL PNG (signature + IHDR + zlib IDAT) of the deterministic
+    * raster, via the JDK's ImageIO PNG writer — lossless 8-bit grayscale,
+    * so every pixel round-trips exactly.
+    */
+  private[graft] def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((31 * id + 7 * x + 13 * y) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer available")
+    bos.toByteArray
+  }
+
+  /** REAL PNG decode: ImageIO parses the signature/IHDR/IDAT structure and
+    * inflates the raster; returns (width, height, Σ gray samples) read
+    * from the DECODED image — the values the oracle predicts analytically.
+    */
+  private[graft] def decodePng(bytes: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (img.getWidth, img.getHeight, sum)
+  }
+
+  /** Deterministic PCM test signal for `id`: n = 64 + id mod 128 samples,
+    * sample(i) = (17·id + 29i) mod 4096 − 2048 (signed 16-bit range).
+    */
+  private[graft] def wavSamples(id: Long): Array[Short] =
+    Array.tabulate((64 + id % 128).toInt)(i => ((17 * id + 29 * i) % 4096 - 2048).toShort)
+
+  /** A REAL RIFF/WAVE container: canonical 44-byte header (PCM fmt chunk,
+    * mono, 8 kHz, 16-bit) + little-endian sample data.
+    */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val samples = wavSamples(id)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(8000 * 2) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL RIFF parse: validates the RIFF/WAVE magics, WALKS THE CHUNK LIST
+    * (id + little-endian size, word-aligned) to find fmt and data — no
+    * fixed-offset shortcuts — and decodes the PCM samples. Returns
+    * (sample_rate, n_samples, Σ|sample|, max sample).
+    */
+  private[graft] def decodeWav(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    bb.getInt // declared riff size
+    require(fourcc() == "WAVE", "not a WAVE form")
+    var rate = -1
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8) {
+      val id = fourcc()
+      val size = bb.getInt
+      id match {
+        case "fmt " =>
+          val start = bb.position()
+          require(bb.getShort == 1, "not PCM")
+          require(bb.getShort == 1, "not mono")
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          require(bb.getShort == 16, "not 16-bit")
+          bb.position(start + size + (size & 1)) // chunks are word-aligned
+        case "data" =>
+          samples = Array.fill(size / 2)(bb.getShort)
+          if ((size & 1) == 1 && bb.hasRemaining) bb.get
+        case _ =>
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(rate > 0 && samples != null, "missing fmt or data chunk")
+    (rate, samples.length,
+      samples.foldLeft(0L)((a, s) => a + math.abs(s.toLong)),
+      samples.foldLeft(Long.MinValue)((a, s) => math.max(a, s.toLong)))
+  }
+
+  final case class PngInfo(media_id: Long, w: Long, h: Long, px_sum: Long)
+  final case class WavInfo(media_id: Long, sample_rate: Long, n_samples: Long,
+      abs_energy: Long, peak: Long)
 
   /** 60-bit perceptual hash of the payload-block stream: bit j = parity of
     * the keyed digest of block `j mod n` (n = payload block count). With a

@@ -903,6 +903,49 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == Seq(Seq(10L, true, 0L), Seq(11L, false, -1L), Seq(12L, true, 1L)))
   }
 
+  test("PNG codec: encode emits a real PNG, decode recovers every pixel of the formula") {
+    for (id <- Seq(0L, 1L, 9L, 77L, 4999L)) {
+      val bytes = Multimodal.encodePng(id)
+      // real container: the 8-byte PNG signature leads the stream
+      assert(bytes.take(8).map(_ & 0xff).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), s"id=$id not a PNG")
+      val (w, h, sum) = Multimodal.decodePng(bytes)
+      val (ew, eh) = Multimodal.pngDims(id)
+      val esum = (for { y <- 0 until eh; x <- 0 until ew }
+        yield (31 * id + 7 * x + 13 * y) % 256).sum
+      assert((w, h, sum) == (ew, eh, esum), s"id=$id got ($w,$h,$sum)")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng("not an image".getBytes)
+    }
+  }
+
+  test("WAV codec: chunk walk recovers rate and samples; extra chunk is skipped") {
+    for (id <- Seq(0L, 63L, 64L, 191L, 4999L)) {
+      val samples = Multimodal.wavSamples(id)
+      val (rate, n, energy, peak) = Multimodal.decodeWav(Multimodal.encodeWav(id))
+      assert(rate == 8000 && n == samples.length, s"id=$id rate=$rate n=$n")
+      assert(energy == samples.map(s => math.abs(s.toLong)).sum, s"id=$id")
+      assert(peak == samples.map(_.toLong).max, s"id=$id")
+    }
+    // the parser walks chunks generically: a LIST chunk between fmt and
+    // data (common in real recorders) must be skipped, not break the parse
+    val base = Multimodal.encodeWav(5L)
+    val bb = java.nio.ByteBuffer.allocate(base.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(base, 0, 36) // RIFF header + fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    bb.put(base, 36, base.length - 36) // data chunk
+    val withList = bb.array()
+    // patch the RIFF size for the injected 12 bytes
+    java.nio.ByteBuffer.wrap(withList).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, base.length + 12 - 8)
+    assert(Multimodal.decodeWav(withList) == Multimodal.decodeWav(base))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav("RIFFxxxxJUNK".getBytes)
+    }
+  }
+
   test("bloom-prefiltered incremental dedup: EMPTY standing corpus marks all fresh rows new") {
     // bloom_filter_agg over zero rows yields a NULL sketch; the guard must
     // short-circuit to "definitely new" rather than probe a null bloom
