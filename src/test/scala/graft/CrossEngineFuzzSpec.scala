@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.GraftQuery
+
+/** Executable parity doctrine: the repo's cross-engine idioms (md5-60
+  * hashing, integer `div`, cents rounding, floor-log2 via bin-length,
+  * week offsets, 6-dp integer-derived ratios) are enforced by convention
+  * in every oracle — this spec turns the convention into an INVARIANT by
+  * fuzzing a seeded random frame through each idiom on BOTH engines
+  * (Spark in-process, DuckDB via the driver-side python binding) and
+  * asserting value-exact equality row by row.
+  *
+  * DuckDB is a driver-side tool, not a library dependency: the spec
+  * shells out to `python3 -c "import duckdb; ..."` over the same parquet
+  * file Spark reads, and CANCELS (not fails) where the binding is absent
+  * so `sbt test` stays green on a bare JVM host.
+  */
+class CrossEngineFuzzSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private lazy val duckdbAvailable: Boolean =
+    try new ProcessBuilder("python3", "-c", "import duckdb").start().waitFor() == 0
+    catch { case _: java.io.IOException => false }
+
+  /** Seeded fuzz frame: non-negative BIGINTs (the doctrine's `div`/flog2
+    * domain) with boundary values planted, a 1..9 divisor, a millis-grid
+    * DOUBLE of both signs (cents-rounding half-boundaries land exactly),
+    * random ASCII tokens, and ordered date pairs (week offsets are
+    * non-negative by construction, like every cohort derivation).
+    */
+  private lazy val fuzzDir: String = {
+    val rnd = new scala.util.Random(42)
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz").toString
+    val boundary = Seq(0L, 1L, 2L, 3L, 7L, 8L, 255L, 256L,
+      Int.MaxValue.toLong, (1L << 40) - 1, 1L << 40)
+    val rows = (0 until 300).map { i =>
+      val k = if (i < boundary.size) boundary(i)
+        else rnd.nextLong(1L << 41)
+      val b = 1L + rnd.nextInt(9)
+      // grid of thousandths: x.xx5 values hit the round-half boundary
+      val v = (rnd.nextInt(10000001) - 5000000) / 1000.0
+      val s = (0 until (1 + rnd.nextInt(12)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val base = java.time.LocalDate.of(2023, 1, 1).plusDays(rnd.nextInt(800))
+      (i.toLong, k, b, v, s, java.sql.Date.valueOf(base),
+        java.sql.Date.valueOf(base.plusDays(rnd.nextInt(400))))
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "k", "b", "v", "s", "d1", "d2")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Runs `expr` (one scalar per row, ordered by id) in DuckDB over the
+    * fuzz parquet and returns the values as strings.
+    */
+  private def duck(expr: String): Seq[String] = {
+    val py =
+      s"""import duckdb
+         |for (x,) in duckdb.sql(
+         |    "SELECT $expr FROM '$fuzzDir/*.parquet' ORDER BY id").fetchall():
+         |    print(x)""".stripMargin
+    val p = new ProcessBuilder("python3", "-c", py).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    require(p.waitFor() == 0, s"duckdb failed for [$expr]:\n${out.take(2000)}")
+    out.linesIterator.toSeq
+  }
+
+  /** Asserts the Spark column equals the DuckDB expression on every fuzz
+    * row. `double = true` compares IEEE values after exact round-trip
+    * parsing (python repr and java toString both print shortest-exact).
+    */
+  private def parity(name: String, sparkCol: org.apache.spark.sql.Column,
+      duckExpr: String, double: Boolean = false): Unit = {
+    assume(duckdbAvailable, "python3 duckdb binding not present on this host")
+    val sv = spark.read.parquet(fuzzDir).orderBy(col("id"))
+      .select(sparkCol.as("x")).collect().map(r => r.get(0))
+    val dv = duck(duckExpr)
+    assert(sv.length == dv.length, s"$name: row counts differ")
+    sv.zip(dv).zipWithIndex.foreach { case ((a, b), i) =>
+      if (double)
+        assert(a.asInstanceOf[Double] == b.toDouble, s"$name row $i: spark=$a duck=$b")
+      else
+        assert(a.toString == b, s"$name row $i: spark=$a duck=$b")
+    }
+  }
+
+  test("h60 hash idiom: native md5hash60 == DuckDB hex-prefix cast, including mod buckets") {
+    import graft.functions.Md5Hash60.md5hash60
+    parity("h60", md5hash60(col("s")), GraftQuery.h60Sql("s"))
+    parity("h60 mod", pmod(md5hash60(col("s")), lit(8L)),
+      s"(${GraftQuery.h60Sql("s")}) % 8")
+  }
+
+  test("integer div idiom: Spark `div` == DuckDB `//` on the non-negative domain") {
+    parity("div", expr("k div b"), "k // b")
+    parity("div const", expr("k div 100000"), "k // 100000")
+  }
+
+  test("cents idiom: CAST(round(v * 100) AS BIGINT) agrees at half boundaries, both signs") {
+    parity("cents", expr("CAST(round(v * 100) AS BIGINT)"),
+      "CAST(round(v * 100) AS BIGINT)")
+  }
+
+  test("floor-log2 idiom: length(bin(k + 1)) - 1 agrees (no float log on either engine)") {
+    parity("flog2", (length(bin(col("k") + 1)) - 1).cast("long"),
+      "CAST(length(bin(k + 1)) - 1 AS BIGINT)")
+  }
+
+  test("week-offset idiom: datediff div 7 agrees on ordered date pairs") {
+    parity("weeks", expr("datediff(d2, d1) div 7").cast("long"),
+      "CAST(date_diff('day', d1, d2) // 7 AS BIGINT)")
+  }
+
+  test("6-dp ratio idiom: round on an integer-derived ratio agrees bit-for-bit IN DOMAIN") {
+    // FUZZ-DISCOVERED BOUNDARY (seed 42, row 12): at |x| ≈ 3.5e11 the
+    // 6-dp grid spacing (1e-6) falls below the double's ulp (~6e-5
+    // there), 6-dp rounding becomes ill-defined, and the engines'
+    // conventions diverge in the last digit. The idiom's PORTABLE DOMAIN
+    // is |x| < ~2^31 (ulp < 5e-7) — every registered 6-dp ratio
+    // (averages, shares, per-mille rates) lives far inside it. The
+    // modulus below pins the domain; widening it re-finds the divergence.
+    parity("ratio6", round((col("k") % lit(1L << 31)).cast("double") / col("b"), 6),
+      s"round(CAST(k % ${1L << 31} AS DOUBLE) / b, 6)", double = true)
+  }
+}
