@@ -447,4 +447,12 @@ class PlanSpec extends AnyFunSuite {
     assert(pa.linesIterator.exists(l =>
       l.contains("PushedFilters") && l.contains("samp")), pa.take(4000))
   }
+
+  test("dedup pair consumer scans the standing near-dup index, not the corpus") {
+    // the MinHash → LSH → verify chain runs ONCE at artifact build;
+    // dedup_lsh_pairs itself is a scan+sort of the persisted edge index
+    val p = planOf("dedup_lsh_pairs")
+    assert(p.contains("neardup_edges"), p.take(3000))
+    assert(!p.contains("documents"), p.take(3000))
+  }
 }
