@@ -707,6 +707,39 @@ object Graph {
          |ORDER BY aa_milli DESC, x, y LIMIT 20""".stripMargin
     }) { (s, d) =>
       adamicAdar(sampledEdges(s, d), 20)
+    },
+
+    // 4 rounds of Pregel-schedule connected-components min-label
+    // propagation on the sampled co-purchase graph (see minLabelRounds):
+    // every per-node label after round 4 is hash-compared — the oracle
+    // unrolls the same four neighbor-min + self-least rounds as
+    // MATERIALIZED CTEs (the kcore discipline: fixed rounds, identical
+    // trace; convergence is a property read off the result, not a
+    // stopping rule). Consumes the standing edge artifact like the rest
+    // of the G family.
+    GraftQuery.of("graph_cc_labels", {
+      val h = GraftQuery.h60Sql("src::VARCHAR || '|' || dst::VARCHAR")
+      val roundCtes = (1 to 4).map { r =>
+        s"""l$r AS MATERIALIZED (
+           |  SELECT a.node, least(a.label, coalesce(m.nl, a.label)) AS label
+           |  FROM l${r - 1} a LEFT JOIN (
+           |    SELECT e.dst AS node, min(p.label) AS nl
+           |    FROM e JOIN l${r - 1} p ON p.node = e.src GROUP BY 1) m
+           |  USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e1 AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM li a JOIN li b USING (l_orderkey)
+         |  WHERE a.l_partkey < b.l_partkey),
+         |samp AS MATERIALIZED (SELECT src, dst FROM e1 WHERE $h % 8 = 0),
+         |e AS MATERIALIZED (SELECT src, dst FROM samp UNION ALL SELECT dst, src FROM samp),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+         |$roundCtes
+         |SELECT node, CAST(label AS BIGINT) AS label
+         |FROM l4 ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      minLabelRounds(sampledEdges(s, d), rounds = 4).orderBy(col("node"))
     })
 
   /** Adamic–Adar-weighted common-neighbor scores over undirected (src,
@@ -731,6 +764,36 @@ object Graph {
       .groupBy(col("a.dst").as("x"), col("b.dst").as("y"))
       .agg(count(lit(1)).as("common_cnt"), sum(col("w_milli")).as("aa_milli"))
       .orderBy(col("aa_milli").desc, col("x"), col("y")).limit(k)
+  }
+
+  /** `rounds` rounds of bulk-synchronous min-label propagation over
+    * undirected (src, dst) edges — the Pregel connected-components
+    * schedule (each node adopts the minimum label among itself and its
+    * neighbors) with a FIXED round count so the oracle unrolls the
+    * IDENTICAL computation ([[kcorePeel]]'s discipline). After R rounds
+    * label(v) = min node id within R hops — monotonically convergent
+    * toward the component minimum, and a meaningful locality summary at
+    * any R (dedup's [[Dedup.clusters]] runs the same recursion TO
+    * FIXPOINT with pointer jumping; the fixed-round form is the one
+    * whose trace both engines can replay row-exactly). One
+    * neighbor-min shuffle + one node-keyed left join per round, lineage
+    * truncated per round.
+    */
+  def minLabelRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nmin = sym
+        .join(labels.withColumnRenamed("node", "src")
+          .withColumnRenamed("label", "plabel"), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("plabel")).as("nl"))
+      labels = labels.join(nmin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
   }
 
   /** Minimum-depth multi-source BFS, capped at `rounds` hops: settled =

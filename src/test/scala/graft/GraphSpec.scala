@@ -78,6 +78,21 @@ class GraphSpec extends AnyFunSuite {
     assert(e.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
   }
 
+  test("minLabelRounds: label = min node id within R hops; path converges at its diameter") {
+    import spark.implicits._
+    // path 1—2—3—4—5 plus a separate pair {10, 11}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    def labelsAt(r: Int) = Graph.minLabelRounds(edges, r).orderBy("node")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 1: each node adopts its 1-hop min
+    assert(labelsAt(1) == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L))
+    // round 4 = the path's diameter: both components fully labeled
+    assert(labelsAt(4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("pagerank matches the hand-computed damped iteration on a path graph") {
     import spark.implicits._
     // path 1—2—3: deg(1)=deg(3)=1, deg(2)=2, N=3, pr0=1/3 each.
