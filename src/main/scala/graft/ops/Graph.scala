@@ -36,12 +36,24 @@ object Graph {
     * the LSH mega-bucket guard in [[Dedup.lshCandidatePairs]]) belongs in
     * front when container sizes are unbounded.
     */
-  def coOccurrenceEdges(df: DataFrame, container: String, item: String): DataFrame = {
+  def coOccurrenceEdges(df: DataFrame, container: String, item: String): DataFrame =
+    coOccurrenceEdgesWithSupport(df, container, item)
+      .select(col("src"), col("dst"))
+
+  /** [[coOccurrenceEdges]] carrying each pair's SUPPORT (the number of
+    * containers where the pair co-occurs) — the market-basket count the
+    * same self-join yields for free when the final distinct becomes a
+    * groupBy; the edge artifact persists it so frequency-threshold
+    * consumers (frequent-pairs mining) share the construction with the
+    * topology consumers.
+    */
+  def coOccurrenceEdgesWithSupport(df: DataFrame, container: String,
+      item: String): DataFrame = {
     val ci = df.select(col(container).as("__c"), col(item).as("__i")).distinct()
     ci.join(ci.withColumnRenamed("__i", "__j"), "__c")
       .filter(col("__i") < col("__j"))
-      .select(col("__i").as("src"), col("__j").as("dst"))
-      .distinct()
+      .groupBy(col("__i").as("src"), col("__j").as("dst"))
+      .agg(count(lit(1)).as("support"))
   }
 
   /** Parquet paths of built edge artifacts, keyed by dataset dir — the
@@ -68,7 +80,7 @@ object Graph {
     import graft.functions.Md5Hash60.md5hash60
     val path = edgeArtifact.computeIfAbsent(d, _ => {
       val out = processScratch(d, "graph_edges")
-      coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+      coOccurrenceEdgesWithSupport(lineitem(s, d), "l_orderkey", "l_partkey")
         .withColumn("samp",
           pmod(md5hash60(concat_ws("|",
             col("src").cast("string"), col("dst").cast("string"))),
@@ -740,6 +752,52 @@ object Graph {
          |FROM l4 ORDER BY node""".stripMargin
     }) { (s, d) =>
       minLabelRounds(sampledEdges(s, d), rounds = 4).orderBy(col("node"))
+    },
+
+    // FREQUENT-PAIRS market-basket mining (the A-Priori 2-itemset pass):
+    // top-20 co-purchased part pairs by SUPPORT (number of shared
+    // orders — persisted on the edge artifact, so the candidate pass is
+    // the same one build every graph consumer shares), with lift emitted
+    // as its EXACT INTEGER numerator/denominator (support·n_orders vs
+    // cnt_a·cnt_b — the estimator-precedent split: the consumer divides,
+    // the hash gate never sees a float). Per-item frequencies attach as
+    // broadcast dimension joins; the cut is the (support DESC, src, dst)
+    // total order via TakeOrderedAndProject. At 100 TB: support counting
+    // is container-quadratic only (the co-occurrence guarantee), item
+    // counts one map-side-combined aggregate.
+    GraftQuery.of("graph_frequent_pairs",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS support
+        |  FROM li a JOIN li b USING (l_orderkey)
+        |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |ic AS (SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li)
+        |SELECT src, dst, CAST(support AS BIGINT) AS support,
+        |  CAST(ca.cnt AS BIGINT) AS cnt_a, CAST(cb.cnt AS BIGINT) AS cnt_b,
+        |  CAST(support * n.n_orders AS BIGINT) AS lift_num,
+        |  CAST(ca.cnt * cb.cnt AS BIGINT) AS lift_den
+        |FROM e
+        |JOIN ic ca ON ca.l_partkey = e.src
+        |JOIN ic cb ON cb.l_partkey = e.dst
+        |CROSS JOIN n
+        |ORDER BY support DESC, src, dst LIMIT 20""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val itemCnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val nOrders = broadcast(
+        li.select(col("l_orderkey")).distinct().agg(count(lit(1)).as("n_orders")))
+      edgeRelation(s, d).select(col("src"), col("dst"), col("support"))
+        .join(broadcast(itemCnt
+          .select(col("l_partkey").as("src"), col("cnt").as("cnt_a"))), "src")
+        .join(broadcast(itemCnt
+          .select(col("l_partkey").as("dst"), col("cnt").as("cnt_b"))), "dst")
+        .crossJoin(nOrders)
+        .select(col("src"), col("dst"), col("support"),
+          col("cnt_a"), col("cnt_b"),
+          (col("support") * col("n_orders")).as("lift_num"),
+          (col("cnt_a") * col("cnt_b")).as("lift_den"))
+        .orderBy(col("support").desc, col("src"), col("dst")).limit(20)
     })
 
   /** Adamic–Adar-weighted common-neighbor scores over undirected (src,

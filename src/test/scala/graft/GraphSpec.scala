@@ -76,6 +76,11 @@ class GraphSpec extends AnyFunSuite {
     val e = Graph.coOccurrenceEdges(df, "l_orderkey", "l_partkey")
       .orderBy("src", "dst").collect()
     assert(e.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 20L)))
+    // support = number of containers sharing the pair (2 here: orders 1, 2)
+    val ws = Graph.coOccurrenceEdgesWithSupport(df, "l_orderkey", "l_partkey")
+      .orderBy("src", "dst").collect()
+    assert(ws.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 20L, 2L)))
   }
 
   test("minLabelRounds: label = min node id within R hops; path converges at its diameter") {

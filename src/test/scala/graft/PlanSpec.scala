@@ -322,6 +322,7 @@ class PlanSpec extends AnyFunSuite {
       "events_peak_concurrency" -> "1-row peak/session-count frames cross into the argmin",
       "events_rfm" -> "1-row user-total frame per measure (blocked exact ntile)",
       "events_resample_1h" -> "bounded hour spine x 5-row type dimension",
+      "graph_frequent_pairs" -> "1-row order-count frame in the lift numerator",
       "graph_pagerank" -> "1-row N frame joins every rank row",
       "graph_triangles" -> "1-row sampled-edge count frame crosses into the count",
       "pipeline_mix_weights" -> "1-row corpus totals frame",
