@@ -1281,45 +1281,14 @@ object Events {
         .orderBy(col("bucket"))
     })
 
-  /** Exact ntile(4) over the total order (measure ± , user_id) with NO
-    * data-sized window and NO driver round-trip — the scale-safe quartile
-    * assignment behind `events_rfm`. `blk` must be a monotone function of
-    * the measure (so block ranges never interleave under the sort
-    * direction): global rank = (rows in strictly-prior blocks) +
-    * row_number within the block. The prior-block offsets are a prefix
-    * sum over the BLOCK dimension — bounded by the measure's VALUE RANGE
-    * (days, per-user purchase counts, cents div 1e5), not by data size —
-    * computed IN-PLAN as the J19/J20 two-phase shape (window over the
-    * tiny block frame, broadcast back as an equi-join), so block-key
-    * cardinality never rides through the driver. The bucket is ntile's
-    * exact arithmetic carried by a broadcast 1-row total: with
-    * N = 4q + r, buckets 1..r take q+1 rows.
+  /** Exact ntile(4) over the total order (measure ±, user_id) — the
+    * quartile assignment behind `events_rfm`, delegating to THE
+    * scale-safe blocked-ntile primitive ([[RankStats.blockedNtile]]: no
+    * data-sized window, no driver round-trip; see its Scaladoc for the
+    * two-phase prefix shape and the monotone-block contract).
     */
   private def blockedNtile4(u: DataFrame, m: String, desc: Boolean,
-      blk: Column, out: String): DataFrame = {
-    val cnts = u.withColumn("__blk", blk.cast("long"))
-      .groupBy("__blk").agg(count(lit(1)).as("__c"))
-    // prefix over blocks: the ONE unpartitioned window runs on the
-    // bounded block frame (the documented two-phase pattern), never data
-    val bw = Window.orderBy(if (desc) col("__blk").desc else col("__blk").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offDf = broadcast(
-      cnts.select(col("__blk"), coalesce(sum(col("__c")).over(bw), lit(0L)).as("__off")))
-    val tot = broadcast(cnts.agg(sum(col("__c")).as("__n")))
-    val ord =
-      if (desc) Seq(col(m).desc, col("user_id").asc)
-      else Seq(col(m).asc, col("user_id").asc)
-    val w = Window.partitionBy(col("__blk")).orderBy(ord: _*)
-    u.withColumn("__blk", blk.cast("long"))
-      .join(offDf, "__blk")
-      .crossJoin(tot)
-      .withColumn("__rn", (col("__off") + row_number().over(w)).cast("long"))
-      .withColumn(out, expr(
-        """CAST(CASE WHEN __rn <= (__n % 4) * ((__n div 4) + 1)
-          |  THEN ((__rn - 1) div ((__n div 4) + 1)) + 1
-          |  ELSE (__n % 4) + ((__rn - (__n % 4) * ((__n div 4) + 1) - 1)
-          |    div greatest(__n div 4, 1L)) + 1
-          |  END AS BIGINT)""".stripMargin))
-      .drop("__blk", "__off", "__rn", "__n")
-  }
+      blk: Column, out: String): DataFrame =
+    RankStats.blockedNtile(u, out, k = 4, m = m, tie = "user_id",
+      desc = desc, blk = blk)
 }

@@ -205,6 +205,35 @@ object Pipeline {
 
   def queries: Seq[GraftQuery] = Seq(
 
+    // EQUAL-FREQUENCY QUANTILE BINNING (quantile discretizer) — the
+    // ML-prep pass that turns a numeric feature into 10 equal-population
+    // bins, run scale-safe: exact global ntile(10) via the BLOCKED
+    // two-phase primitive (RankStats.blockedNtile — per-block
+    // key-partitioned row_numbers + an in-plan prefix over the bounded
+    // cents-div-1000 block dimension; NO global sort window, NO driver
+    // state), then a 10-row summary (count + exact cent cut points per
+    // bin). The oracle states the same ntile(10) as the textbook global
+    // window — which is exactly the formulation this primitive replaces
+    // at 100 TB. Integer cents end to end.
+    GraftQuery.of("pipeline_quantile_bins",
+      """WITH c AS (SELECT event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |q AS (SELECT cents,
+        |    ntile(10) OVER (ORDER BY cents, event_id) AS bin FROM c)
+        |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        |  CAST(min(cents) AS BIGINT) AS lo_cents,
+        |  CAST(max(cents) AS BIGINT) AS hi_cents
+        |FROM q GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+      val c = events(s, d).select(col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      RankStats.blockedNtile(c, "bin", k = 10, m = "cents", tie = "event_id",
+          desc = false, blk = expr("cents div 1000"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+        .orderBy(col("bin"))
+    },
+
     // DATASET CARD — the one-row summary block every published training
     // set ships (docs, languages, sources, token/char volume, exact-dup
     // rate): all integer-exact, composed from the families above in one

@@ -371,6 +371,41 @@ object Quality {
         .orderBy(col("event_type"))
     },
 
+    // PEARSON CORRELATION sufficient statistics per event type — the
+    // numeric-association probe an EDA/feature-audit pass runs (does
+    // purchase value track hour of day?), emitted as the six EXACT
+    // INTEGER sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) over
+    // (value cents, hour-of-day) — the estimator-precedent split: the
+    // consumer assembles r = (nΣxy − ΣxΣy) / √(…), the hash gate never
+    // sees a float. One map-side-combinable aggregate, state bounded by
+    // type cardinality. BIGINT headroom: Σx² ≈ n·(max cents)² — exact to
+    // ~10¹⁸; past that the same stats ride DECIMAL(38) or per-partition
+    // partials. Hour derives from integer epoch arithmetic on both
+    // engines (no timezone/extract parity surface).
+    GraftQuery.of("dq_corr_stats",
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    (epoch_us(ts) // 3600000000) % 24 AS y
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS s_x, CAST(sum(y) AS BIGINT) AS s_y,
+        |  CAST(sum(x * x) AS BIGINT) AS s_xx,
+        |  CAST(sum(y * y) AS BIGINT) AS s_yy,
+        |  CAST(sum(x * y) AS BIGINT) AS s_xy
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("x"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("s_x"), sum(col("y")).as("s_y"),
+          sum(col("x") * col("x")).as("s_xx"),
+          sum(col("y") * col("y")).as("s_yy"),
+          sum(col("x") * col("y")).as("s_xy"))
+        .orderBy(col("event_type"))
+    },
+
     // Tukey-fence outlier audit per event type — the numeric-column DQ
     // staple (flag values beyond 1.5×IQR of the quartiles). EXACT
     // INTEGERS throughout: values are cents, quartiles are RANK-BASED

@@ -46,4 +46,46 @@ object RankStats {
       }
     ranked.groupBy(col(part)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** EXACT ntile(k) over the total order (measure ±, tie) with NO
+    * data-sized window and NO driver round-trip — the scale-safe global
+    * quantile assignment (generalized from `events_rfm`'s quartiles).
+    * `blk` must be a MONOTONE function of the measure under the sort
+    * direction (so block ranges never interleave; integer `div` of a
+    * non-negative measure qualifies) with cardinality bounded by the
+    * measure's VALUE RANGE, not by data size. Global rank = rows in
+    * strictly-prior blocks (an in-plan prefix sum over the tiny block
+    * frame, broadcast back as an equi-join) + row_number within the
+    * block (a key-partitioned window); the bucket is ntile's exact
+    * arithmetic off a broadcast 1-row total: with N = kq + r, buckets
+    * 1..r take q+1 rows. Reserved helper columns: __blk/__off/__rn/__n.
+    */
+  def blockedNtile(df: DataFrame, out: String, k: Int, m: String, tie: String,
+      desc: Boolean, blk: Column): DataFrame = {
+    require(k >= 2, s"ntile needs k >= 2, got $k")
+    require(Seq("__blk", "__off", "__rn", "__n").forall(!df.columns.contains(_)),
+      "__blk/__off/__rn/__n are reserved helper columns of blockedNtile")
+    val cnts = df.withColumn("__blk", blk.cast("long"))
+      .groupBy("__blk").agg(count(lit(1)).as("__c"))
+    val bw = Window.orderBy(if (desc) col("__blk").desc else col("__blk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = broadcast(
+      cnts.select(col("__blk"), coalesce(sum(col("__c")).over(bw), lit(0L)).as("__off")))
+    val tot = broadcast(cnts.agg(sum(col("__c")).as("__n")))
+    val ord =
+      if (desc) Seq(col(m).desc, col(tie).asc)
+      else Seq(col(m).asc, col(tie).asc)
+    val w = Window.partitionBy(col("__blk")).orderBy(ord: _*)
+    df.withColumn("__blk", blk.cast("long"))
+      .join(offDf, "__blk")
+      .crossJoin(tot)
+      .withColumn("__rn", (col("__off") + row_number().over(w)).cast("long"))
+      .withColumn(out, expr(
+        s"""CAST(CASE WHEN __rn <= (__n % $k) * ((__n div $k) + 1)
+           |  THEN ((__rn - 1) div ((__n div $k) + 1)) + 1
+           |  ELSE (__n % $k) + ((__rn - (__n % $k) * ((__n div $k) + 1) - 1)
+           |    div greatest(__n div $k, 1L)) + 1
+           |  END AS BIGINT)""".stripMargin))
+      .drop("__blk", "__off", "__rn", "__n")
+  }
 }

@@ -1037,4 +1037,57 @@ class OpsSpec extends AnyFunSuite {
     // gap 0 → flog2(1) = bucket 0; gap 3 → flog2(4) = 2; gap 60 → flog2(61) = 5
     assert(out == Map(0L -> ((1L, 0L, 0L)), 2L -> ((1L, 3L, 3L)), 5L -> ((1L, 60L, 60L))))
   }
+
+  test("blockedNtile matches the global ntile window for every (k, direction), ties included") {
+    val s = spark
+    import s.implicits._
+    // 97 rows (not divisible by any tested k), duplicated measure values
+    // (ties broken by id), negatives crossing the trunc-div block boundary
+    val df = (0L until 97L).map(i => (i, (i * 37 % 40) * 100L - 1500L))
+      .toDF("id", "cents")
+    for (k <- Seq(3, 4, 7, 10); desc <- Seq(false, true)) {
+      val ord = if (desc) Seq(col("cents").desc, col("id").asc)
+                else Seq(col("cents").asc, col("id").asc)
+      val expected = df.withColumn("bin",
+        ntile(k).over(org.apache.spark.sql.expressions.Window.orderBy(ord: _*))
+          .cast("long"))
+      val got = RankStats.blockedNtile(df, "bin", k, m = "cents", tie = "id",
+        desc = desc, blk = expr("cents div 1000"))
+      assert(got.select("id", "bin").except(expected.select("id", "bin")).isEmpty,
+        s"blockedNtile($k, desc=$desc) diverged from ntile window")
+    }
+    // reserved helper columns are rejected eagerly, not silently miscomputed
+    val clash = df.withColumn("__rn", lit(1L))
+    assertThrows[IllegalArgumentException] {
+      RankStats.blockedNtile(clash, "bin", 4, "cents", "id", desc = false,
+        blk = expr("cents div 1000"))
+    }
+  }
+
+  test("quantile bins: exact equal-frequency binning with remainder rows in the low bins") {
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // 25 events, cents 100..2500 step 100: N = 25 = 10*2 + 5 → bins 1-5
+    // take 3 rows, bins 6-10 take 2; cents span blk 0, 1, and 2 so the
+    // cross-block prefix offsets are exercised, not just one block.
+    val rows = (1 to 25).map(i => Row(i.toLong,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view",
+      i.toDouble, null))
+    val dir = java.nio.file.Files.createTempDirectory("qbins").toString
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("pipeline_quantile_bins")(spark, dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"))))
+    assert(out.length == 10)
+    val expected = (1 to 10).map { b =>
+      val lo = if (b <= 5) (b - 1) * 3 + 1 else 15 + (b - 6) * 2 + 1
+      val hi = if (b <= 5) b * 3 else 15 + (b - 5) * 2
+      b.toLong -> (((hi - lo + 1).toLong, lo * 100L, hi * 100L))
+    }
+    assert(out.toSeq == expected)
+  }
 }

@@ -326,6 +326,7 @@ class PlanSpec extends AnyFunSuite {
       "graph_pagerank" -> "1-row N frame joins every rank row",
       "graph_triangles" -> "1-row sampled-edge count frame crosses into the count",
       "pipeline_mix_weights" -> "1-row corpus totals frame",
+      "pipeline_quantile_bins" -> "1-row corpus-total frame (blocked exact ntile)",
       "q_approx_quantiles" -> "broadcast 3-row quantile-probe frame x one scan (rank check)",
       "q_kmv_distinct" -> "1-row kth-hash frame x 1-row exact-count frame",
       "q_kmv_setops" -> "1-row sketch-summary frames (kth hash, membership, exact counts) crossed",

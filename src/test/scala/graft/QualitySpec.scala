@@ -163,4 +163,36 @@ class QualitySpec extends AnyFunSuite {
     val d1 = rows.find(_.getAs[String]("digit") == "1").get
     assert(d1.getAs[Double]("dev") == math.rint((0.5 - 0.30102999566398) * 1e6) / 1e6)
   }
+
+  test("correlation sufficient statistics are the exact integer moments per type") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // type a: (x=100, y=10), (x=250, y=12); type b: single zero row
+    val rows = Seq(
+      Row(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a", 1.0, null),
+      Row(2L, java.sql.Timestamp.valueOf("2024-01-01 12:30:00"), 1L, "a", 2.5, null),
+      Row(3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L, "b", 0.0, null))
+    val dir = java.nio.file.Files.createTempDirectory("corr").toString
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("dq_corr_stats")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") == 2L)
+    assert(a.getAs[Long]("s_x") == 350L && a.getAs[Long]("s_y") == 22L)
+    assert(a.getAs[Long]("s_xx") == 72500L && a.getAs[Long]("s_yy") == 244L)
+    assert(a.getAs[Long]("s_xy") == 4000L)
+    // the consumer's assembly: r = (nΣxy − ΣxΣy) / √((nΣxx − Σx²)(nΣyy − Σy²))
+    // = (8000 − 7700) / √((145000 − 122500)(488 − 484)) = 300/300 = 1
+    assert(2L * 4000L - 350L * 22L == 300L)
+    assert((2L * 72500L - 350L * 350L) * (2L * 244L - 22L * 22L) == 90000L)
+    val b = out("b")
+    assert(b.getAs[Long]("n") == 1L && b.getAs[Long]("s_x") == 0L
+      && b.getAs[Long]("s_y") == 0L && b.getAs[Long]("s_xy") == 0L)
+  }
 }
