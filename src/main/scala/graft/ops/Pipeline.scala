@@ -205,6 +205,83 @@ object Pipeline {
 
   def queries: Seq[GraftQuery] = Seq(
 
+    // WINSORIZATION — the outlier-robust ML-prep clip: per event type,
+    // values clamp to the exact rank-based [p1, p99] (value at rank
+    // ceil(n/100) / ceil(99n/100) — THE RankStats.valueAtCeilRanks
+    // idiom, same discipline as dq_outlier_fences: integer cents, no
+    // interpolated float quantile on either engine; at 100 TB the ranks
+    // swap for approx_percentile with the identical report shape). One
+    // type-keyed rank window + a broadcast #types-row cut frame joined
+    // back for the clip counts and the winsorized sum the downstream
+    // mean consumes.
+    GraftQuery.of("pipeline_winsorize",
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM c),
+        |q AS (SELECT event_type,
+        |    max(CASE WHEN rn <= (1 * n + 99) // 100 THEN cents END) AS p01,
+        |    max(CASE WHEN rn <= (99 * n + 99) // 100 THEN cents END) AS p99
+        |  FROM r GROUP BY 1)
+        |SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(p01) AS BIGINT) AS p01_cents,
+        |  CAST(max(p99) AS BIGINT) AS p99_cents,
+        |  CAST(sum(CASE WHEN cents < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN cents > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(sum(greatest(least(cents, p99), p01)) AS BIGINT) AS sum_winsor_cents
+        |FROM c JOIN q USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val c = events(s, d).select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val cuts = RankStats.valueAtCeilRanks(c, part = "event_type",
+          value = "cents", tie = "event_id",
+          fracs = Seq(("p01_cents", 1, 100), ("p99_cents", 99, 100)))
+        .select(col("event_type"), col("p01_cents"), col("p99_cents"))
+      c.join(broadcast(cuts), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          max(col("p01_cents")).as("p01_cents"),
+          max(col("p99_cents")).as("p99_cents"),
+          sum(when(col("cents") < col("p01_cents"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("cents") > col("p99_cents"), 1L).otherwise(0L)).as("n_clip_hi"),
+          sum(greatest(least(col("cents"), col("p99_cents")), col("p01_cents")))
+            .as("sum_winsor_cents"))
+        .orderBy(col("event_type"))
+    },
+
+    // FEATURE HASHING (the "hashing trick") — the fixed-width
+    // featurization that makes bag-of-words viable at 100 TB: every
+    // token maps to dim = h60(token) % 1024, so the feature space is
+    // 1024 wide REGARDLESS of vocabulary size — no vocab dictionary to
+    // build, broadcast, or keep consistent across batches (the entire
+    // point of the trick; a vocab-indexed encoding needs a second pass +
+    // a dictionary join). Per dim: total token mass and the number of
+    // DISTINCT terms sharing it — the collision audit that tells you
+    // whether 1024 is wide enough. Two narrowing map-side-combinable
+    // aggregates ((dim,term) → dim), top-30 cut is a bounded
+    // TakeOrderedAndProject; the md5-60 hash is the engine-shared parity
+    // idiom, so the oracle replays the identical dimension assignment.
+    GraftQuery.of("pipeline_feature_hash",
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |t AS (SELECT tok, ${h60Sql("tok")} % 1024 AS dim FROM tok WHERE tok <> ''),
+         |g AS (SELECT dim, tok, count(*) AS c FROM t GROUP BY 1, 2)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |  CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |FROM g GROUP BY 1 ORDER BY n_tokens DESC, dim LIMIT 30""".stripMargin) { (s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("dim", (md5hash60(col("tok")) % 1024).cast("long"))
+        .groupBy(col("dim"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dim"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_terms"))
+        .orderBy(col("n_tokens").desc, col("dim"))
+        .limit(30)
+    },
+
     // EQUAL-FREQUENCY QUANTILE BINNING (quantile discretizer) — the
     // ML-prep pass that turns a numeric feature into 10 equal-population
     // bins, run scale-safe: exact global ntile(10) via the BLOCKED

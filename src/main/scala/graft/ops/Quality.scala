@@ -371,6 +371,51 @@ object Quality {
         .orderBy(col("event_type"))
     },
 
+    // CHI-SQUARE drift sufficient statistics — dq_drift's inferential
+    // upgrade: the 2×T contingency table (event_type × early/late stream
+    // half) emitted as EXACT INTEGER pieces of the chi-square
+    // independence statistic. Per type: observed counts, row total r,
+    // column totals, grand total n, and the cross-multiplied deviation
+    // dev = o_early·n − r·c_early (the late deviation is exactly −dev, so
+    // one suffices); the consumer assembles χ² = Σ dev² / (r·c_e·c_l)
+    // — the estimator-precedent split keeps every hashed value integer.
+    // BIGINT headroom: |dev| ≤ n² — exact to n ≈ 3·10⁹ rows; past that
+    // the identical shape rides DECIMAL(38). Same one type-keyed
+    // map-side-combined count shuffle + two 1-row broadcasts as dq_drift.
+    GraftQuery.of("dq_chi2_stats",
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 AS sec FROM events),
+        |b AS (SELECT min(sec) AS mn, max(sec) AS mx FROM e),
+        |t AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN 2 * sec <= mn + mx THEN 1 ELSE 0 END) AS BIGINT) AS o_early,
+        |    CAST(sum(CASE WHEN 2 * sec > mn + mx THEN 1 ELSE 0 END) AS BIGINT) AS o_late
+        |  FROM e, b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o_early) AS BIGINT) AS c_early,
+        |    CAST(sum(o_late) AS BIGINT) AS c_late,
+        |    CAST(sum(o_early + o_late) AS BIGINT) AS n FROM t)
+        |SELECT event_type, o_early, o_late,
+        |  CAST(o_early + o_late AS BIGINT) AS r, c_early, c_late, n,
+        |  CAST(o_early * n - (o_early + o_late) * c_early AS BIGINT) AS dev
+        |FROM t, tot ORDER BY event_type""".stripMargin) { (s, d) =>
+      val e = events(s, d)
+        .select(col("event_type"), expr("unix_micros(ts) div 1000000").as("sec"))
+      val bounds = e.agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+      val perType = e.crossJoin(broadcast(bounds))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("sec") * 2 <= col("mn") + col("mx"), 1L).otherwise(0L)).as("o_early"),
+          sum(when(col("sec") * 2 > col("mn") + col("mx"), 1L).otherwise(0L)).as("o_late"))
+      val totals = perType.agg(sum(col("o_early")).as("c_early"),
+        sum(col("o_late")).as("c_late"),
+        sum(col("o_early") + col("o_late")).as("n"))
+      perType.crossJoin(broadcast(totals))
+        .select(col("event_type"), col("o_early"), col("o_late"),
+          (col("o_early") + col("o_late")).as("r"),
+          col("c_early"), col("c_late"), col("n"),
+          (col("o_early") * col("n") - (col("o_early") + col("o_late")) * col("c_early"))
+            .as("dev"))
+        .orderBy(col("event_type"))
+    },
+
     // PEARSON CORRELATION sufficient statistics per event type — the
     // numeric-association probe an EDA/feature-audit pass runs (does
     // purchase value track hour of day?), emitted as the six EXACT

@@ -1090,4 +1090,52 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(out.toSeq == expected)
   }
+
+  test("feature hashing: dims are h60 mod 1024, token mass and collision audit per dim") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fhash").toString
+    Seq((1L, "alpha alpha beta", "en", "web", 16L),
+        (2L, "beta gamma", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("pipeline_feature_hash")(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_terms")))).toMap
+    def dimOf(tok: String): Long = {
+      val bytes = tok.getBytes("UTF-8")
+      graft.functions.Md5Hash60.hash60(bytes) % 1024L
+    }
+    // alpha ×2, beta ×2 (across docs), gamma ×1 — three distinct tokens,
+    // no 1024-dim collision among them (verified by the expectation map)
+    val expected = Map(
+      dimOf("alpha") -> ((2L, 1L)), dimOf("beta") -> ((2L, 1L)),
+      dimOf("gamma") -> ((1L, 1L)))
+    assert(expected.keySet.size == 3, "crafted tokens collided; pick others")
+    assert(out == expected)
+  }
+
+  test("winsorize: exact rank-based p1/p99 cuts, clip counts, winsorized sum") {
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // type a: values 1..100 dollars → cents 100..10000; n=100 →
+    // p1 = value at rank ceil(100/100)=1 → 100; p99 = rank 99 → 9900
+    val rows = (1 to 100).map(i => Row(i.toLong,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a",
+      i.toDouble, null))
+    val dir = java.nio.file.Files.createTempDirectory("winsor").toString
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("pipeline_winsorize")(spark, dir).collect().head
+    assert(out.getAs[Long]("n") == 100L)
+    assert(out.getAs[Long]("p01_cents") == 100L)
+    assert(out.getAs[Long]("p99_cents") == 9900L)
+    assert(out.getAs[Long]("n_clip_lo") == 0L) // nothing below the rank-1 value
+    assert(out.getAs[Long]("n_clip_hi") == 1L) // 10000 clamps to 9900
+    // sum(100..9900 step 100) + clamped 9900 = 495000 + 9900
+    assert(out.getAs[Long]("sum_winsor_cents") == 504900L)
+  }
 }

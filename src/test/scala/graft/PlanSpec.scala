@@ -348,6 +348,7 @@ class PlanSpec extends AnyFunSuite {
       "dq_freshness" -> "1-row global-max frame crosses into the per-source lag",
       "dq_benford" -> "1-row digit-total frame crosses into the 9-row digit spine",
       "dq_drift" -> "1-row min/max-bounds frame + 1-row share-totals frame cross into the per-type counts",
+      "dq_chi2_stats" -> "1-row min/max-bounds frame + 1-row column-totals frame cross into the contingency rows",
       "dedup_semantic" -> "broadcast 16-centroid codebook x corpus scan (cluster assignment)")
     // stream_* excluded: their returned frame is a localCheckpointed
     // result (bare RDD scan — nothing to inspect) and construction runs

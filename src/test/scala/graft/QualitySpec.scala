@@ -195,4 +195,39 @@ class QualitySpec extends AnyFunSuite {
     assert(b.getAs[Long]("n") == 1L && b.getAs[Long]("s_x") == 0L
       && b.getAs[Long]("s_y") == 0L && b.getAs[Long]("s_xy") == 0L)
   }
+
+  test("chi-square drift pieces reassemble the textbook statistic") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def ev(id: Long, sec: Int, t: String) = Row(id,
+      java.sql.Timestamp.valueOf(s"2024-01-01 00:0${sec / 60}:${"%02d".format(sec % 60)}"),
+      1L, t, 0.0, null)
+    // span sec 0..100 → early = sec <= 50; a: 3 early + 1 late, b: 2 late
+    val rows = Seq(ev(1, 0, "a"), ev(2, 10, "a"), ev(3, 40, "a"), ev(4, 80, "a"),
+      ev(5, 60, "b"), ev(6, 100, "b"))
+    val dir = java.nio.file.Files.createTempDirectory("chi2").toString
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("dq_chi2_stats")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("o_early") == 3L && a.getAs[Long]("o_late") == 1L)
+    assert(a.getAs[Long]("r") == 4L && a.getAs[Long]("n") == 6L)
+    assert(a.getAs[Long]("c_early") == 3L && a.getAs[Long]("c_late") == 3L)
+    assert(a.getAs[Long]("dev") == 6L)  // 3·6 − 4·3
+    val b = out("b")
+    assert(b.getAs[Long]("dev") == -6L) // 0·6 − 2·3
+    // consumer assembly χ² = Σ dev²/(r·c_e·c_l) = 36/36 + 36/18 = 3.0 —
+    // equal to the textbook Σ(O−E)²/E over the four cells (E = r·c/n)
+    val chi2 = Seq(a, b).map { r =>
+      r.getAs[Long]("dev").toDouble * r.getAs[Long]("dev") /
+        (r.getAs[Long]("r").toDouble * r.getAs[Long]("c_early") * r.getAs[Long]("c_late"))
+    }.sum
+    assert(math.abs(chi2 - 3.0) < 1e-12)
+  }
 }
