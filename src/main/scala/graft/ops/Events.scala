@@ -247,6 +247,45 @@ object Events {
 
   def queries: Seq[GraftQuery] = Seq(
 
+    // A/B EXPERIMENT READOUT — deterministic assignment + the t-test
+    // pieces, the analysis pass every large-scale experimentation
+    // platform runs: variant = h60(user_id) % 2 (the hash-bucket
+    // assignment discipline of pipeline_hash_split — a user's arm never
+    // depends on ordering, partitioning, or traffic growth, and any
+    // engine replays it), unit of analysis = the USER (per-user purchase
+    // totals first, so correlated events within a user never inflate the
+    // sample size), then per-arm EXACT INTEGER moments (n, Σx, Σx² over
+    // user totals in cents) — the estimator-precedent split: the
+    // consumer assembles Welch's t = Δmean/√(s²_A/n_A + s²_B/n_B), the
+    // hash gate never sees a float. Two narrowing map-side-combinable
+    // aggregates (user → variant); BIGINT headroom to ~10¹⁸ of Σx².
+    GraftQuery.of("events_ab_test", {
+      val h = GraftQuery.h60Sql("user_id::VARCHAR")
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1),
+         |v AS (SELECT CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         |    cents FROM u)
+         |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  CAST(sum(cents * cents) AS BIGINT) AS sum_sq_cents
+         |FROM v GROUP BY 1 ORDER BY variant""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)).as("cents"))
+        .withColumn("variant",
+          when(md5hash60(col("user_id").cast("string")) % 2 === 0, "A").otherwise("B"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          sum(col("cents") * col("cents")).cast("long").as("sum_sq_cents"))
+        .orderBy(col("variant"))
+    },
+
     // Schema-on-read JSON property extraction + per-type aggregates.
     GraftQuery.of("events_props_agg",
       """SELECT event_type, count(*) AS n,

@@ -677,6 +677,51 @@ object Pipeline {
         .orderBy(col("lang"), col("source"))
     },
 
+    // INCREMENTAL DISTINCT-COUNT MAINTENANCE — pipeline_incremental_agg's
+    // hard sibling: count(DISTINCT) is NOT sum-mergeable, so the standing
+    // snapshot persists per-lang HLL SKETCHES (Datasketches binary state,
+    // the mergeable partial for distinct) and the refresh is
+    // sketch-union with the delta batch's sketches — O(batch) + O(langs)
+    // per refresh, never a full-corpus re-scan: THE way a 100 TB corpus
+    // keeps "unique contents per language" current. Two in-engine proof
+    // booleans ride the hash gate: snapshot_lossless (the refresh built
+    // from the PARQUET-PERSISTED snapshot sketch estimates identically
+    // to the same refresh over in-memory partials — sketch state
+    // survives persistence bit-faithfully, so a standing snapshot table
+    // loses nothing across restarts) and approx_ok (the merged estimate
+    // lands within 5%+10 of the exact distinct — the actual HLL
+    // guarantee). Deliberately NOT asserted: bit-equality between the
+    // merged sketch and a single-pass whole-corpus sketch — measured on
+    // the bundled Datasketches, union-of-partials estimates drift a few
+    // counts from the stream sketch (and across different batch splits),
+    // so the only contract HLL refresh offers is the error envelope,
+    // which is exactly what the oracle pins.
+    GraftQuery.of("pipeline_incremental_distinct",
+      """SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct,
+        |  TRUE AS snapshot_lossless, TRUE AS approx_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = documents(s, d).select(col("lang"), col("doc_id"), col("text"))
+      val isExisting = pmod(md5hash60(col("doc_id").cast("string")), lit(100L)) < 80
+      def sketches(df: DataFrame) = df.groupBy(col("lang"))
+        .agg(hll_sketch_agg(col("text")).as("sk"))
+      def refresh(snap: DataFrame, est: String) = snap
+        .unionByName(sketches(docs.filter(!isExisting)))
+        .groupBy(col("lang")).agg(hll_union_agg(col("sk")).as("sk"))
+        .select(col("lang"), hll_sketch_estimate(col("sk")).as(est))
+      val snapDir = s"/tmp/graft_sink/${new java.io.File(d).getName}/incr_hll_snapshot"
+      sketches(docs.filter(isExisting)).write.mode("overwrite").parquet(snapDir)
+      val merged = refresh(s.read.parquet(snapDir), "est_merged")
+      val mergedMem = refresh(sketches(docs.filter(isExisting)), "est_mem")
+      val direct = docs.groupBy(col("lang"))
+        .agg(count_distinct(col("text")).as("exact_distinct"))
+      direct.join(broadcast(merged), "lang").join(broadcast(mergedMem), "lang")
+        .select(col("lang"), col("exact_distinct"),
+          (col("est_merged") === col("est_mem")).as("snapshot_lossless"),
+          (abs(col("est_merged") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05 + lit(10)).as("approx_ok"))
+        .orderBy(col("lang"))
+    },
+
     // MIXTURE-PRESERVING INTERLEAVE — the third deterministic training
     // order next to shuffle_order (global permutation) and curriculum
     // (staged): sources interleave so every PREFIX of the stream holds

@@ -1138,4 +1138,62 @@ class OpsSpec extends AnyFunSuite {
     // sum(100..9900 step 100) + clamped 9900 = 495000 + 9900
     assert(out.getAs[Long]("sum_winsor_cents") == 504900L)
   }
+
+  test("ab test: user is the unit of analysis, arms by id hash, exact integer moments") {
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // user 1: two purchases (must collapse to ONE observation of 325 cents,
+    // not two rows — the correlated-events trap), plus a view worth $50
+    // that must contribute nothing; user 2: purchase-free (observation 0);
+    // users 3-6: one purchase each
+    val rows = Seq(
+      Row(1L, t, 1L, "purchase", 1.25, null), Row(2L, t, 1L, "purchase", 2.0, null),
+      Row(3L, t, 1L, "view", 50.0, null),
+      Row(4L, t, 2L, "view", 0.0, null),
+      Row(5L, t, 3L, "purchase", 10.0, null), Row(6L, t, 4L, "purchase", 0.5, null),
+      Row(7L, t, 5L, "purchase", 3.0, null), Row(8L, t, 6L, "purchase", 7.0, null))
+    val dir = java.nio.file.Files.createTempDirectory("abtest").toString
+    spark.createDataFrame(rows.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val perUser = Map(1L -> 325L, 2L -> 0L, 3L -> 1000L, 4L -> 50L,
+      5L -> 300L, 6L -> 700L)
+    def arm(u: Long): String =
+      if (graft.functions.Md5Hash60.hash60(u.toString.getBytes("UTF-8")) % 2 == 0) "A"
+      else "B"
+    val expected = perUser.groupBy { case (u, _) => arm(u) }.map { case (a, m) =>
+      val cs = m.values.toSeq
+      a -> ((cs.size.toLong, cs.sum, cs.map(c => c * c).sum))
+    }
+    assert(expected.keySet == Set("A", "B"), "crafted ids all hashed to one arm; add users")
+    val out = SparkEntry.queries("events_ab_test")(spark, dir).collect()
+      .map(r => r.getAs[String]("variant") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("sum_cents"),
+          r.getAs[Long]("sum_sq_cents")))).toMap
+    assert(out == expected)
+  }
+
+  test("incremental distinct: HLL snapshot refresh exact on small corpus, proofs hold") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("incrdist").toString
+    // en: 3 distinct texts over 5 docs (dups straddle whatever side of the
+    // 80/20 doc_id hash split each lands on); fr: 1 distinct over 2 docs.
+    // At these cardinalities the sketches are exact, so est == exact and
+    // both proof booleans must hold.
+    Seq((1L, "aa", "en", "web", 2L), (2L, "bb", "en", "web", 2L),
+        (3L, "aa", "en", "web", 2L), (4L, "cc", "en", "web", 2L),
+        (5L, "bb", "en", "web", 2L),
+        (6L, "xx", "fr", "web", 2L), (7L, "xx", "fr", "web", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("pipeline_incremental_distinct")(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("exact_distinct"), r.getAs[Boolean]("snapshot_lossless"),
+          r.getAs[Boolean]("approx_ok")))).toMap
+    assert(out == Map("en" -> ((3L, true, true)), "fr" -> ((1L, true, true))))
+  }
 }
