@@ -413,6 +413,70 @@ object Pipeline {
         .orderBy(col("lang"), col("shard"))
     },
 
+    // LENGTH-GROUPED BATCHING — the dataloader's padding-efficiency op
+    // (pack_shards' fixed-COUNT sibling): batches of 32 docs pad every
+    // member to the batch max, so waste = Σ(max_len·n − Σlen); grouping
+    // by length before chunking is how every training loader (bucketed
+    // batching) cuts that waste. Deterministic + distributed: shard =
+    // h60(doc_id) % 8 models independent loader workers (each sorts ONLY
+    // its shard — per-shard windows, never a global sort; at 100 TB the
+    // shard count scales with workers and each sort is the pass the
+    // loader runs anyway), batch = consecutive 32-chunks of the
+    // (len, doc_id) order. The salted-hash "arrival" order — the
+    // unbucketed baseline — rides along; grouped_no_worse pins the whole
+    // point of the op (sorted-consecutive chunking never pads more than
+    // arrival-order chunking). All-integer wastes through the hash gate.
+    GraftQuery.of("pipeline_length_batches", {
+      val hs = h60Sql("doc_id::VARCHAR")
+      val ha = h60Sql("doc_id::VARCHAR || ':arrival'")
+      s"""WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+         |    CAST($hs % 8 AS BIGINT) AS shard, $ha AS arr FROM documents),
+         |sortb AS (SELECT shard, batch,
+         |    CAST(count(*) AS BIGINT) AS nd,
+         |    CAST(max(len) * count(*) - CAST(sum(len) AS BIGINT) AS BIGINT) AS waste
+         |  FROM (SELECT shard, len,
+         |      (row_number() OVER (PARTITION BY shard ORDER BY len, doc_id) - 1) // 32 AS batch
+         |    FROM base) GROUP BY 1, 2),
+         |arrb AS (SELECT shard, batch,
+         |    CAST(max(len) * count(*) - CAST(sum(len) AS BIGINT) AS BIGINT) AS waste
+         |  FROM (SELECT shard, len,
+         |      (row_number() OVER (PARTITION BY shard ORDER BY arr, doc_id) - 1) // 32 AS batch
+         |    FROM base) GROUP BY 1, 2),
+         |ws AS (SELECT shard, CAST(sum(nd) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_batches,
+         |    CAST(sum(waste) AS BIGINT) AS waste_sorted FROM sortb GROUP BY 1),
+         |wa AS (SELECT shard, CAST(sum(waste) AS BIGINT) AS waste_arrival
+         |  FROM arrb GROUP BY 1)
+         |SELECT ws.shard AS shard, n_docs, n_batches, waste_sorted, waste_arrival,
+         |  waste_sorted <= waste_arrival AS grouped_no_worse
+         |FROM ws JOIN wa ON ws.shard = wa.shard ORDER BY shard""".stripMargin
+    }) { (s, d) =>
+      val base = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long").as("len"))
+        .withColumn("shard", pmod(md5hash60(col("doc_id").cast("string")), lit(8L)))
+        .withColumn("arr",
+          md5hash60(concat(col("doc_id").cast("string"), lit(":arrival"))))
+      def batchWaste(ord: Seq[org.apache.spark.sql.Column]) = base
+        .withColumn("rn", row_number().over(Window.partitionBy(col("shard")).orderBy(ord: _*)))
+        .withColumn("batch", expr("CAST((rn - 1) div 32 AS BIGINT)"))
+        .groupBy(col("shard"), col("batch"))
+        .agg(count(lit(1)).cast("long").as("nd"),
+          (max(col("len")) * count(lit(1)) - sum(col("len"))).cast("long").as("waste"))
+      val ws = batchWaste(Seq(col("len"), col("doc_id")))
+        .groupBy(col("shard"))
+        .agg(sum(col("nd")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_batches"),
+          sum(col("waste")).cast("long").as("waste_sorted"))
+      val wa = batchWaste(Seq(col("arr"), col("doc_id")))
+        .groupBy(col("shard"))
+        .agg(sum(col("waste")).cast("long").as("waste_arrival"))
+      ws.join(wa, "shard")
+        .select(col("shard"), col("n_docs"), col("n_batches"),
+          col("waste_sorted"), col("waste_arrival"),
+          (col("waste_sorted") <= col("waste_arrival")).as("grouped_no_worse"))
+        .orderBy(col("shard"))
+    },
+
     // Decontamination against a stand-in benchmark (docs 0..9): per-lang
     // survivor counts after dropping any document sharing an 8-token
     // shingle with it. The benchmark members themselves are excluded from

@@ -1176,6 +1176,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("length batches: per-shard 32-chunks of the length order, exact padding waste") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lenbatch").toString
+    // 600 docs, lens cycling a 97-value grid → every shard gets ~75 docs
+    // (3 batches) with diverse lens, so sorted vs arrival wastes
+    // genuinely differ
+    val docs = (0L until 600L).map(i => (i, "t", "en", "web", (i * 37) % 97 + 10))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h(str: String): Long = graft.functions.Md5Hash60.hash60(str.getBytes("UTF-8"))
+    // replicate: shard by id hash, order by (len, id) / (arrival hash, id),
+    // chunk 32, waste = Σ(32-chunk max·n − Σlen)
+    def waste(inShard: Seq[(Long, Long)], byLen: Boolean): Long = {
+      val ordered = if (byLen) inShard.sortBy { case (id, len) => (len, id) }
+                    else inShard.sortBy { case (id, _) => (h(s"$id:arrival"), id) }
+      ordered.grouped(32).map { b =>
+        val lens = b.map(_._2); lens.max * b.size - lens.sum
+      }.sum
+    }
+    val byShard = docs.map { case (id, _, _, _, len) => (h(id.toString) % 8, id, len) }
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val expected = byShard.map { case (shard, rows) =>
+      shard -> ((rows.size.toLong, (rows.size + 31L) / 32L,
+        waste(rows, byLen = true), waste(rows, byLen = false)))
+    }
+    val out = SparkEntry.queries("pipeline_length_batches")(spark, dir).collect()
+    assert(out.forall(_.getAs[Boolean]("grouped_no_worse")))
+    val got = out.map(r => r.getAs[Long]("shard") ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_batches"),
+        r.getAs[Long]("waste_sorted"), r.getAs[Long]("waste_arrival")))).toMap
+    assert(got == expected)
+    // the two orderings must actually diverge somewhere, or the test
+    // proves nothing about the grouping
+    assert(out.exists(r => r.getAs[Long]("waste_sorted") < r.getAs[Long]("waste_arrival")))
+  }
+
   test("incremental distinct: HLL snapshot refresh exact on small corpus, proofs hold") {
     val s = spark
     import s.implicits._
