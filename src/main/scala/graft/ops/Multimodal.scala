@@ -280,50 +280,45 @@ object Multimodal {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
-    // Audio-frame energy plumbing: the payload's byte stream framed as
-    // fixed 64-sample windows with hop 32 (the STFT/VAD batch shape — a
-    // real pipeline would decode PCM first; here the payload bytes stand
-    // in for samples, same as the other stubbed codecs), per frame the
-    // energy (sum of sample values) and peak — both exact integers. The
-    // first 4 frames per payload bound the explode; full framing is the
-    // same plan with the sequence bound swapped. Per-frame work is a
-    // codegen'd scalar fold — no shuffle until the final ORDER BY.
+    // Audio-frame energy over REAL decoded PCM: samples come from the
+    // chunk-walk decode of the standing WAV artifact (the payload-bytes
+    // stand-in is retired — see [[wavPayloadRelation]]), framed as fixed
+    // 32-sample windows (the STFT/VAD batch shape), per frame the energy
+    // (sum of sample values) and peak — both exact integers. The first 4
+    // full frames per payload bound the explode; full framing is the
+    // same plan with the sequence bound swapped. Decode runs in the
+    // mapPartitions codec slot; per-frame work is a codegen'd scalar
+    // fold over the array column — no shuffle until the final ORDER BY.
+    // The oracle replays the sample formula analytically, so a misparsed
+    // chunk or endianness slip hash-mismatches.
     GraftQuery.of("mm_audio_energy",
-      """SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |  CAST(list_sum(l) AS BIGINT) AS energy,
-        |  CAST(list_max(l) AS BIGINT) AS peak
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(list_sum(list_transform(range(f * 32, f * 32 + 32), i ->
+        |    (17 * doc_id + 29 * i) % 4096 - 2048)) AS BIGINT) AS energy,
+        |  CAST(list_max(list_transform(range(f * 32, f * 32 + 32), i ->
+        |    (17 * doc_id + 29 * i) % 4096 - 2048)) AS BIGINT) AS peak
         |FROM (
-        |  SELECT media_id, frame_idx,
-        |    list_transform(range(1, 65), i ->
-        |      unicode(substring(fr, i::INTEGER, 1))) AS l
-        |  FROM (
-        |    SELECT doc_id AS media_id, frame_idx,
-        |      substring(text, (frame_idx * 32 + 1)::INTEGER, 64) AS fr
-        |    FROM (
-        |      -- only full windows: a ragged tail frame would read
-        |      -- past-the-end chars, where the engines' empty-substring
-        |      -- codepoint conventions differ (unicode('') = -1 here,
-        |      -- ascii('') = 0 in Spark)
-        |      SELECT doc_id, text,
-        |        unnest([0, 1, 2, 3]) AS frame_idx,
-        |        CASE WHEN length(text) >= 64
-        |             THEN (length(text) - 64) // 32 + 1 ELSE 0 END AS n_frames
-        |      FROM documents)
-        |    WHERE frame_idx < n_frames))
+        |  SELECT doc_id, unnest([0, 1, 2, 3]) AS f,
+        |    -- only full 32-sample windows; payloads carry 64..191 samples
+        |    (64 + doc_id % 128) // 32 AS n_frames
+        |  FROM documents)
+        |WHERE f < least(n_frames, 4)
         |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
-      documents(s, d)
-        .select(col("doc_id").as("media_id"), col("text"),
-          explode(expr("sequence(0, 3)")).as("frame_idx"),
-          expr("CASE WHEN length(text) >= 64 THEN (length(text) - 64) div 32 + 1 " +
-            "ELSE 0 END").as("n_frames"))
-        .filter(col("frame_idx") < col("n_frames"))
+      import s.implicits._
+      wavPayloadRelation(s, d).as[(Long, Array[Byte])]
+        .mapPartitions(rows => rows.map { case (id, bytes) =>
+          val (_, samples) = decodeWavPcm(bytes)
+          (id, samples.map(_.toInt))
+        })
+        .toDF("media_id", "samples")
+        .select(col("media_id"), col("samples"),
+          explode(expr("sequence(0, least(size(samples) div 32, 4) - 1)"))
+            .as("frame_idx"))
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-          expr("substring(text, frame_idx * 32 + 1, 64)").as("fr"))
+          expr("slice(samples, frame_idx * 32 + 1, 32)").as("fr"))
         .select(col("media_id"), col("frame_idx"),
-          expr("transform(sequence(1, 64), i -> ascii(substring(fr, i, 1)))").as("l"))
-        .select(col("media_id"), col("frame_idx"),
-          expr("aggregate(l, 0L, (acc, x) -> acc + x)").as("energy"),
-          expr("array_max(l)").cast("long").as("peak"))
+          expr("aggregate(fr, 0L, (acc, x) -> acc + x)").as("energy"),
+          expr("CAST(array_max(fr) AS BIGINT)").as("peak"))
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
@@ -477,12 +472,7 @@ object Multimodal {
         |    (17 * doc_id + 29 * i) % 4096 - 2048)) AS BIGINT) AS peak
         |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
       import s.implicits._
-      val out = processScratch(d, "wav_payloads")
-      documents(s, d).select(col("doc_id")).as[Long]
-        .mapPartitions(ids => ids.map(id => (id, encodeWav(id))))
-        .toDF("media_id", "payload")
-        .write.mode("overwrite").parquet(out)
-      s.read.parquet(out).as[(Long, Array[Byte])]
+      wavPayloadRelation(s, d).as[(Long, Array[Byte])]
         .mapPartitions(rows => rows.map { case (id, bytes) =>
           val (rate, n, energy, peak) = decodeWav(bytes)
           WavInfo(id, rate, n, energy, peak)
@@ -584,6 +574,28 @@ object Multimodal {
   private[graft] def wavSamples(id: Long): Array[Short] =
     Array.tabulate((64 + id % 128).toInt)(i => ((17 * id + 29 * i) % 4096 - 2048).toShort)
 
+  /** Latch for [[wavPayloadRelation]] — parquet path per dataset dir. */
+  private val wavArtifact = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The MATERIALIZED (media_id, payload) relation of real RIFF/WAVE
+    * containers — [[pngPayloadRelation]]'s audio twin, encoded once per
+    * (JVM, dataset dir) via [[encodeWav]]; `mm_wav_decode` and
+    * `mm_audio_energy` both parse their PCM from this one sink.
+    */
+  private[graft] def wavPayloadRelation(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val path = wavArtifact.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val out = processScratch(d, "wav_payloads")
+      documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map(id => (id, encodeWav(id))))
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   /** A REAL RIFF/WAVE container: canonical 44-byte header (PCM fmt chunk,
     * mono, 8 kHz, 16-bit) + little-endian sample data.
     */
@@ -606,9 +618,9 @@ object Multimodal {
   /** REAL RIFF parse: validates the RIFF/WAVE magics, WALKS THE CHUNK LIST
     * (id + little-endian size, word-aligned) to find fmt and data — no
     * fixed-offset shortcuts — and decodes the PCM samples. Returns
-    * (sample_rate, n_samples, Σ|sample|, max sample).
+    * (sample_rate, samples).
     */
-  private[graft] def decodeWav(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+  private[graft] def decodeWavPcm(bytes: Array[Byte]): (Int, Array[Short]) = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = { val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII") }
     require(fourcc() == "RIFF", "not a RIFF container")
@@ -636,6 +648,14 @@ object Multimodal {
       }
     }
     require(rate > 0 && samples != null, "missing fmt or data chunk")
+    (rate, samples)
+  }
+
+  /** [[decodeWavPcm]] reduced to the mm_wav_decode report:
+    * (sample_rate, n_samples, Σ|sample|, max sample).
+    */
+  private[graft] def decodeWav(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val (rate, samples) = decodeWavPcm(bytes)
     (rate, samples.length,
       samples.foldLeft(0L)((a, s) => a + math.abs(s.toLong)),
       samples.foldLeft(Long.MinValue)((a, s) => math.max(a, s.toLong)))
