@@ -9,18 +9,22 @@ import Tables._
   * columns with typed metadata, and run feature extraction as a
   * per-partition batch operation.
   *
-  * The MODEL-feature decode step (JPEG/MP4 codecs, embedding models) is
-  * STUBBED — the container has no media libraries — by [[fakeFeatures]],
-  * a deterministic hash-derived feature vector. Two container formats ARE
-  * decoded for real with what the JDK itself provides: PNG via
-  * javax.imageio and RIFF/WAV via pure byte arithmetic (see
-  * `mm_png_decode` / `mm_wav_decode` — dims and sample statistics come
-  * from parsing genuine bytes on disk). Everything around the remaining
-  * stubs is real and load-bearing at scale: binary columns flow through
-  * parquet scans untouched (no row-group-wide string decode), metadata
-  * extraction is codegen'd expression work, and the feature extractor has
-  * the batch shape a vectorized UDF would have (array<double> out, fixed
-  * dim, no driver round-trips).
+  * The MODEL-feature step (embedding models) is STUBBED — the container
+  * has no model runtimes — by [[fakeFeatures]], a deterministic
+  * hash-derived feature vector. The CONTAINER tier is decoded for real
+  * with what the JDK itself provides: PNG via javax.imageio (consumed by
+  * `mm_png_decode` AND `mm_resize`), RIFF/WAV via pure byte arithmetic
+  * (`mm_wav_decode`, `mm_audio_energy`'s PCM frames), and the GFS1
+  * frame-stream container (`mm_frame_sample` — length-prefixed real PNG
+  * frames, sampled by seeking). Each format's payloads are a standing
+  * parquet artifact encoded once per (JVM, dataset); dims, sample and
+  * pixel statistics all come from parsing genuine bytes on disk.
+  * Everything around the remaining model stub is real and load-bearing
+  * at scale: binary columns flow through parquet scans untouched (no
+  * row-group-wide string decode), metadata extraction is codegen'd
+  * expression work, and the feature extractor has the batch shape a
+  * vectorized UDF would have (array<double> out, fixed dim, no driver
+  * round-trips).
   */
 object Multimodal {
 
@@ -248,36 +252,42 @@ object Multimodal {
         .orderBy(col("media_id"))
     },
 
-    // STUB frame sampling: fake frame count from the payload size (the
-    // container-parse stand-in), real sampling plumbing — integer stride
-    // step = ceil(n_frames/8) as (n+7) div 8, up to 8 frames exploded to
-    // one row each with a per-frame fingerprint. The explode-then-process
-    // batch shape is exactly what a real frame extractor feeds downstream.
-    GraftQuery.of("mm_frame_sample", {
-      val fp = GraftQuery.h60Sql("text || ':f' || frame_idx::VARCHAR")
-      s"""SELECT media_id, frame_idx, CAST($fp AS BIGINT) AS frame_fp
-         |FROM (
-         |  SELECT doc_id AS media_id, text, n_frames,
-         |    unnest(list_transform(range(0, 8), k -> k * ((n_frames + 7) // 8))) AS frame_idx
-         |  FROM (
-         |    SELECT doc_id, text,
-         |      octet_length(encode(text)) // 100 + 1 AS n_frames
-         |    FROM documents))
-         |WHERE frame_idx < n_frames
-         |ORDER BY media_id, frame_idx""".stripMargin
-    }) { (s, d) =>
-      import graft.functions.Md5Hash60.md5hash60
-      documents(s, d)
-        .select(col("doc_id").as("media_id"), col("text"),
-          expr("octet_length(text) div 100 + 1").cast("long").as("n_frames"))
-        .select(col("media_id"), col("text"), col("n_frames"),
-          explode(expr("transform(sequence(0, 7), k -> k * ((n_frames + 7) div 8))"))
-            .as("frame_idx"))
-        .filter(col("frame_idx") < col("n_frames"))
-        .select(col("media_id"), col("frame_idx"),
-          md5hash60(concat(col("text"), lit(":f"), col("frame_idx").cast("string")))
-            .as("frame_fp"))
-        .orderBy(col("media_id"), col("frame_idx"))
+    // REAL frame sampling: frame count comes from the GFS1 container
+    // header of the standing frame-stream artifact, the stride sampler
+    // (step = ceil(n_frames/8), up to 8 frames) SEEKS past unwanted
+    // frames by their length prefix — their bytes are never parsed, the
+    // production frame-extractor shape — and each sampled frame's
+    // genuine PNG is decoded for dims + pixel sum (spec-tested: a
+    // corrupted non-sampled frame cannot change the output, a corrupted
+    // sampled frame fails loudly). Oracle replays the raster formula
+    // analytically per sampled index.
+    GraftQuery.of("mm_frame_sample",
+      """SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |  CAST(8 + (doc_id // 9) % 9 AS BIGINT) AS h,
+        |  CAST(list_sum(flatten(list_transform(range(0, 8 + (doc_id // 9) % 9), y ->
+        |    list_transform(range(0, 8 + doc_id % 9), x ->
+        |      (31 * doc_id + 41 * frame_idx + 7 * x + 13 * y) % 256)))) AS BIGINT) AS px_sum
+        |FROM (
+        |  SELECT doc_id, n_frames,
+        |    unnest(list_transform(range(0, 8), k -> k * ((n_frames + 7) // 8))) AS frame_idx
+        |  FROM (SELECT doc_id, 1 + doc_id % 12 AS n_frames FROM documents))
+        |WHERE frame_idx < n_frames
+        |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      frameStreamRelation(s, d).as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          // stride-sample wanted indices straight off the HEADER count
+          // (not the generator formula); decodeFrameStream length-jumps
+          // everything else
+          decodeFrameStream(bytes, (f, n) => {
+            val step = (n + 7) / 8
+            f % step == 0 && f / step < 8
+          }).map { case (f, w, h, sum) =>
+            FrameInfo(id, f.toLong, w.toLong, h.toLong, sum)
+          }
+        }
+        .toDF().orderBy(col("media_id"), col("frame_idx"))
     },
 
     // Audio-frame energy over REAL decoded PCM: samples come from the
@@ -530,7 +540,13 @@ object Multimodal {
     * raster, via the JDK's ImageIO PNG writer — lossless 8-bit grayscale,
     * so every pixel round-trips exactly.
     */
-  private[graft] def encodePng(id: Long): Array[Byte] = {
+  private[graft] def encodePng(id: Long): Array[Byte] = encodePngFrame(id, 0L)
+
+  /** [[encodePng]] generalized to a FRAME of `id`'s stream: pixel(x, y) =
+    * (31·id + 41·f + 7x + 13y) mod 256 at [[pngDims]] — frame 0 is
+    * exactly the single-image payload (41·0 = 0).
+    */
+  private[graft] def encodePngFrame(id: Long, f: Long): Array[Byte] = {
     val (w, h) = pngDims(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -539,7 +555,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, ((31 * id + 7 * x + 13 * y) % 256).toInt)
+        raster.setSample(x, y, 0, ((31 * id + 41 * f + 7 * x + 13 * y) % 256).toInt)
         x += 1
       }
       y += 1
@@ -548,6 +564,69 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in executors
     require(javax.imageio.ImageIO.write(img, "png", bos), "no PNG writer available")
     bos.toByteArray
+  }
+
+  /** Latch for [[frameStreamRelation]] — parquet path per dataset dir. */
+  private val gfsArtifact = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The MATERIALIZED (media_id, payload) relation of real frame-stream
+    * containers — the video tier's standing media lake, encoded once per
+    * (JVM, dataset dir) via [[encodeFrameStream]].
+    */
+  private[graft] def frameStreamRelation(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val path = gfsArtifact.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val out = processScratch(d, "gfs_payloads")
+      documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map(id => (id, encodeFrameStream(id))))
+        .toDF("media_id", "payload")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** Frame count of `id`'s frame stream: 1 + id mod 12. */
+  private[graft] def frameCount(id: Long): Int = (1 + id % 12).toInt
+
+  /** A REAL frame-stream container ("GFS1"): magic + LE int32 frame
+    * count, then per frame a LE int32 byte length + the frame's genuine
+    * PNG bytes. The length prefix is what lets a sampler SEEK past
+    * frames it doesn't want — the property the decoder exercises.
+    */
+  private[graft] def encodeFrameStream(id: Long): Array[Byte] = {
+    val frames = (0 until frameCount(id)).map(f => encodePngFrame(id, f.toLong))
+    val bb = java.nio.ByteBuffer.allocate(8 + frames.map(_.length + 4).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GFS1".getBytes("US-ASCII")).putInt(frames.length)
+    frames.foreach { fr => bb.putInt(fr.length); bb.put(fr) }
+    bb.array()
+  }
+
+  /** REAL frame-stream walk: validates the magic, reads the frame count,
+    * and for each wanted index DECODES that frame's PNG while SKIPPING
+    * unwanted frames by their length prefix alone (their bytes are never
+    * parsed — the seek-don't-decode shape of a production frame
+    * sampler). Returns (frame_idx, w, h, px_sum) per wanted frame.
+    */
+  private[graft] def decodeFrameStream(bytes: Array[Byte],
+      wanted: (Int, Int) => Boolean): Seq[(Int, Int, Int, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    require(new String(magic, "US-ASCII") == "GFS1", "not a GFS1 frame stream")
+    val n = bb.getInt
+    (0 until n).flatMap { f =>
+      val len = bb.getInt
+      if (wanted(f, n)) {
+        val png = new Array[Byte](len); bb.get(png)
+        val (w, h, sum) = decodePng(png)
+        Some((f, w, h, sum))
+      } else {
+        bb.position(bb.position() + len)
+        None
+      }
+    }
   }
 
   /** REAL PNG decode: ImageIO parses the signature/IHDR/IDAT structure and
@@ -662,6 +741,8 @@ object Multimodal {
   }
 
   final case class PngInfo(media_id: Long, w: Long, h: Long, px_sum: Long)
+  final case class FrameInfo(media_id: Long, frame_idx: Long, w: Long, h: Long,
+      px_sum: Long)
   final case class WavInfo(media_id: Long, sample_rate: Long, n_samples: Long,
       abs_energy: Long, peak: Long)
 

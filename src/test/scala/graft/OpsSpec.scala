@@ -920,6 +920,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("frame stream: header-count stride, skipped frames never parsed, sampled decode exact") {
+    for (id <- Seq(0L, 5L, 11L, 4999L)) {
+      val bytes = Multimodal.encodeFrameStream(id)
+      val n = Multimodal.frameCount(id)
+      val step = (n + 7) / 8
+      val wanted = (0 until n).filter(f => f % step == 0 && f / step < 8)
+      val out = Multimodal.decodeFrameStream(bytes, (f, hn) => {
+        assert(hn == n, s"header count $hn != $n"); f % step == 0 && f / step < 8
+      })
+      assert(out.map(_._1) == wanted, s"id=$id sampled ${out.map(_._1)}")
+      val (ew, eh) = Multimodal.pngDims(id)
+      out.foreach { case (f, w, h, sum) =>
+        val esum = (for { y <- 0 until eh; x <- 0 until ew }
+          yield (31 * id + 41 * f + 7 * x + 13 * y) % 256).sum
+        assert((w, h, sum) == (ew, eh, esum), s"id=$id frame=$f got ($w,$h,$sum)")
+      }
+    }
+    // id 11 → 12 frames, step 2: frame 1 is NOT sampled. Corrupting its
+    // PNG bytes must not move the output — the walker length-jumps it —
+    // while corrupting sampled frame 0's signature must fail loudly.
+    val id = 11L
+    val clean = Multimodal.encodeFrameStream(id)
+    val sampler = (f: Int, n: Int) => {
+      val step = (n + 7) / 8; f % step == 0 && f / step < 8
+    }
+    val expected = Multimodal.decodeFrameStream(clean, sampler)
+    val len0 = java.nio.ByteBuffer.wrap(clean, 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val corruptSkipped = clean.clone()
+    corruptSkipped(16 + len0 + 3) = (corruptSkipped(16 + len0 + 3) ^ 0xFF).toByte
+    assert(Multimodal.decodeFrameStream(corruptSkipped, sampler) == expected)
+    val corruptSampled = clean.clone()
+    corruptSampled(12) = (corruptSampled(12) ^ 0xFF).toByte // frame 0 signature
+    intercept[Exception] {
+      Multimodal.decodeFrameStream(corruptSampled, sampler)
+    }
+  }
+
   test("WAV codec: chunk walk recovers rate and samples; extra chunk is skipped") {
     for (id <- Seq(0L, 63L, 64L, 191L, 4999L)) {
       val samples = Multimodal.wavSamples(id)
