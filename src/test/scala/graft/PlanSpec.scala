@@ -458,4 +458,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("neardup_edges"), p.take(3000))
     assert(!p.contains("documents"), p.take(3000))
   }
+
+  test("media decoders scan their standing payload artifacts, not the corpus") {
+    // the encode pass runs ONCE per (JVM, dataset) at artifact build;
+    // every decode entry is a scan of the persisted payload parquet
+    for ((q, artifact) <- Seq(
+        "mm_resize" -> "png_payloads", "mm_png_decode" -> "png_payloads",
+        "mm_audio_energy" -> "wav_payloads", "mm_wav_decode" -> "wav_payloads",
+        "mm_frame_sample" -> "gfs_payloads")) {
+      val p = planOf(q)
+      assert(p.contains(artifact), s"$q: ${p.take(3000)}")
+      assert(!p.contains("documents"), s"$q: ${p.take(3000)}")
+    }
+  }
 }
