@@ -76,6 +76,39 @@ object Multimodal {
       }
   }
 
+  /** A REAL extractor for [[batchExtract]]'s pluggable slot: decode the
+    * PNG payload and emit classic no-model vision features as exact
+    * integer sums (total, four quadrant sums, horizontal/vertical
+    * absolute-gradient energies) — the statistics a real pipeline
+    * computes before any embedding model touches the image. Integers
+    * ride the Array[Double] feature vector exactly (all ≪ 2^53);
+    * `mm_pixel_features` registers this plugged in, proving the
+    * "swap the closure, keep the plumbing" contract with an oracle.
+    */
+  private[graft] def pixelFeatureExtractor: Array[Byte] => Array[Double] = { bytes =>
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val r = img.getRaster
+    val w = img.getWidth
+    val h = img.getHeight
+    var total, q00, q01, q10, q11, gx, gy = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = r.getSample(x, y, 0)
+        total += v
+        if (y < h / 2) { if (x < w / 2) q00 += v else q01 += v }
+        else { if (x < w / 2) q10 += v else q11 += v }
+        if (x + 1 < w) gx += math.abs(r.getSample(x + 1, y, 0) - v)
+        if (y + 1 < h) gy += math.abs(r.getSample(x, y + 1, 0) - v)
+        x += 1
+      }
+      y += 1
+    }
+    Array(total, q00, q01, q10, q11, gx, gy).map(_.toDouble)
+  }
+
   /** Stub extractor matching [[fakeFeatures]] byte-for-byte. */
   def defaultExtractor(dim: Int): Array[Byte] => Array[Double] = { payload =>
     (0 until dim / 4).toArray.flatMap { w =>
@@ -397,6 +430,40 @@ object Multimodal {
           md5(expr(
             "array_join(transform(features, f -> cast(cast(round(f * 255) as int) as string)), ',')"))
             .as("features_digest"))
+        .orderBy(col("media_id"))
+    },
+
+    // REAL features through the SAME pluggable slot: batchExtract with
+    // [[pixelFeatureExtractor]] swapped in for the stub — the decoded
+    // raster's total, quadrant sums, and |gradient| energies, all exact
+    // integers — over the standing PNG artifact. This row is the
+    // "swapping in a codec-backed closure changes no plumbing" claim
+    // made oracle-checkable: same mapPartitions tier, same typed
+    // Dataset return, real bytes in, real statistics out.
+    GraftQuery.of("mm_pixel_features", {
+      def p(x: String, y: String) = s"(31 * doc_id + 7 * ($x) + 13 * ($y)) % 256"
+      def grid(xr: String, yr: String, v: String) =
+        s"""CAST(list_sum(flatten(list_transform($yr, y ->
+           |    list_transform($xr, x -> $v)))) AS BIGINT)""".stripMargin
+      s"""SELECT doc_id AS media_id,
+         |  ${grid("range(0, w)", "range(0, h)", p("x", "y"))} AS px_total,
+         |  ${grid("range(0, w // 2)", "range(0, h // 2)", p("x", "y"))} AS q00,
+         |  ${grid("range(w // 2, w)", "range(0, h // 2)", p("x", "y"))} AS q01,
+         |  ${grid("range(0, w // 2)", "range(h // 2, h)", p("x", "y"))} AS q10,
+         |  ${grid("range(w // 2, w)", "range(h // 2, h)", p("x", "y"))} AS q11,
+         |  ${grid("range(0, w - 1)", "range(0, h)", s"abs(${p("x + 1", "y")} - ${p("x", "y")})")} AS grad_x,
+         |  ${grid("range(0, w)", "range(0, h - 1)", s"abs(${p("x", "y + 1")} - ${p("x", "y")})")} AS grad_y
+         |FROM (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+         |      FROM documents)
+         |ORDER BY media_id""".stripMargin
+    }) { (s, d) =>
+      val names = Seq("px_total", "q00", "q01", "q10", "q11", "grad_x", "grad_y")
+      batchExtract(pngPayloadRelation(s, d), dim = 7)(pixelFeatureExtractor)
+        .toDF()
+        .select(col("media_id") +:
+          names.zipWithIndex.map { case (n, i) =>
+            element_at(col("features"), i + 1).cast("long").as(n)
+          }: _*)
         .orderBy(col("media_id"))
     },
 

@@ -958,6 +958,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pixel features: decoded quadrant sums and gradient energies match the formula") {
+    for (id <- Seq(0L, 4L, 40L, 4999L)) {
+      val (w, h) = Multimodal.pngDims(id)
+      def p(x: Int, y: Int): Long = (31 * id + 7 * x + 13 * y) % 256
+      val all = for { y <- 0 until h; x <- 0 until w } yield (x, y, p(x, y))
+      val expected = Array(
+        all.map(_._3).sum,
+        all.collect { case (x, y, v) if x < w / 2 && y < h / 2 => v }.sum,
+        all.collect { case (x, y, v) if x >= w / 2 && y < h / 2 => v }.sum,
+        all.collect { case (x, y, v) if x < w / 2 && y >= h / 2 => v }.sum,
+        all.collect { case (x, y, v) if x >= w / 2 && y >= h / 2 => v }.sum,
+        (for { y <- 0 until h; x <- 0 until w - 1 } yield math.abs(p(x + 1, y) - p(x, y))).sum,
+        (for { y <- 0 until h - 1; x <- 0 until w } yield math.abs(p(x, y + 1) - p(x, y))).sum)
+      val got = Multimodal.pixelFeatureExtractor(Multimodal.encodePng(id)).map(_.toLong)
+      assert(got.toSeq == expected.toSeq, s"id=$id got ${got.toSeq}")
+    }
+  }
+
   test("WAV codec: chunk walk recovers rate and samples; extra chunk is skipped") {
     for (id <- Seq(0L, 63L, 64L, 191L, 4999L)) {
       val samples = Multimodal.wavSamples(id)
