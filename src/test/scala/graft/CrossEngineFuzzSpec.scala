@@ -45,12 +45,17 @@ class CrossEngineFuzzSpec extends AnyFunSuite {
       val s = (0 until (1 + rnd.nextInt(12)))
         .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
       val base = java.time.LocalDate.of(2023, 1, 1).plusDays(rnd.nextInt(800))
+      // UTC-pinned timestamp at a random second of `base`'s day — the
+      // epoch-arithmetic idioms operate on the stored micros, so both
+      // engines must see the identical int64 regardless of reader tz
+      val ts = java.sql.Timestamp.from(base.atStartOfDay(java.time.ZoneOffset.UTC)
+        .plusSeconds(rnd.nextInt(86400)).toInstant)
       (i.toLong, k, b, v, s, java.sql.Date.valueOf(base),
-        java.sql.Date.valueOf(base.plusDays(rnd.nextInt(400))))
+        java.sql.Date.valueOf(base.plusDays(rnd.nextInt(400))), ts)
     }
     val s = spark
     import s.implicits._
-    rows.toDF("id", "k", "b", "v", "s", "d1", "d2")
+    rows.toDF("id", "k", "b", "v", "s", "d1", "d2", "ts")
       .coalesce(1).write.mode("overwrite").parquet(dir)
     dir
   }
@@ -126,5 +131,35 @@ class CrossEngineFuzzSpec extends AnyFunSuite {
     // modulus below pins the domain; widening it re-finds the divergence.
     parity("ratio6", round((col("k") % lit(1L << 31)).cast("double") / col("b"), 6),
       s"round(CAST(k % ${1L << 31} AS DOUBLE) / b, 6)", double = true)
+  }
+
+  test("bigint-keyed hash idiom: cast-to-string + salt formats identically before md5") {
+    // every hash split / arm assignment / shard key rides
+    // h60(numeric_id::VARCHAR || ':salt') — parity requires the engines'
+    // BIGINT→string renderings to agree byte-for-byte (no sign, width,
+    // or scientific-notation surprises) before the digest ever runs
+    import graft.functions.Md5Hash60.md5hash60
+    parity("h60 bigint", md5hash60(concat(col("k").cast("string"), lit(":arrival"))),
+      GraftQuery.h60Sql("k::VARCHAR || ':arrival'"))
+    parity("h60 bigint mod", pmod(md5hash60(col("k").cast("string")), lit(100L)),
+      s"(${GraftQuery.h60Sql("k::VARCHAR")}) % 100")
+  }
+
+  test("epoch-micros idiom: unix_micros buckets == epoch_us buckets off the stored int64") {
+    // the events family derives seconds/hours from integer epoch
+    // arithmetic precisely so no extract()/timezone surface exists —
+    // pin that the stored parquet micros round-trip identically
+    parity("epoch sec", expr("unix_micros(ts) div 1000000"),
+      "epoch_us(ts) // 1000000")
+    parity("epoch hour-of-day", expr("unix_micros(ts) div 3600000000 % 24"),
+      "epoch_us(ts) // 3600000000 % 24")
+  }
+
+  test("token canonicalization idiom: split + sort + join agrees on ASCII token bags") {
+    // dedup_exact_canonical's fingerprint shape: both engines must
+    // byte-order ASCII tokens identically and rejoin with the same
+    // separator; the crafted bag has a duplicate and a reversed token
+    parity("canon", expr("array_join(array_sort(split(s || ' ' || reverse(s) || ' ' || s, ' ')), ' ')"),
+      "array_to_string(list_sort(string_split(s || ' ' || reverse(s) || ' ' || s, ' ')), ' ')")
   }
 }
