@@ -602,6 +602,50 @@ object Pipeline {
         .orderBy(col("shard"), col("pos"))
     },
 
+    // SHUFFLE-QUALITY AUDIT — "is my shuffle actually mixing": over
+    // pipeline_shuffle_order's deterministic permutation, count adjacent
+    // pairs that share a language per shard (the serial-correlation
+    // statistic a training pipeline checks before trusting an order —
+    // clumped languages = correlated gradients) next to the collision
+    // numerator Σ c_l·(c_l−1), so the consumer compares the observed
+    // adjacent-same fraction n_adjacent_same/n_pairs against the
+    // random-order expectation coll_num/(n·(n−1)) — the estimator-
+    // precedent split: exact integers in the gate, the ratio assembled
+    // downstream. One per-shard lag window (the permutation's own sort,
+    // never global) + two narrowing aggregates.
+    GraftQuery.of("pipeline_shuffle_audit", {
+      val h = Dedup.h60Sql("doc_id::VARCHAR", 7)
+      s"""WITH base AS (SELECT doc_id, lang, $h % 8 AS shard, $h AS hv FROM documents),
+         |ord AS (SELECT shard, lang,
+         |    lag(lang) OVER (PARTITION BY shard ORDER BY hv, doc_id) AS prev
+         |  FROM base),
+         |adj AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(CASE WHEN prev = lang THEN 1 END) AS BIGINT) AS n_adjacent_same
+         |  FROM ord GROUP BY 1),
+         |cl AS (SELECT shard, CAST(sum(c * (c - 1)) AS BIGINT) AS coll_num FROM (
+         |    SELECT shard, lang, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT adj.shard AS shard, n_docs, n_docs - 1 AS n_pairs,
+         |  n_adjacent_same, coll_num
+         |FROM adj JOIN cl ON adj.shard = cl.shard ORDER BY shard""".stripMargin
+    }) { (s, d) =>
+      val ordered = shuffleOrder(documents(s, d), 8)
+      val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col("doc_id"))
+      val adj = ordered
+        .withColumn("prev", lag(col("lang"), 1).over(w))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          count(when(col("prev") === col("lang"), 1)).cast("long").as("n_adjacent_same"))
+      val cl = ordered.groupBy(col("shard"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("shard"))
+        .agg(sum(col("c") * (col("c") - 1)).cast("long").as("coll_num"))
+      adj.join(broadcast(cl), "shard")
+        .select(col("shard"), col("n_docs"), (col("n_docs") - 1).as("n_pairs"),
+          col("n_adjacent_same"), col("coll_num"))
+        .orderBy(col("shard"))
+    },
+
     // PER-EPOCH reshuffle — the dataloader contract multi-epoch training
     // actually needs: a DIFFERENT deterministic permutation each epoch
     // (same-order epochs overfit to batch composition), each epoch's

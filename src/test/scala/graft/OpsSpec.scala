@@ -1269,6 +1269,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out.exists(r => r.getAs[Long]("waste_sorted") < r.getAs[Long]("waste_arrival")))
   }
 
+  test("shuffle audit: adjacency and collision counts replicate the salted permutation") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shufaud").toString
+    val langs = Seq("en", "fr", "de")
+    val docs = (0L until 240L).map(i => (i, "t", langs((i % 3).toInt), "web", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h(id: Long): Long =
+      graft.functions.Md5Hash60.hash60(s"$id#7".getBytes("UTF-8"))
+    val byShard = docs.map { case (id, _, lang, _, _) => (h(id) % 8, h(id), id, lang) }
+      .groupBy(_._1)
+    val expected = byShard.map { case (shard, rows) =>
+      val ordered = rows.sortBy { case (_, hv, id, _) => (hv, id) }.map(_._4)
+      val same = ordered.sliding(2).count { case Seq(a, b) => a == b; case _ => false }
+      val coll = ordered.groupBy(identity).values.map(g => g.size.toLong * (g.size - 1)).sum
+      shard -> ((ordered.size.toLong, ordered.size - 1L, same.toLong, coll))
+    }
+    val got = SparkEntry.queries("pipeline_shuffle_audit")(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_adjacent_same"), r.getAs[Long]("coll_num")))).toMap
+    assert(got == expected)
+  }
+
   test("incremental distinct: HLL snapshot refresh exact on small corpus, proofs hold") {
     val s = spark
     import s.implicits._
