@@ -770,7 +770,7 @@ object Pipeline {
           max(col("n_chars")).cast("long").as("max_chars"))
       // the standing snapshot: partial aggs persisted once, re-read —
       // the artifact a production refresh keeps between runs
-      val snapDir = s"/tmp/graft_sink/${new java.io.File(d).getName}/incr_agg_snapshot"
+      val snapDir = Tables.processScratch(d, "incr_agg_snapshot")
       partials(docs.filter(isExisting)).write.mode("overwrite").parquet(snapDir)
       s.read.parquet(snapDir)
         .unionByName(partials(docs.filter(!isExisting)))
@@ -816,7 +816,7 @@ object Pipeline {
         .unionByName(sketches(docs.filter(!isExisting)))
         .groupBy(col("lang")).agg(hll_union_agg(col("sk")).as("sk"))
         .select(col("lang"), hll_sketch_estimate(col("sk")).as(est))
-      val snapDir = s"/tmp/graft_sink/${new java.io.File(d).getName}/incr_hll_snapshot"
+      val snapDir = Tables.processScratch(d, "incr_hll_snapshot")
       sketches(docs.filter(isExisting)).write.mode("overwrite").parquet(snapDir)
       val merged = refresh(s.read.parquet(snapDir), "est_merged")
       val mergedMem = refresh(sketches(docs.filter(isExisting)), "est_mem")

@@ -12,6 +12,23 @@ import Tables._
   */
 object ScaleOps {
 
+  /** One conf-pinned session clone per base session, cached for the JVM
+    * lifetime: q_bucket_point_lookup needs
+    * `bucketing.autoBucketedScan.enabled=false` (the "no benefit"
+    * heuristic doesn't model pruning) without touching the shared
+    * session's conf, and cloning per invocation would accumulate
+    * listener/state registrations under Bench's repeated runs.
+    */
+  private val bucketScanSessions =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+  private def forcedBucketScanSession(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    bucketScanSessions.computeIfAbsent(s, base => {
+      val s2 = base.newSession()
+      s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      s2
+    })
+
   /** Backward as-of join: for every left row, the latest right row of the
     * same key with `right.time <= left.time` (ties on `time` see the right
     * row — inclusive semantics; right-side order at equal time is broken
@@ -142,7 +159,7 @@ object ScaleOps {
     */
   private[graft] def zonemapScan(s: org.apache.spark.sql.SparkSession, d: String,
       lo: String, hi: String): (Seq[String], Seq[String], DataFrame) = {
-    val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/lineitem_by_shipdate"
+    val out = Tables.processScratch(d, "lineitem_by_shipdate")
     lineitem(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
       .repartitionByRange(8, col("l_shipdate"))
       .sortWithinPartitions(col("l_shipdate"))
@@ -209,7 +226,7 @@ object ScaleOps {
 
   private[graft] def bloomIndexLookup(s: org.apache.spark.sql.SparkSession,
       d: String): (Seq[String], Seq[String], DataFrame) = {
-    val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/lineitem_bloomidx"
+    val out = Tables.processScratch(d, "lineitem_bloomidx")
     lineitem(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
       .repartitionByRange(8, col("l_shipdate"))
       .sortWithinPartitions(col("l_shipdate"))
@@ -290,8 +307,7 @@ object ScaleOps {
         orders(s, d).select(col("o_orderkey"), col("o_custkey"))
           .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
           .saveAsTable(t)
-        val s2 = s.newSession()
-        s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val s2 = forcedBucketScanSession(s)
         val probe = s2.table(t).filter(col("o_custkey") === 37L)
         val plan = probe.queryExecution.executedPlan.toString
         require(plan.contains("SelectedBucketsCount: 1 out of 8"),
@@ -451,7 +467,7 @@ object ScaleOps {
         |    AS victims_left
         |FROM events WHERE user_id % 20 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/events_gdpr"
+      val base = Tables.processScratch(d, "events_gdpr")
       events(s, d).write.mode("overwrite").parquet(s"$base/full")
       val full = s.read.parquet(s"$base/full")
       val victims = full.select(col("user_id")).distinct()
@@ -531,7 +547,7 @@ object ScaleOps {
         |  CAST(sum(CASE WHEN NOT (l_orderkey % 13 = 0 AND l_linenumber = 1)
         |    THEN l_quantity END) AS BIGINT) AS sum_good_qty
         |FROM lineitem""".stripMargin) { (s, d) =>
-      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/csv_corrupt"
+      val base = Tables.processScratch(d, "csv_corrupt")
       val victim = pmod(col("l_orderkey"), lit(13L)) === 0 && col("l_linenumber") === 1
       lineitem(s, d)
         .select(concat_ws(",",
@@ -572,7 +588,7 @@ object ScaleOps {
         |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') FROM orders
         |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996)
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/li_by_month"
+      val base = Tables.processScratch(d, "li_by_month")
       // cluster on the partition column BEFORE the partitioned write
       // (sink_compaction's discipline): without it every one of the 32
       // write tasks opens a file in every month dir — ~2,500 tiny files
@@ -632,7 +648,7 @@ object ScaleOps {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           max_by(col("event_type"), col("event_id")).as("last_type"))
-      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/events_merge"
+      val base = Tables.processScratch(d, "events_merge")
       val ev = events(s, d)
       profile(ev.filter(col("ts") < "2024-01-21" && pmod(col("user_id"), lit(4L)) =!= 1))
         .write.mode("overwrite").parquet(s"$base/target")
@@ -703,7 +719,7 @@ object ScaleOps {
     GraftQuery.of("sink_partitioned_roundtrip",
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/documents_by_lang"
+      val out = Tables.processScratch(d, "documents_by_lang")
       documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)
         .groupBy(col("lang"))
@@ -745,7 +761,7 @@ object ScaleOps {
       """SELECT event_type, count(*) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val base = s"/tmp/graft_sink/${new java.io.File(d).getName}/events_compaction"
+      val base = Tables.processScratch(d, "events_compaction")
       events(s, d).repartition(16)
         .write.mode("overwrite").partitionBy("event_type").parquet(s"$base/small")
       val frag = s.read.parquet(s"$base/small")
@@ -768,7 +784,7 @@ object ScaleOps {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val src = documents(s, d)
-      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/documents_jsonl"
+      val out = Tables.processScratch(d, "documents_jsonl")
       src.write.mode("overwrite").json(out)
       s.read.schema(src.schema).json(out)
         .groupBy(col("lang"))
@@ -782,7 +798,7 @@ object ScaleOps {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val src = documents(s, d)
-      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/documents_orc"
+      val out = Tables.processScratch(d, "documents_orc")
       src.write.mode("overwrite").orc(out)
       s.read.orc(out)
         .groupBy(col("lang"))
@@ -802,7 +818,7 @@ object ScaleOps {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val src = documents(s, d)
-      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/documents_csv"
+      val out = Tables.processScratch(d, "documents_csv")
       src.write.mode("overwrite")
         .option("header", true).option("quote", "\"").option("escape", "\"")
         .csv(out)
@@ -835,7 +851,7 @@ object ScaleOps {
         |  FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val src = documents(s, d)
-      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/documents_evolving"
+      val out = Tables.processScratch(d, "documents_evolving")
       src.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"))
         .write.mode("overwrite").parquet(s"$out/v1")
@@ -1156,7 +1172,7 @@ object ScaleOps {
          |  CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
     }) { (s, d) =>
-      val out = s"/tmp/graft_sink/${new java.io.File(d).getName}/lineitem_zorder"
+      val out = Tables.processScratch(d, "lineitem_zorder")
       lineitem(s, d)
         .select((col("l_partkey") % 256).as("x"),
           (datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))

@@ -976,6 +976,95 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG header probe: IHDR dims match the full decode, corrupt signature fails") {
+    for (id <- Seq(0L, 4L, 80L, 4999L)) {
+      val bytes = Multimodal.encodePng(id)
+      assert(Multimodal.pngHeaderDims(bytes) == Multimodal.pngDims(id), s"id=$id")
+    }
+    val corrupt = Multimodal.encodePng(7L).clone()
+    corrupt(0) = 0x00
+    intercept[IllegalArgumentException] { Multimodal.pngHeaderDims(corrupt) }
+    intercept[IllegalArgumentException] {
+      Multimodal.pngHeaderDims("definitely not a png but long enough 123".getBytes)
+    }
+  }
+
+  test("MIME sniff: modality from genuine magic bytes, corrupted magic → unknown") {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    val png = Multimodal.encodePng(1L)
+    val wav = Multimodal.encodeWav(2L)
+    val gfs = Multimodal.encodeFrameStream(3L)
+    // RIFF container that is NOT WAVE form — must not sniff as audio
+    val riffAvi = wav.clone(); riffAvi(8) = 'A'; riffAvi(9) = 'V'; riffAvi(10) = 'I'
+    val brokenPng = png.clone(); brokenPng(0) = 0x00
+    val rows = Seq(1L -> png, 2L -> wav, 3L -> gfs, 4L -> riffAvi,
+      5L -> brokenPng, 6L -> "plain text".getBytes)
+    val got = rows.toDF("media_id", "payload")
+      .select(col("media_id"), Multimodal.sniffModality(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "image", 2L -> "audio", 3L -> "video",
+      4L -> "unknown", 5L -> "unknown", 6L -> "unknown"), s"got $got")
+  }
+
+  test("raster dHash: formula replay exact, brightness-shift invariant, pixel edit local") {
+    // independent replay of the analytic construction the oracle states
+    def replay(id: Long): Long = {
+      val (w, h) = Multimodal.pngDims(id)
+      val sum = new Array[Long](60); val cnt = new Array[Long](60)
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = (y * 6 / h) * 10 + x * 10 / w
+        sum(j) += (31 * id + 7 * x + 13 * y) % 256; cnt(j) += 1
+      }
+      (0 until 60).foldLeft(0L) { (ph, j) =>
+        val k = (j + 1) % 60
+        if (sum(j) * cnt(k) > sum(k) * cnt(j)) ph | (1L << j) else ph
+      }
+    }
+    for (id <- Seq(0L, 13L, 81L, 4999L))
+      assert(Multimodal.rasterDhash60(Multimodal.encodePng(id)) == replay(id), s"id=$id")
+
+    // encode an arbitrary raster for the locality properties
+    def enc(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = enc(16, 12, (x, y) => (7 * x + 13 * y) % 200)
+    assert(ham(Multimodal.rasterDhash60(base), Multimodal.rasterDhash60(base)) == 0)
+    // uniform brightness shift (no mod-256 wrap): dHash identical
+    val brighter = enc(16, 12, (x, y) => (7 * x + 13 * y) % 200 + 50)
+    assert(ham(Multimodal.rasterDhash60(base), Multimodal.rasterDhash60(brighter)) == 0)
+    // a single edited pixel touches one block (two difference bits)
+    val edited = enc(16, 12, (x, y) => if ((x, y) == (3, 4)) 255 else (7 * x + 13 * y) % 200)
+    val d = ham(Multimodal.rasterDhash60(base), Multimodal.rasterDhash60(edited))
+    assert(d <= 4, s"one-pixel edit flipped $d bits")
+    // a different image is far away
+    val other = enc(16, 12, (x, y) => ((x * y * 37) + 91) % 256)
+    assert(ham(Multimodal.rasterDhash60(base), Multimodal.rasterDhash60(other)) > 8)
+  }
+
+  test("audio features: decoded PCM statistics match the sample formula") {
+    for (id <- Seq(0L, 63L, 64L, 191L, 4999L)) {
+      val n = (64 + id % 128).toInt
+      def sm(i: Int): Long = (17 * id + 29 * i) % 4096 - 2048
+      val exp = Array(
+        n.toLong,
+        (0 until n).map(i => math.abs(sm(i))).sum,
+        (0 until n).map(sm).max,
+        (1 until n).count(i => (sm(i) < 0) != (sm(i - 1) < 0)).toLong,
+        (1 until n).map(i => math.abs(sm(i) - sm(i - 1))).sum) ++
+        (0 until 4).map(q => (0 until n).filter(i => i * 4 / n == q)
+          .map(i => math.abs(sm(i))).sum)
+      val got = Multimodal.audioFeatureExtractor(Multimodal.encodeWav(id)).map(_.toLong)
+      assert(got.toSeq == exp.toSeq, s"id=$id got ${got.toSeq} exp ${exp.toSeq}")
+    }
+  }
+
   test("WAV codec: chunk walk recovers rate and samples; extra chunk is skipped") {
     for (id <- Seq(0L, 63L, 64L, 191L, 4999L)) {
       val samples = Multimodal.wavSamples(id)
