@@ -83,6 +83,38 @@ class GraphSpec extends AnyFunSuite {
       Seq((10L, 20L, 2L)))
   }
 
+  test("mergeEdgeDelta refresh is row-identical to a rebuild from scratch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Md5Hash60.md5hash60
+    // containers 1, 2, 11 are "existing"; 10, 20 are the delta batch —
+    // the delta both reinforces an existing edge (10-20 via order 20)
+    // and creates brand-new ones (20-30, 30-40 via order 10)
+    val full = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (11L, 40L), (11L, 50L),
+      (10L, 20L), (10L, 30L), (10L, 40L), (20L, 10L), (20L, 20L)
+    ).toDF("l_orderkey", "l_partkey")
+    val existing = full.filter(pmod(col("l_orderkey"), lit(10L)) =!= 0)
+    val delta = full.filter(pmod(col("l_orderkey"), lit(10L)) === 0)
+    val standing = Graph.coOccurrenceEdgesWithSupport(existing, "l_orderkey", "l_partkey")
+      .withColumn("samp", pmod(md5hash60(concat_ws("|",
+        col("src").cast("string"), col("dst").cast("string"))), lit(8L)) === 0)
+    val merged = Graph.mergeEdgeDelta(standing, delta, "l_orderkey", "l_partkey")
+    val rebuilt = Graph.coOccurrenceEdgesWithSupport(full, "l_orderkey", "l_partkey")
+      .withColumn("samp", pmod(md5hash60(concat_ws("|",
+        col("src").cast("string"), col("dst").cast("string"))), lit(8L)) === 0)
+    val m = merged.select("src", "dst", "support", "samp").orderBy("src", "dst")
+      .collect().map(_.toSeq).toSeq
+    val r = rebuilt.select("src", "dst", "support", "samp").orderBy("src", "dst")
+      .collect().map(_.toSeq).toSeq
+    assert(m == r, s"merged=$m rebuilt=$r")
+    // the delta reinforced 10-20 (support 2+1) and created edges off order 10
+    val byEdge = merged.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getBoolean(4))).toMap
+    assert(byEdge((10L, 20L)) == (3L, false), s"got $byEdge")
+    assert(byEdge((20L, 30L))._2 && byEdge((30L, 40L))._2, s"got $byEdge")
+  }
+
   test("minLabelRounds: label = min node id within R hops; path converges at its diameter") {
     import spark.implicits._
     // path 1—2—3—4—5 plus a separate pair {10, 11}

@@ -451,6 +451,22 @@ class PlanSpec extends AnyFunSuite {
       l.contains("PushedFilters") && l.contains("samp")), pa.take(4000))
   }
 
+  test("incremental edge refresh scans the standing artifact; lineitem appears only as the delta") {
+    // the merge's standing side is the persisted graph_edges_pre parquet;
+    // lineitem appears only under the delta batch's orderkey % 10 = 0
+    // filter — twice, because the co-occurrence construction is a
+    // self-join and Spark plans the (filtered) scan per side — so the
+    // refresh cost is O(delta) + the edge-keyed merge join, never a
+    // re-scan of the standing 90%
+    val p = planOf("graph_edges_incremental")
+    assert(p.contains("graph_edges_pre"), p.take(3000))
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("Location") && l.contains("lineitem"))
+    assert(lineitemScans == 2, s"expected the 2 delta-side lineitem scans, got $lineitemScans:\n${p.take(4000)}")
+    // and the delta filter sits directly on those scans
+    assert(p.contains("% 10) = 0") || p.contains("pmod"), p.take(4000))
+  }
+
   test("dedup pair consumer scans the standing near-dup index, not the corpus") {
     // the MinHash → LSH → verify chain runs ONCE at artifact build;
     // dedup_lsh_pairs itself is a scan+sort of the persisted edge index
