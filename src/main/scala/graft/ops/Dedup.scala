@@ -209,6 +209,93 @@ object Dedup {
     s.read.parquet(path)
   }
 
+  /** Latch for [[preDeltaBucketStats]] — parquet path per dataset dir. */
+  private val nearDupPreBuckets = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The standing LSH BUCKET INDEX before a delta batch lands: one
+    * (band, band_hash) → min member id row per bucket over the standing
+    * corpus (`doc_id < kThr`), persisted once per (JVM, dataset) — the
+    * state a production near-dup index actually keeps between ingests so
+    * a fresh document can probe for collisions without touching the
+    * corpus. Singleton buckets are KEPT (no `count > 1` filter): a
+    * standing singleton that gains a delta member becomes an emitting
+    * bucket, and its keeper is the standing doc — dropping singletons
+    * here is exactly the bug that would make the refresh diverge from a
+    * full rebuild.
+    */
+  private[graft] def preDeltaBucketStats(s: SparkSession, d: String, kThr: Long): DataFrame = {
+    val path = nearDupPreBuckets.computeIfAbsent(d, _ => {
+      val out = processScratch(d, "neardup_pre_buckets")
+      val standing = documents(s, d).filter(col("doc_id") < kThr)
+      lshBands(minhashSignature(shingles1(standing)))
+        .groupBy(col("band"), col("band_hash"))
+        .agg(min(col("doc_id")).as("min_id"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** Latch for [[preDeltaVerifiedEdges]] — parquet path per dataset dir. */
+  private val nearDupPreEdges = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The standing VERIFIED near-dup edge set before a delta batch lands
+    * (the pre-delta twin of [[verifiedEdgeRelation]]): the full MinHash →
+    * band → star-edge → Jaccard-verify chain over the standing corpus
+    * only, persisted once per (JVM, dataset) — "yesterday's dedup index"
+    * in the incremental-refresh proof `dedup_index_incremental` runs.
+    */
+  private[graft] def preDeltaVerifiedEdges(s: SparkSession, d: String, kThr: Long): DataFrame = {
+    val path = nearDupPreEdges.computeIfAbsent(d, _ => {
+      val out = processScratch(d, "neardup_pre_edges")
+      val standing = documents(s, d).filter(col("doc_id") < kThr)
+      verifyJaccardPairs(standing, lshCandidateEdges(standing))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** Incremental refresh of the standing verified near-dup index for an
+    * APPEND-ONLY delta batch (every delta id exceeds every standing id —
+    * the ingest invariant that makes LSH index maintenance exact):
+    *
+    *  1. signatures + bands are computed for the DELTA docs only — O(delta);
+    *  2. each delta band row probes the standing bucket index by
+    *     (band, band_hash) equi-join; the bucket's keeper is the standing
+    *     min if the bucket exists, else the delta min — identical to the
+    *     full rebuild's `min(doc_id)` because appended ids are all larger,
+    *     so existing keepers and existing star edges are UNCHANGED;
+    *  3. only the new candidates (doc_b always a delta doc — a standing
+    *     doc_b would need a smaller bucket member, which the append cannot
+    *     create) pay the exact-Jaccard verify; token sets resolve from the
+    *     corpus by id lookup (the broadcast dimension role);
+    *  4. merged = standing verified edges ∪ newly verified edges — disjoint
+    *     by construction (standing doc_b < kThr ≤ delta doc_b), no dedup
+    *     join needed.
+    *
+    * The standing corpus is never re-scanned by the candidate generator;
+    * refresh cost is O(delta · bands) probe + O(new candidates) verify —
+    * the D10/G14 refresh discipline applied to the near-dup index itself.
+    */
+  def mergeNearDupDelta(docs: DataFrame, standingBuckets: DataFrame,
+      standingEdges: DataFrame, kThr: Long): DataFrame = {
+    val deltaBands = lshBands(minhashSignature(shingles1(
+      docs.filter(col("doc_id") >= kThr))))
+    val keepers = deltaBands.groupBy(col("band"), col("band_hash"))
+      .agg(min(col("doc_id")).as("delta_min"))
+      .join(standingBuckets.withColumnRenamed("min_id", "standing_min"),
+        Seq("band", "band_hash"), "left")
+      .select(col("band"), col("band_hash"),
+        coalesce(col("standing_min"), col("delta_min")).as("keeper"))
+    val newCandidates = deltaBands.join(keepers, Seq("band", "band_hash"))
+      .filter(col("doc_id") > col("keeper"))
+      .select(col("keeper").as("doc_a"), col("doc_id").as("doc_b")).distinct()
+    standingEdges.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .unionByName(verifyJaccardPairs(docs, newCandidates)
+        .select(col("doc_a"), col("doc_b"), col("jaccard")))
+  }
+
   /** The raw star-shaped LSH candidate edges (doc_a = bucket keeper,
     * doc_b = other member), BEFORE any verification — the shared
     * candidate generator behind both verifiers ([[lshCandidatePairs]]'s
@@ -965,6 +1052,53 @@ object Dedup {
       incrementalDedupBloom(
         withBucket.filter(col("__bucket") < 8),
         withBucket.filter(col("__bucket") >= 8))
+    },
+
+    // INCREMENTAL maintenance of the standing NEAR-DUP INDEX (r9 — the
+    // D21 verified-edge artifact's refresh shape, executed and proven,
+    // the dedup twin of graph_edges_incremental): the standing state is
+    // what a production LSH index keeps between ingests — the per-bucket
+    // (band, band_hash) → min-id index plus the verified edge set, both
+    // persisted parquet artifacts built over the pre-delta corpus
+    // (doc_id < kThr, kThr = the 90% point of the id range — an
+    // APPEND-ONLY split: every delta id exceeds every standing id, the
+    // invariant that makes keeper assignment incrementally exact).
+    // [[mergeNearDupDelta]] signatures ONLY the delta docs, probes the
+    // bucket index, verifies only the new candidates, and unions with the
+    // standing edges. The emitted row is the lossless-refresh proof in
+    // O(1) output: edge count, new-edge count, exact-integer Jaccard
+    // micro-sum, and an order-independent bit_xor checksum over
+    // (doc_a, doc_b) — which the oracle computes over a REBUILD FROM
+    // SCRATCH of the whole chain on the full corpus. Equality says the
+    // O(delta) refresh produced row-for-row what the rebuild would.
+    GraftQuery.of("dedup_index_incremental", {
+      val exor = GraftQuery.h60Sql("doc_a::VARCHAR || '|' || doc_b::VARCHAR")
+      s"""WITH $lshEdgesSqlCtes,
+         |k AS (SELECT (max(doc_id) * 9) // 10 AS kthr FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |  CAST(sum(CASE WHEN doc_b >= k.kthr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new_edges,
+         |  CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS j_micros,
+         |  CAST(bit_xor($exor) AS BIGINT) AS edge_xor
+         |FROM verified CROSS JOIN k""".stripMargin
+    }) { (s, d) =>
+      import graft.functions.Md5Hash60.md5hash60
+      val docs = documents(s, d)
+      // bounded driver scalar (1 row): the split point both the artifact
+      // build and the delta filter key on — the editVerifiedPairs
+      // eager-scalar precedent
+      val kThr = docs.agg(expr("(max(doc_id) * 9) div 10").as("k"))
+        .first().getLong(0)
+      val merged = mergeNearDupDelta(docs,
+        preDeltaBucketStats(s, d, kThr), preDeltaVerifiedEdges(s, d, kThr), kThr)
+      merged.agg(
+        count(lit(1)).as("n_edges"),
+        count(when(col("doc_b") >= kThr, 1)).as("n_new_edges"),
+        sum(round(col("jaccard") * 1000000).cast("long")).cast("long")
+          .as("j_micros"),
+        bit_xor(md5hash60(concat_ws("|", col("doc_a"), col("doc_b"))))
+          .as("edge_xor"))
     },
 
     // URL CANONICALIZATION DEDUP — the crawl-frontier staple (CCNet/

@@ -77,6 +77,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("mergeNearDupDelta refresh is row-identical to a full index rebuild") {
+    val t = (p: String) =>
+      (1 to 20).map(i => s"$p$i").mkString(" ") // 20 distinct tokens, prefix p
+    // standing corpus: ids 0-3 (kThr = 4); delta batch: ids 10-13.
+    // Covers: a standing near-dup pair (0,1), a delta doc duplicating a
+    // STANDING SINGLETON's bucket (2 ↔ 10 — the keeper must be the
+    // standing doc even though its bucket emitted nothing pre-delta),
+    // a delta-only dup pair (11,12), and unrelated docs (3, 13).
+    val docs = docsDf(
+      0L -> t("a"), 1L -> t("a"),
+      2L -> t("b"), 3L -> t("c"),
+      10L -> t("b"), 11L -> t("d"), 12L -> t("d"), 13L -> t("e"))
+    val kThr = 4L
+    val standing = docs.filter(col("doc_id") < kThr)
+    val standingBuckets = Dedup.lshBands(
+        Dedup.minhashSignature(Dedup.shingles1(standing)))
+      .groupBy(col("band"), col("band_hash")).agg(min(col("doc_id")).as("min_id"))
+    val standingEdges =
+      Dedup.verifyJaccardPairs(standing, Dedup.lshCandidateEdges(standing))
+    val merged = Dedup.mergeNearDupDelta(docs, standingBuckets, standingEdges, kThr)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val rebuilt = Dedup.verifyJaccardPairs(docs, Dedup.lshCandidateEdges(docs))
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(merged == rebuilt, s"merged=$merged rebuilt=$rebuilt")
+    assert(merged.toSet == Set((0L, 1L, 1.0), (2L, 10L, 1.0), (11L, 12L, 1.0)))
+  }
+
   test("IVF ANN recall vs brute-force cosine top-10 is usable") {
     val emb = Tables.embeddings(spark, sf)
     val brute = Similarity.knnBrute(emb, nProbes = 5, k = 10).collect()

@@ -475,6 +475,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("documents"), p.take(3000))
   }
 
+  test("incremental near-dup refresh probes the standing index; only the delta is re-signatured") {
+    // the merge's standing sides are the persisted bucket-index and
+    // verified-edge parquets; the MinHash chain runs over the documents
+    // scan ONLY under the pushed-down delta filter (doc_id >= kThr) —
+    // the remaining documents scans are the verifier's token-set
+    // dimension lookups, not signature work
+    val p = planOf("dedup_index_incremental")
+    assert(p.contains("neardup_pre_buckets"), p.take(3000))
+    assert(p.contains("neardup_pre_edges"), p.take(3000))
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(doc_id")),
+      p.take(4000))
+  }
+
   test("media decoders scan their standing payload artifacts, not the corpus") {
     // the encode pass runs ONCE per (JVM, dataset) at artifact build;
     // every decode entry is a scan of the persisted payload parquet
