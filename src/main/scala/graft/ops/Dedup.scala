@@ -224,8 +224,10 @@ object Dedup {
     * full rebuild.
     */
   private[graft] def preDeltaBucketStats(s: SparkSession, d: String, kThr: Long): DataFrame = {
-    val path = nearDupPreBuckets.computeIfAbsent(d, _ => {
-      val out = processScratch(d, "neardup_pre_buckets")
+    // latch key includes kThr: a second caller with a different threshold
+    // in the same JVM must not silently receive the first one's artifact
+    val path = nearDupPreBuckets.computeIfAbsent(s"$d|$kThr", _ => {
+      val out = processScratch(d, s"neardup_pre_buckets_$kThr")
       val standing = documents(s, d).filter(col("doc_id") < kThr)
       lshBands(minhashSignature(shingles1(standing)))
         .groupBy(col("band"), col("band_hash"))
@@ -246,8 +248,8 @@ object Dedup {
     * in the incremental-refresh proof `dedup_index_incremental` runs.
     */
   private[graft] def preDeltaVerifiedEdges(s: SparkSession, d: String, kThr: Long): DataFrame = {
-    val path = nearDupPreEdges.computeIfAbsent(d, _ => {
-      val out = processScratch(d, "neardup_pre_edges")
+    val path = nearDupPreEdges.computeIfAbsent(s"$d|$kThr", _ => {
+      val out = processScratch(d, s"neardup_pre_edges_$kThr")
       val standing = documents(s, d).filter(col("doc_id") < kThr)
       verifyJaccardPairs(standing, lshCandidateEdges(standing))
         .write.mode("overwrite").parquet(out)
@@ -277,6 +279,14 @@ object Dedup {
     * The standing corpus is never re-scanned by the candidate generator;
     * refresh cost is O(delta · bands) probe + O(new candidates) verify —
     * the D10/G14 refresh discipline applied to the near-dup index itself.
+    *
+    * Contract: refresh == rebuild holds for the UNGUARDED chain only
+    * (maxBucket = ∞, which is how both the registered query and the
+    * oracle run). Under a finite mega-bucket guard a standing bucket that
+    * crosses the threshold after the delta would keep its standing edges
+    * here while a rebuild drops the whole bucket — thread maxBucket
+    * through and drop oversized merged buckets before relying on parity
+    * with a guarded rebuild.
     */
   def mergeNearDupDelta(docs: DataFrame, standingBuckets: DataFrame,
       standingEdges: DataFrame, kThr: Long): DataFrame = {
@@ -333,11 +343,10 @@ object Dedup {
     * [[editVerifiedPairsUtf8]], which drops the guard and keeps Spark's
     * char-counting semantics.
     *
-    * NOTE: merely CONSTRUCTING this frame runs one eager Spark job — a
-    * scalar `max(length(text))` aggregation that derives the banded-DP
-    * bound below. The bound is corpus-wide, so one giant outlier doc
-    * weakens the band for every short pair; per-pair bounds would need a
-    * column-valued threshold, which `levenshtein` does not take.
+    * The banded-DP threshold is PER PAIR — each pair's own
+    * ceil((1−τ)·max(len)) cap, see [[verifyEditPairs]] — so no eager
+    * corpus-wide job runs at construction and an outlier doc cannot
+    * weaken the band for unrelated short pairs.
     */
   def editVerifiedPairs(docs: DataFrame, tau: Double = 0.8,
       maxBucket: Long = Long.MaxValue,
@@ -362,7 +371,7 @@ object Dedup {
     * `candidates` defaults to this corpus's own LSH candidate edges;
     * pass them explicitly to verify an externally-derived pair set (the
     * registered query generates candidates on the pre-relabeling corpus).
-    * Same eager band-bound job as [[editVerifiedPairs]].
+    * Same per-pair banded-DP threshold as [[editVerifiedPairs]].
     */
   def editVerifiedPairsUtf8(docs: DataFrame, tau: Double = 0.8,
       maxBucket: Long = Long.MaxValue,
@@ -372,28 +381,31 @@ object Dedup {
 
   private def verifyEditPairs(texts: DataFrame, candidates: DataFrame,
       tau: Double): DataFrame = {
-    // Banded DP: any pair with edit_sim ≥ tau has lev ≤ (1−tau)·maxLen,
-    // so the 3-arg levenshtein runs the O(len·bound) band (with early
-    // exit) instead of the full O(len²) table and returns −1 beyond it —
-    // measured 11.7 s → 3.6 s warm for the registered query at sf0.1.
+    // Banded DP with a PER-PAIR bound: any pair with edit_sim ≥ tau has
+    // lev ≤ (1−tau)·maxlen(pair), so the 3-arg levenshtein runs the
+    // O(len·bound) band (with early exit) instead of the full O(len²)
+    // table and returns −1 beyond it. The bound is each pair's own
+    // ceil((1−τ)·greatest(len)) — a column threshold through
+    // call_function (the Catalyst Levenshtein evaluates its threshold
+    // per row; only functions.levenshtein's signature pins it to a
+    // literal) — so one giant outlier doc no longer weakens the band for
+    // every short pair, and the corpus-wide max-length scalar job this
+    // used to run eagerly at construction is gone entirely.
     // The keep test compares the 6dp-ROUNDED sim, which can pull a true
-    // sim up by 5e-7, i.e. 5e-7·maxLen in lev terms — the bound carries
-    // that slack explicitly (a flat +1 stops covering it past maxLen
+    // sim up by 5e-7, i.e. 5e-7·maxlen in lev terms — the bound carries
+    // that slack explicitly (a flat +1 stops covering it past maxlen
     // ≈ 2e6 chars) plus 1 for the FP floor; a −1 would otherwise read
-    // as edit_sim > 1 and wrongly pass. The corpus-wide max length is
-    // one scalar agg job (a bound, not data, crosses to the driver —
-    // same discipline as the k-means centroids); NULL on an empty or
-    // all-NULL-text corpus degrades to bound 1, not a crash.
-    val maxLenRow = texts.agg(max(length(col("text"))).cast("long").as("m")).head()
-    val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
-    val bound = math.max(1, ((1.0 - tau + 5e-7) * maxLen).toInt + 1)
+    // as edit_sim > 1 and wrongly pass.
+    val maxLenPair = greatest(length(col("ta")), length(col("tb")))
+    val boundPair = (lit(1.0 - tau + 5e-7) * maxLenPair).cast("int") + 1
     candidates
       .join(broadcast(texts.select(col("doc_id").as("doc_a"), col("text").as("ta"))), "doc_a")
       .join(broadcast(texts.select(col("doc_id").as("doc_b"), col("text").as("tb"))), "doc_b")
       // lev ≥ |Δlen|, so pairs over the bound skip the DP entirely —
       // pure codegen arithmetic drops 2/3 of candidates at sf0.1
-      .filter(abs(length(col("ta")) - length(col("tb"))) <= bound)
-      .withColumn("__lev", levenshtein(col("ta"), col("tb"), bound))
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= boundPair)
+      .withColumn("__lev",
+        call_function("levenshtein", col("ta"), col("tb"), boundPair))
       .filter(col("__lev") >= 0)
       .select(col("doc_a"), col("doc_b"),
         when(greatest(length(col("ta")), length(col("tb"))) === 0, lit(1.0))

@@ -384,16 +384,16 @@ object Events {
     },
 
     GraftQuery.of("events_hourly_agg",
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, count(*) AS n,
-        |  round(sum("value"), 4) AS sum_value, min("value") AS min_value,
+        |  ${Money.sqlSumDollars("\"value\"")} AS sum_value, min("value") AS min_value,
         |  max("value") AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       events(s, d)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
           .as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 4).as("sum_value"),
+          Money.sumDollars(col("value")).as("sum_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
         .orderBy(col("hour_start"), col("event_type"))

@@ -756,7 +756,7 @@ object Relational {
     // unpivot operator (one Expand, no join). Oracle spells the same
     // rotation as UNION ALL.
     GraftQuery.of("q_unpivot",
-      """SELECT measure, round(sum(v), 2) AS total, count(*) AS n FROM (
+      s"""SELECT measure, ${Money.sqlSumDollars("v")} AS total, count(*) AS n FROM (
         |  SELECT 'qty' AS measure, l_quantity AS v FROM lineitem
         |  UNION ALL SELECT 'price', l_extendedprice FROM lineitem
         |  UNION ALL SELECT 'disc', l_discount FROM lineitem)
@@ -767,7 +767,7 @@ object Relational {
         .unpivot(Array.empty[org.apache.spark.sql.Column], Array(col("qty"), col("price"), col("disc")),
           "measure", "v")
         .groupBy(col("measure"))
-        .agg(round(sum(col("v")), 2).as("total"), count(lit(1)).as("n"))
+        .agg(Money.sumDollars(col("v")).as("total"), count(lit(1)).as("n"))
         .orderBy(col("measure"))
     },
 
@@ -850,17 +850,17 @@ object Relational {
 
     // Pricing summary (TPC-H Q1 shape): one partial/final HashAggregate.
     GraftQuery.of("q1_pricing_summary",
-      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |round(sum(l_extendedprice), 2) AS sum_base_price,
-        |round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |${Money.sqlSumDollars("l_extendedprice")} AS sum_base_price,
+        |${Money.sqlSumRevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
         |count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
       lineitem(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          Money.sumDollars(col("l_extendedprice")).as("sum_base_price"),
+          Money.sumRevenue(col("l_extendedprice"), col("l_discount"))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -869,7 +869,8 @@ object Relational {
     // Revenue top-k (TPC-H Q3 shape): broadcast the filtered customer dim,
     // shuffle only on the groupBy key; TakeOrderedAndProject for the top 10.
     GraftQuery.of("q3_top_revenue",
-      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      s"""SELECT o_orderkey,
+        |  ${Money.sqlSumRevenue("l_extendedprice", "l_discount")} AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -879,7 +880,7 @@ object Relational {
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .agg(Money.sumRevenue(col("l_extendedprice"), col("l_discount"))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
     },
@@ -887,7 +888,8 @@ object Relational {
     // Local-supplier revenue (TPC-H Q5 shape): every dimension broadcast;
     // the fact table shuffles once, on the final groupBy key.
     GraftQuery.of("q5_region_revenue",
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      s"""SELECT n_name,
+        |  ${Money.sqlSumRevenue("l_extendedprice", "l_discount")} AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -906,7 +908,7 @@ object Relational {
           col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .agg(Money.sumRevenue(col("l_extendedprice"), col("l_discount"))
           .as("revenue"))
         .orderBy(col("n_name"))
     },
@@ -920,12 +922,12 @@ object Relational {
     // hash probes discard non-qualifying rows without materializing the
     // full join row.
     GraftQuery.of("q7_volume_shipping",
-      """SELECT supp_nation, cust_nation, l_year,
-        |  round(sum(volume), 4) AS revenue
+      s"""SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS BIGINT) / 10000.0 AS revenue
         |FROM (
         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |    year(l_shipdate) AS l_year,
-        |    l_extendedprice * (1 - l_discount) AS volume
+        |    ${Money.sqlRevenueUnits("l_extendedprice", "l_discount")} AS volume
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN orders ON l_orderkey = o_orderkey
@@ -956,7 +958,7 @@ object Relational {
             (col("supp_nation").isin(groupB: _*) && col("cust_nation").isin(groupA: _*)))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .agg(Money.sumRevenue(col("l_extendedprice"), col("l_discount"))
           .as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
@@ -1028,12 +1030,14 @@ object Relational {
     // window-frame surface in one deterministic pass (unique (custkey,
     // orderkey) ordering).
     GraftQuery.of("q_window_running",
-      """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-        |    AS running_total,
-        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+      s"""SELECT o_custkey, o_orderkey,
+        |  CAST(sum(${Money.sqlCents("o_totalprice")}) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) / 100.0 AS running_total,
+        |  round(CAST(sum(${Money.sqlCents("o_totalprice")}) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    / (100.0 * count(*) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)), 6)
         |    AS moving_avg3,
         |  round(coalesce(o_totalprice - lag(o_totalprice) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderkey), 0.0), 2) AS delta_prev,
@@ -1043,10 +1047,16 @@ object Relational {
       val byKey = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
       val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val mv3 = byKey.rowsBetween(-2, Window.currentRow)
+      // window sums ride exact integer cents: DuckDB evaluates windowed
+      // sums with a segment tree (association order differs from Spark's
+      // running accumulation), so a double sum here is the same
+      // order-portability hazard as a grouped sum — integers are not.
+      val centsTotal = Money.cents(col("o_totalprice"))
       orders(s, d).select(
         col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice")).over(cum), 2).as("running_total"),
-        round(avg(col("o_totalprice")).over(mv3), 6).as("moving_avg3"),
+        (sum(centsTotal).over(cum) / 100.0).as("running_total"),
+        round(sum(centsTotal).over(mv3) /
+          (lit(100.0) * count(lit(1)).over(mv3)), 6).as("moving_avg3"),
         round(coalesce(col("o_totalprice") - lag(col("o_totalprice"), 1).over(byKey),
           lit(0.0)), 2).as("delta_prev"),
         ntile(4).over(byKey).cast("long").as("quartile"))
@@ -1080,15 +1090,17 @@ object Relational {
     // slides by the ORDER BY VALUE (epoch micros), and equal-time peers
     // are all included on both engines by RANGE semantics.
     GraftQuery.of("q_window_range_frame",
-      """SELECT event_id, user_id,
-        |  round(sum("value") OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
+      s"""SELECT event_id, user_id,
+        |  CAST(sum(${Money.sqlCents("\"value\"")}) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+        |    AS rolling_1h
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
         .rangeBetween(-3600000000L, Window.currentRow)
       events(s, d).select(
         col("event_id"), col("user_id"),
-        round(sum(col("value")).over(w), 4).as("rolling_1h"))
+        (sum(Money.cents(col("value"))).over(w) / 100.0).as("rolling_1h"))
         .orderBy(col("event_id"))
     })
 }

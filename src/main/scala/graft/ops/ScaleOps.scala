@@ -839,11 +839,13 @@ object ScaleOps {
     // read per file at planning time, which is why it's an explicit
     // option, not the default. The oracle derives the same NULL pattern
     // from the source table. quality is an exact 3-decimal value
-    // (n_chars · 0.002), so the 6dp-rounded sum is boundary-safe.
+    // (n_chars · 0.002), so summing exact 1e-6-unit integers and dividing
+    // once is order-free on both engines (Money doctrine).
     GraftQuery.of("sink_schema_evolution",
       """SELECT lang, count(*) AS n_docs,
         |  CAST(count(quality) AS BIGINT) AS n_with_quality,
-        |  round(sum(coalesce(quality, 0)), 6) AS sum_quality
+        |  CAST(sum(CAST(round(coalesce(quality, 0) * 1000000) AS BIGINT)) AS BIGINT)
+        |    / 1000000.0 AS sum_quality
         |FROM (
         |  SELECT lang,
         |    CASE WHEN doc_id % 2 = 1
@@ -863,7 +865,8 @@ object ScaleOps {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           count(col("quality")).cast("long").as("n_with_quality"),
-          round(sum(coalesce(col("quality"), lit(0.0))), 6).as("sum_quality"))
+          (sum(round(coalesce(col("quality"), lit(0.0)) * 1000000, 0).cast("long"))
+            / 1000000.0).as("sum_quality"))
         .orderBy(col("lang"))
     },
 
@@ -915,7 +918,8 @@ object ScaleOps {
     // unsalted join (the oracle IS the plain join), which is the point:
     // salting is a physical rewrite, not a semantic one.
     GraftQuery.of("q_salted_join",
-      """SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      s"""SELECT o_orderpriority,
+        |  ${Money.sqlSumRevenue("l_extendedprice", "l_discount")} AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
@@ -932,7 +936,7 @@ object ScaleOps {
       li.join(ord,
           li("l_orderkey") === ord("o_orderkey") && li("__salt") === ord("__salt"))
         .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        .agg(Money.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("o_orderpriority"))
     },
@@ -1055,8 +1059,8 @@ object ScaleOps {
     // only under join-strategy limits, and an engine-level operator wants
     // it on demand.
     GraftQuery.of("q_bloom_semi_join",
-      """SELECT l_returnflag, count(*) AS n_items,
-        |  round(sum(l_extendedprice), 2) AS revenue
+      s"""SELECT l_returnflag, count(*) AS n_items,
+        |  ${Money.sqlSumDollars("l_extendedprice")} AS revenue
         |FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
@@ -1076,7 +1080,7 @@ object ScaleOps {
         .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice")), 2).as("revenue"))
+          Money.sumDollars(col("l_extendedprice")).as("revenue"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -1125,8 +1129,8 @@ object ScaleOps {
     // be optimized under the 1-byte probe floor — the race the r6 advice
     // flagged is structurally gone, not just sequenced around.
     GraftQuery.of("q_ext_rule_bloom",
-      """SELECT l_returnflag, count(*) AS n_items,
-        |  round(sum(l_extendedprice), 2) AS revenue
+      s"""SELECT l_returnflag, count(*) AS n_items,
+        |  ${Money.sqlSumDollars("l_extendedprice")} AS revenue
         |FROM lineitem
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
@@ -1143,7 +1147,7 @@ object ScaleOps {
           .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n_items"),
-            round(sum(col("l_extendedprice")), 2).as("revenue"))
+            Money.sumDollars(col("l_extendedprice")).as("revenue"))
           .orderBy(col("l_returnflag"))
           .localCheckpoint(true)
       } finally s.experimental.extraOptimizations = prev

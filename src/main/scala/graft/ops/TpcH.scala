@@ -300,7 +300,8 @@ object TpcH {
     // whole query is one WholeStageCodegen span over the parquet scan with
     // every predicate pushed down; discount×price lives on the 4dp grid.
     GraftQuery.of("q6_forecast_revenue",
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      s"""SELECT CAST(sum(${Money.sqlCents("l_extendedprice")} *
+        |    ${Money.sqlCents("l_discount")}) AS BIGINT) / 10000.0 AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -309,7 +310,8 @@ object TpcH {
       lineitem(s, d)
         .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        .agg((sum(Money.cents(col("l_extendedprice")) * Money.cents(col("l_discount")))
+          / 10000.0).as("revenue"),
           count(lit(1)).as("n"))
     },
 
@@ -320,13 +322,14 @@ object TpcH {
     // two order-sensitive double sums and rounding would be the exact grid
     // hazard the FP rules forbid.
     GraftQuery.of("q8_market_share",
-      """SELECT o_year,
-        |  round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END), 4)
-        |    AS nation_volume,
-        |  round(sum(volume), 4) AS total_volume
+      s"""SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+        |    AS BIGINT) / 10000.0 AS nation_volume,
+        |  CAST(sum(volume) AS BIGINT) / 10000.0 AS total_volume
         |FROM (
         |  SELECT year(o_orderdate) AS o_year,
-        |    l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS supp_nation
+        |    ${Money.sqlRevenueUnits("l_extendedprice", "l_discount")} AS volume,
+        |    n2.n_name AS supp_nation
         |  FROM lineitem
         |  JOIN part ON p_partkey = l_partkey
         |  JOIN supplier ON s_suppkey = l_suppkey
@@ -351,10 +354,10 @@ object TpcH {
         .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(
-          round(sum(when(col("supp_nation") === "NATION_3",
-            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))), 4)
-            .as("nation_volume"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          (sum(when(col("supp_nation") === "NATION_3",
+            Money.revenueUnits(col("l_extendedprice"), col("l_discount")))
+            .otherwise(lit(0L))) / 10000.0).as("nation_volume"),
+          Money.sumRevenue(col("l_extendedprice"), col("l_discount"))
             .as("total_volume"))
         .orderBy(col("o_year"))
     },
@@ -363,8 +366,8 @@ object TpcH {
     // customer+nation broadcast, top-20 by revenue (TakeOrderedAndProject —
     // no global sort); c_custkey tie-break keeps the cut deterministic.
     GraftQuery.of("q10_returned_items",
-      """SELECT c_custkey, c_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, n_name
+      s"""SELECT c_custkey, c_name,
+        |  ${Money.sqlSumRevenue("l_extendedprice", "l_discount")} AS revenue, n_name
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -380,7 +383,7 @@ object TpcH {
         .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .agg(Money.sumRevenue(col("l_extendedprice"), col("l_discount"))
           .as("revenue"))
         .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
@@ -441,9 +444,10 @@ object TpcH {
     // date-pruned lineitem scan; numerator and denominator emitted
     // separately (the 100×promo/total quotient is order-sensitive FP).
     GraftQuery.of("q14_promo_revenue",
-      """SELECT round(sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4) AS promo_revenue,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      s"""SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN ${Money.sqlRevenueUnits("l_extendedprice", "l_discount")}
+        |    ELSE 0 END) AS BIGINT) / 10000.0 AS promo_revenue,
+        |  ${Money.sqlSumRevenue("l_extendedprice", "l_discount")} AS total_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin) { (s, d) =>
@@ -452,10 +456,10 @@ object TpcH {
         .join(broadcast(part(s, d).select("p_partkey", "p_type")),
           col("l_partkey") === col("p_partkey"))
         .agg(
-          round(sum(when(col("p_type") === "PROMO",
-            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))), 4)
-            .as("promo_revenue"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          (sum(when(col("p_type") === "PROMO",
+            Money.revenueUnits(col("l_extendedprice"), col("l_discount")))
+            .otherwise(lit(0L))) / 10000.0).as("promo_revenue"),
+          Money.sumRevenue(col("l_extendedprice"), col("l_discount"))
             .as("total_revenue"))
     },
 
@@ -465,9 +469,9 @@ object TpcH {
     // is a grid compare, not an FP tie). The scalar max arrives via a
     // broadcast cross-join — no second shuffle.
     GraftQuery.of("q15_top_supplier",
-      """WITH revenue AS (
+      s"""WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        |    ${Money.sqlSumRevenue("l_extendedprice", "l_discount")} AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -479,7 +483,7 @@ object TpcH {
       val rev = lineitem(s, d)
         .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .agg(Money.sumRevenue(col("l_extendedprice"), col("l_discount"))
           .as("total_revenue"))
       val top = rev.agg(max(col("total_revenue")).as("max_revenue"))
       rev.crossJoin(broadcast(top))
@@ -496,7 +500,8 @@ object TpcH {
     // at 100 TB when the brand/size cut keeps ~1% of parts). Quantity
     // sums are integral doubles, so the avg is exact on both engines.
     GraftQuery.of("q17_small_qty",
-      """SELECT round(sum(l_extendedprice), 2) AS total_price, count(*) AS n_small
+      s"""SELECT ${Money.sqlSumDollars("l_extendedprice")} AS total_price,
+        |  count(*) AS n_small
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#1' AND p_size < 10
         |AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -511,7 +516,7 @@ object TpcH {
         .join(broadcast(cand), col("l_partkey") === col("p_partkey"), "left_semi")
         .join(broadcast(avgQ), col("l_partkey") === col("avg_pk"))
         .filter(col("l_quantity") < col("qty_cut"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("total_price"),
+        .agg(Money.sumDollars(col("l_extendedprice")).as("total_price"),
           count(lit(1)).as("n_small"))
     },
 
@@ -520,7 +525,7 @@ object TpcH {
     // three brand sets BEFORE the broadcast; the per-arm quantity bounds
     // evaluate post-join inside the hash probe.
     GraftQuery.of("q19_disjunctive_join",
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      s"""SELECT ${Money.sqlSumRevenue("l_extendedprice", "l_discount")} AS revenue,
         |  count(*) AS n
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -541,7 +546,7 @@ object TpcH {
           .select("p_partkey", "p_brand", "p_size")),
           col("p_partkey") === col("l_partkey"))
         .filter(arm1 || arm2 || arm3)
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .agg(Money.sumRevenue(col("l_extendedprice"), col("l_discount"))
           .as("revenue"),
           count(lit(1)).as("n"))
     },
@@ -602,7 +607,8 @@ object TpcH {
         |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
         |  FROM customer WHERE c_acctbal > 0.0)
         |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-        |  round(sum(c_acctbal), 2) AS totacctbal
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS totacctbal
         |FROM customer, pos
         |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > cents
         |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -619,7 +625,7 @@ object TpcH {
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey").as("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
-          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+          (sum(cents).cast("long") / 100.0).as("totacctbal"))
         .orderBy(col("cntrycode"))
     })
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
-import graft.ops.GraftQuery
+import graft.ops.{GraftQuery, Money}
 
 /** Structured Streaming twins of the batch `graft.ops.Events` operators.
   *
@@ -113,8 +113,7 @@ object EventStreams {
     } finally org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     s.read.parquet(out)
       .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-        col("event_type"), col("n"),
-        round(col("sum_value"), 4).as("sum_value"))
+        col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
   }
 
@@ -175,14 +174,19 @@ object EventStreams {
           col("t1") > col("t0") && col("t2").isNotNull &&
           col("t2") > col("t1"), 1)).as("n_view_click_purchase"))
 
-  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark. */
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark. The
+    * value sum rides exact integer cents through the state store (Money
+    * doctrine: a double sum's value depends on merge order — across
+    * micro-batch state merges AND vs the batch oracle) and emits dollars
+    * with one deterministic division.
+    */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(Money.cents(col("value"))).as("sum_cents"))
       .select(col("w.start").as("hour_start"), col("event_type"),
-        col("n"), col("sum_value"))
+        col("n"), (col("sum_cents") / 100.0).as("sum_value"))
 
   /** Checkpoint-recovery harness behind `stream_checkpoint_restart`: stage
     * the even-event_id half of events as parquet, run [[hourlyAgg]] over a
@@ -201,7 +205,10 @@ object EventStreams {
   private[graft] def checkpointRestart(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, Long, Long) = {
     val sfx = graft.ops.Tables.viewSuffix(d)
-    val root = new java.io.File(s"/tmp/graft_stream/$sfx/restart")
+    // per-process scratch (Tables.processScratch policy): a fixed shared
+    // path would let two concurrent runs on the same dataset delete each
+    // other's live checkpoint mid-run
+    val root = new java.io.File(graft.ops.Tables.processScratch(d, "stream_restart"))
     org.apache.commons.io.FileUtils.deleteQuietly(root)
     val stage = s"$root/in"
     val ckpt = s"$root/ckpt"
@@ -231,7 +238,7 @@ object EventStreams {
       val rowsB = runPhase(sinkB)
       val result = s.table(sinkB)
         .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-          col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+          col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
         .localCheckpoint(true)
       (result, rowsA, rowsB)
@@ -349,7 +356,8 @@ object EventStreams {
     GraftQuery.of("stream_hourly_agg",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, count(*) AS n,
-        |  round(sum("value"), 4) AS sum_value
+        |  CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       // schema + ts normalization shared with the batch reader (the
       // stream source requires an explicit schema and a dir/glob path)
@@ -357,8 +365,7 @@ object EventStreams {
       val sink = s"stream_hourly_${graft.ops.Tables.viewSuffix(d)}"
       runToResult(s, hourlyAgg(raw), sink, OutputMode.Complete()) { t =>
         t.select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-            col("event_type"), col("n"),
-            round(col("sum_value"), 4).as("sum_value"))
+            col("event_type"), col("n"), col("sum_value"))
           .orderBy(col("hour_start"), col("event_type"))
       }
     },
@@ -413,7 +420,8 @@ object EventStreams {
     GraftQuery.of("stream_sink_parquet_hourly",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, count(*) AS n,
-        |  round(sum("value"), 4) AS sum_value
+        |  CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS sum_value
         |FROM events
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
         |      <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
@@ -466,7 +474,8 @@ object EventStreams {
     GraftQuery.of("stream_checkpoint_restart",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |  event_type, count(*) AS n,
-        |  round(sum("value"), 4) AS sum_value
+        |  CAST(sum(CAST(round("value" * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
       checkpointRestart(s, d)._1
     },
@@ -508,7 +517,8 @@ object EventStreams {
     GraftQuery.of("stream_enrich_static",
       """SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
         |  count(*) AS n_events,
-        |  round(sum(e."value"), 4) AS sum_value
+        |  CAST(sum(CAST(round(e."value" * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS sum_value
         |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val raw = graft.ops.Tables.eventsStream(s, d)
@@ -517,11 +527,12 @@ object EventStreams {
       val enriched = raw
         .join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
         .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
-        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Money.cents(col("value"))).as("sum_cents"))
       val sink = s"stream_enrich_${graft.ops.Tables.viewSuffix(d)}"
       runToResult(s, enriched, sink, OutputMode.Complete()) { t =>
         t.select(col("segment"), col("n_events"),
-            round(col("sum_value"), 4).as("sum_value"))
+            (col("sum_cents") / 100.0).as("sum_value"))
           .orderBy(col("segment"))
       }
     },

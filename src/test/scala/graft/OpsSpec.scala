@@ -134,7 +134,9 @@ class OpsSpec extends AnyFunSuite {
     val actions = out.map(_.getString(1)).toSet
     assert(actions == Set("kept", "inserted", "updated"), actions.toString)
     // deleted users (matched + source last_type = error) must NOT appear
-    val base = s"/tmp/graft_sink/${new java.io.File(sf).getName}/events_merge"
+    // read what the query ACTUALLY wrote (per-process scratch) — a
+    // hardcoded shared path would validate artifacts from an older run
+    val base = Tables.processScratch(sf, "events_merge")
     val tgtUsers = spark.read.parquet(s"$base/target")
       .select("user_id").collect().map(_.getLong(0)).toSet
     val merged = out.map(_.getLong(0)).toSet

@@ -453,18 +453,29 @@ class PlanSpec extends AnyFunSuite {
 
   test("incremental edge refresh scans the standing artifact; lineitem appears only as the delta") {
     // the merge's standing side is the persisted graph_edges_pre parquet;
-    // lineitem appears only under the delta batch's orderkey % 10 = 0
-    // filter — twice, because the co-occurrence construction is a
-    // self-join and Spark plans the (filtered) scan per side — so the
-    // refresh cost is O(delta) + the edge-keyed merge join, never a
-    // re-scan of the standing 90%
+    // lineitem appears ONLY under the delta batch's orderkey % 10 = 0
+    // filter — the actual O(delta) invariant is "the standing 90% is
+    // never re-scanned", i.e. every lineitem scan carries the delta
+    // predicate. Asserting an exact scan COUNT would pin an incidental
+    // plan property (self-join scan-per-side vs exchange/scan reuse),
+    // which AQE changes or a Spark upgrade could legally alter.
     val p = planOf("graph_edges_incremental")
     assert(p.contains("graph_edges_pre"), p.take(3000))
-    val lineitemScans = p.linesIterator.count(l =>
-      l.contains("Location") && l.contains("lineitem"))
-    assert(lineitemScans == 2, s"expected the 2 delta-side lineitem scans, got $lineitemScans:\n${p.take(4000)}")
-    // and the delta filter sits directly on those scans
-    assert(p.contains("% 10) = 0") || p.contains("pmod"), p.take(4000))
+    // split the formatted plan into its numbered operator blocks; for
+    // each lineitem Scan block, the delta predicate must appear in one of
+    // the next few blocks (the Filter sits just above the scan in the
+    // tree — pmod is not a parquet-pushable filter, so it lives in a
+    // Filter node, not in PushedFilters)
+    val blocks = p.split("(?m)^\\(\\d+\\) ").toSeq
+    val scanIdx = blocks.zipWithIndex.collect {
+      case (b, i) if b.startsWith("Scan parquet") && b.contains("lineitem") => i
+    }
+    assert(scanIdx.nonEmpty, s"no delta-side lineitem scan:\n${p.take(4000)}")
+    scanIdx.foreach { i =>
+      val window = blocks.slice(i, math.min(i + 4, blocks.size)).mkString
+      assert(window.contains("% 10) = 0") || window.contains("pmod"),
+        s"UNfiltered lineitem scan (standing side re-scanned):\n${window.take(1500)}")
+    }
   }
 
   test("dedup pair consumer scans the standing near-dup index, not the corpus") {

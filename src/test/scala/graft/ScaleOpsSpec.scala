@@ -228,7 +228,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     // the registered query writes both layouts as a side effect
     SparkEntry.queries("sink_compaction")(spark, sf).collect()
-    val base = new java.io.File(s"/tmp/graft_sink/${new java.io.File(sf).getName}/events_compaction")
+    val base = new java.io.File(graft.ops.Tables.processScratch(sf, "events_compaction"))
     def partFiles(dir: String): Map[String, Int] =
       new java.io.File(base, dir).listFiles().filter(_.isDirectory).map { p =>
         p.getName -> p.listFiles().count(_.getName.startsWith("part-"))
@@ -251,7 +251,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   test("gdpr delete: victims present in the full copy, absent from the rewrite") {
     val sf = "/root/testdata/sf0.001"
     SparkEntry.queries("sink_gdpr_delete")(spark, sf).collect()
-    val base = s"/tmp/graft_sink/${new java.io.File(sf).getName}/events_gdpr"
+    val base = graft.ops.Tables.processScratch(sf, "events_gdpr")
     def victims(dir: String) =
       spark.read.parquet(s"$base/$dir")
         .filter(pmod(col("user_id"), lit(20L)) === 0).count()
