@@ -162,4 +162,47 @@ class CrossEngineFuzzSpec extends AnyFunSuite {
     parity("canon", expr("array_join(array_sort(split(s || ' ' || reverse(s) || ' ' || s, ' ')), ' ')"),
       "array_to_string(list_sort(string_split(s || ' ' || reverse(s) || ' ' || s, ' ')), ' ')")
   }
+
+  /** Runs a single-row aggregate `expr` in DuckDB over the fuzz parquet. */
+  private def duckAgg(expr: String): String = {
+    val py =
+      s"""import duckdb
+         |print(duckdb.sql("SELECT $expr FROM '$fuzzDir/*.parquet'").fetchone()[0])""".stripMargin
+    val p = new ProcessBuilder("python3", "-c", py).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    require(p.waitFor() == 0, s"duckdb failed for [$expr]:\n${out.take(2000)}")
+    out.trim
+  }
+
+  test("money-sum idiom: sum of exact integer cents + one division agrees, any order") {
+    assume(duckdbAvailable, "python3 duckdb binding not present on this host")
+    // the Money doctrine's SUM level (the q_salted_join sf1 fix): the
+    // compared value is an exact integer sum followed by ONE division —
+    // order-free by integer associativity, then a single correctly-
+    // rounded IEEE op. Spark side deliberately runs under a shuffled
+    // 7-partition repartition so its summation order differs from
+    // DuckDB's sequential scan — parity must hold anyway.
+    val sparkV = spark.read.parquet(fuzzDir).repartition(7)
+      .agg((sum(expr("CAST(round(v * 100) AS BIGINT)")) / 100.0).as("x"))
+      .head().getDouble(0)
+    val duckV = duckAgg(
+      "CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) / 100.0").toDouble
+    assert(sparkV == duckV, s"spark=$sparkV duck=$duckV")
+  }
+
+  test("money-sum idiom: long→double conversion parity PAST 2^53 (sf100-class sums)") {
+    assume(duckdbAvailable, "python3 duckdb binding not present on this host")
+    // at sf100-class volumes a revenue-unit sum exceeds 2^53; the final
+    // BIGINT → DOUBLE conversion then loses low bits — identically on
+    // both engines (round-to-nearest-even in the JVM and in C++), so the
+    // emitted double still hash-matches. k*1024 sums to ~3e17 > 2^53.
+    val sparkV = spark.read.parquet(fuzzDir).repartition(7)
+      .agg((sum(col("k") * 1024) / 10000.0).as("x")).head().getDouble(0)
+    val duckV = duckAgg("CAST(sum(k * 1024) AS BIGINT) / 10000.0").toDouble
+    assert(sparkV == duckV, s"spark=$sparkV duck=$duckV")
+    // and the sum really is past 2^53 — otherwise this test pins nothing
+    val total = spark.read.parquet(fuzzDir)
+      .agg(sum(col("k") * 1024)).head().getLong(0)
+    assert(total > (1L << 53), s"fuzz sum $total no longer exceeds 2^53")
+  }
 }
