@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split-range cap sized for the local SFs: the scale-up tables are
+      // single FILES with 2 MB row groups, and the default 128 MB range
+      // would put a whole 80 MB table in one scan task
+      .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

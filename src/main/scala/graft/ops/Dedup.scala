@@ -379,6 +379,12 @@ object Dedup {
     verifyEditPairs(docs.select(col("doc_id"), col("text")),
       candidates.getOrElse(lshCandidateEdges(docs, maxBucket)), tau)
 
+  /** The session's configured shuffle parallelism — the explicit width
+    * for compute-dense repartitions that must not be byte-coalesced.
+    */
+  private def numShufflePartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   private def verifyEditPairs(texts: DataFrame, candidates: DataFrame,
       tau: Double): DataFrame = {
     // Banded DP with a PER-PAIR bound: any pair with edit_sim ≥ tau has
@@ -399,6 +405,18 @@ object Dedup {
     val maxLenPair = greatest(length(col("ta")), length(col("tb")))
     val boundPair = (lit(1.0 - tau + 5e-7) * maxLenPair).cast("int") + 1
     candidates
+      // The DP below is COMPUTE-bound, but `candidates` arrives
+      // partitioned by its BYTES (the materialized artifact is a few MB
+      // of id pairs → one parquet split → one core does all the DP while
+      // the rest idle; measured 18 s single-task vs ~1.5 s spread at the
+      // 10× SF). A pair row is two BIGINTs, so hash-spreading it over
+      // the shuffle-partition count costs ~nothing relative to the DP it
+      // parallelizes — the standing rule: a CPU-dense stage sizes its
+      // partitioning by WORK, not by input bytes. The partition count is
+      // EXPLICIT: AQE's coalescing is also byte-based, so a bare
+      // repartition(cols) gets merged right back to one task; a
+      // user-specified count is exempt from coalescing.
+      .repartition(numShufflePartitions(candidates), col("doc_a"), col("doc_b"))
       .join(broadcast(texts.select(col("doc_id").as("doc_a"), col("text").as("ta"))), "doc_a")
       .join(broadcast(texts.select(col("doc_id").as("doc_b"), col("text").as("tb"))), "doc_b")
       // lev ≥ |Δlen|, so pairs over the bound skip the DP entirely —

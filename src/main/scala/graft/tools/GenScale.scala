@@ -127,7 +127,18 @@ object GenScale {
     */
   private def write(dst: String, name: String, df: DataFrame): Unit = {
     val stage = s"$dst/_stage_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    // 2 MB row groups: a single-FILE table stays a drop-in for the
+    // driver layout and DuckDB, but remains SPLITTABLE for Spark — one
+    // giant row group would serialize every scan onto one task no matter
+    // how many cores the session has (a real 10x dataset is never one
+    // split, so one row group would mis-measure every scan-bound plan).
+    // 2 MB (compressed — that is what the writer's flush check measures)
+    // keeps even the 7 MB text/events tables multi-group; production
+    // data gets its splits from file COUNT instead, a luxury the
+    // single-file driver/DuckDB layout contract rules out here.
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (2 * 1024 * 1024).toString)
+      .parquet(stage)
     val stageDir = new java.io.File(stage)
     val part = stageDir.listFiles().find(_.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"no part file in $stage"))

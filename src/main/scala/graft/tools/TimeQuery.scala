@@ -14,6 +14,10 @@ object TimeQuery {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split-range cap sized for the local SFs: the scale-up tables are
+      // single FILES with 2 MB row groups, and the default 128 MB range
+      // would put a whole 80 MB table in one scan task
+      .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
