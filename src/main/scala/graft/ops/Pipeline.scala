@@ -203,6 +203,50 @@ object Pipeline {
            |  i -> concat_ws(' ', slice(__t, i, $n))) END""".stripMargin)).as("sh"): _*)
       .select((keep.map(col) :+ md5hash60(col("sh")).as("shash")): _*)
 
+  /** Sliding-window (context, target) training examples from each user's
+    * time-ordered event-type sequence (see the `pipeline_seq_examples`
+    * registration for the pipeline role). Sequence order is (ts,
+    * event_id) — the struct sort's field order — so ties are pinned.
+    * Positions are 1-based; a user emits examples for positions
+    * ctxLen+1 … len, i.e. users with ≤ ctxLen events emit nothing.
+    * Callable on any events-schema frame (unit tests drive THIS).
+    */
+  def seqExamples(ev: DataFrame, ctxLen: Int): DataFrame = {
+    ev.select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("user_id"), expr("transform(evs, x -> x.event_type)").as("types"))
+      .filter(size(col("types")) > ctxLen)
+      .select(col("user_id"), explode(expr(
+        s"""transform(sequence(${ctxLen + 1}, size(types)), p -> struct(
+           |  CAST(p AS BIGINT) AS pos,
+           |  array_join(slice(types, p - $ctxLen, $ctxLen), ' ') AS context,
+           |  element_at(types, p) AS target))""".stripMargin)).as("ex"))
+      .select(col("user_id"), col("ex.pos").as("pos"),
+        col("ex.context").as("context"), col("ex.target").as("target"))
+      .orderBy(col("user_id"), col("pos"))
+  }
+
+  /** Leave-last-k-per-user temporal split (see the
+    * `pipeline_temporal_split` registration): each user's last `k` events
+    * by (ts, event_id) are 'eval', the rest 'train'. Emits
+    * per-(split, event_type) counts + an event_id XOR checksum — the
+    * row-level assignment, aggregate-verified. Callable on any
+    * events-schema frame (unit tests drive THIS).
+    */
+  def temporalSplit(ev: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("__rk", row_number().over(w))
+      .withColumn("split", when(col("__rk") <= k, "eval").otherwise("train"))
+      .groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        expr("CAST(bit_xor(event_id) AS BIGINT)").as("xor_ids"))
+      .orderBy(col("split"), col("event_type"))
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // WINSORIZATION — the outlier-robust ML-prep clip: per event type,
@@ -886,6 +930,49 @@ object Pipeline {
     // shard) — never a global window — so the only wide op is the
     // (stage, shard)-keyed sort, the same bounded-partition shape as the
     // shard writer at 100 TB.
+    // Autoregressive training-example construction: each user's
+    // time-ordered event-type sequence unrolled into sliding
+    // (context, target) pairs — THE "make next-token samples from logs"
+    // step of a sequence-model pipeline (context length 4). One key
+    // shuffle (user_id) and per-user array work, the funnel/SCD2
+    // partition discipline: per-user histories are bounded, so the
+    // collect_list is a bounded group, never a corpus-wide sort. Position
+    // is 1-based over the user's own sequence; order inside a tie is
+    // pinned by event_id, so the emitted rows are a pure function of the
+    // data on both engines.
+    GraftQuery.of("pipeline_seq_examples",
+      """WITH seqs AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+        |  FROM events GROUP BY user_id
+        |), pos AS (
+        |  SELECT user_id, types, unnest(range(5, len(types) + 1)) AS p
+        |  FROM seqs)
+        |SELECT user_id, CAST(p AS BIGINT) AS pos,
+        |  array_to_string(types[p-4:p-1], ' ') AS context,
+        |  types[p] AS target
+        |FROM pos ORDER BY user_id, pos""".stripMargin) { (s, d) =>
+      seqExamples(events(s, d), 4)
+    },
+
+    // Temporal (leave-last-k-per-user) train/eval split — the standard
+    // eval protocol for sequential models, where random splits leak the
+    // future: each user's LAST 2 events (ts DESC, event_id tie-break)
+    // form the eval set. Verified as per-(split, event_type) cells with
+    // an event_id XOR checksum, so the oracle pins the exact row-level
+    // assignment without dumping it. One key shuffle + one agg.
+    GraftQuery.of("pipeline_temporal_split",
+      """WITH r AS (
+        |  SELECT event_id, user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT CASE WHEN rk <= 2 THEN 'eval' ELSE 'train' END AS split,
+        |  event_type, count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(bit_xor(event_id) AS BIGINT) AS xor_ids
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      temporalSplit(events(s, d), 2)
+    },
+
     GraftQuery.of("pipeline_curriculum", {
       val h = Dedup.h60Sql("doc_id::VARCHAR", 17)
       s"""WITH st AS (

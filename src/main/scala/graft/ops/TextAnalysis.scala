@@ -236,6 +236,64 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("term"))
   }
 
+  /** BM25 top-k retrieval (Okapi with Lucene's `ln(1 + …)` idf, so every
+    * score is positive) for a bounded query set derived from the corpus
+    * itself: the 6 highest-document-frequency terms paired into 3 two-term
+    * queries (rank by df DESC with term tie-break, qid = pair index).
+    *
+    * Scale shape: tokenize once; ONE shuffle for per-(doc, term) counts;
+    * df aggregated FROM the tf frame (the tfidf discipline — no second
+    * corpus-wide distinct); corpus stats (N, Σdl) ride a broadcast 1-row
+    * frame and the 6-term query set a broadcast probe frame, so the tf
+    * stream shrinks to query-term postings BEFORE the doc-length join.
+    * The per-query top-k is the bounded-heap [[graft.functions.ExactTopKLong]]
+    * aggregate over a composite integer key (score_micro · 2³³ + inverted
+    * doc_id — exact while doc_id < 2³³ and score < ~9.4e8 micro-units,
+    * both orders of magnitude above this corpus), NOT a ranked window: a
+    * window's per-query full sort is exactly what a 100 TB retrieval
+    * fan-out cannot afford, while the heap ships k rows per partition.
+    *
+    * Parity: scores stay floating only INSIDE one fixed expression tree
+    * (identical associativity on the DuckDB side; the 2-term sum is
+    * commutative so partial-agg order cannot perturb it) and are fixed to
+    * integer micro-units by `round(sum(c) * 1000000)` before any ranking
+    * or output — the hash gate sees only BIGINTs.
+    */
+  def bm25TopK(docs: DataFrame, k: Int = 10): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // 3 two-term queries from the top-6 df terms: TakeOrdered pulls the
+    // bounded head, then a 6-ROW single-partition window assigns qid — a
+    // bounded frame, same class as the whitelisted 1-row crossJoins.
+    val queryTerms = dfreq.orderBy(col("df").desc, col("term")).limit(6)
+      .withColumn("qid", expr("CAST((row_number() OVER (ORDER BY df DESC, term) - 1) div 2 AS BIGINT)"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val tot = broadcast(dl.agg(sum(col("dl")).cast("long").as("sum_dl"),
+      count(lit(1)).as("n_docs")))
+    val comp = tf.join(broadcast(queryTerms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(tot)
+      .select(col("qid"), col("doc_id"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) *
+            col("dl").cast("double") / (col("sum_dl").cast("double") / col("n_docs")))))
+          .as("c"))
+    val S = 1L << 33
+    comp.groupBy(col("qid"), col("doc_id"))
+      .agg(expr("CAST(round(sum(c) * 1000000) AS BIGINT)").as("score_micro"))
+      .select(col("qid"),
+        (col("score_micro") * lit(S) + (lit(S - 1) - col("doc_id"))).as("v"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.ExactTopK.exactTopKLong(col("v"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "v")))
+      .select(col("qid"), (col("i") + 1).cast("long").as("rk"),
+        (lit(S - 1) - (col("v") % lit(S))).as("doc_id"),
+        expr("shiftright(v, 33)").as("score_micro"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** Top-k adjacent-pair collocations ranked by lift
     * c_xy·N / (c_x·c_y) — PMI without the log (log is monotone, so the
     * ranking is identical and no cross-engine log() FP hazard exists).
@@ -1017,5 +1075,49 @@ object TextAnalysis {
           coalesce(col("sum_flog2"), lit(0L)).as("sum_flog2"),
           coalesce(expr("(sum_flog2 * 1000) div n_bigrams"), lit(0L)).as("score_milli"))
         .orderBy(col("doc_id"))
+    },
+
+    // BM25 top-10 retrieval over a corpus-derived bounded query set — the
+    // lexical half of hybrid retrieval (RAG corpus construction, dedup
+    // explanation, eval-set mining). The oracle replays the identical
+    // expression tree and ranks with a window; the engine side ranks with
+    // the bounded-heap exact-top-k aggregate over a composite integer key
+    // (see bm25TopK's Scaladoc for the scale argument). Scores cross the
+    // hash gate as integer micro-units only.
+    GraftQuery.of("text_bm25_topk",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT term, df,
+        |    (row_number() OVER (ORDER BY df DESC, term) - 1) // 2 AS qid
+        |  FROM dfreq ORDER BY df DESC, term LIMIT 6
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents
+        |), tot AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl
+        |), comp AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 *
+        |        CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))) AS c
+        |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+        |), scored AS (
+        |  SELECT qid, doc_id,
+        |    CAST(round(sum(c) * 1000000) AS BIGINT) AS score_micro
+        |  FROM comp GROUP BY 1, 2
+        |), r AS (
+        |  SELECT qid, doc_id, score_micro, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rk
+        |  FROM scored)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
+        |  doc_id, score_micro
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin) { (s, d) =>
+      bm25TopK(documents(s, d), 10)
     })
 }

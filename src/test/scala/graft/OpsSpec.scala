@@ -668,6 +668,45 @@ class OpsSpec extends AnyFunSuite {
     assert(byDoc.values.forall(_.length <= 2))
   }
 
+  test("bm25TopK scores by the Okapi formula and cuts the query set deterministically") {
+    // df: w1=4, w2=3, w3=2, w4=2, w5=1, w6=1, zz=1 → the top-6 cut keeps
+    // w5/w6 and drops zz on the term tie-break, so queries are
+    // qid0={w1,w2}, qid1={w3,w4}, qid2={w5,w6} and doc3's zz never scores.
+    val docs = docsDf(
+      0L -> "w1 w2 w3 w4 w5 w6",
+      1L -> "w1 w2 w3 w4",
+      2L -> "w1 w2 w1",
+      3L -> "w1 zz")
+    val out = TextAnalysis.bm25TopK(docs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = out.groupBy(_._1)
+    // match sets: qid0 all four docs (w1 everywhere), qid1 docs {0,1},
+    // qid2 doc {0} only — proof the zz tie lost the deterministic cut
+    assert(byQ(0L).map(_._3).toSet == Set(0L, 1L, 2L, 3L))
+    assert(byQ(1L).map(_._3).toSet == Set(0L, 1L))
+    assert(byQ(2L).map(_._3).toSet == Set(0L))
+    // rk dense from 1, score_micro non-increasing in rk, doc_id breaks ties
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).toSeq
+      assert(sorted.map(_._2) == (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ =>
+      }
+    }
+    // exact-score spot check (qid2 / doc0): two df=1 terms, tf=1 each,
+    // dl=6, avgdl=15/4 — the same expression tree evaluated locally
+    val n = 4.0; val df = 1.0; val tf = 1.0; val dl = 6.0; val avgdl = 15.0 / 4.0
+    val c = math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+      (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    assert(byQ(2L).head._4 == math.round((c + c) * 1000000))
+    // ranking sanity for qid0: doc2 (tf(w1)=2 + w2, shortest effective
+    // length) must outrank doc3 (single w1, no w2)
+    val q0 = byQ(0L).sortBy(_._2).map(_._3)
+    assert(q0.indexOf(2L) < q0.indexOf(3L))
+  }
+
   test("corpusKeep drops exactly the non-representative near-dup members") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
     val docs = docsDf(
@@ -679,6 +718,55 @@ class OpsSpec extends AnyFunSuite {
       3L -> base) // exact dup of 0 → same cluster
     val kept = Dedup.corpusKeep(docs).select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.sameElements(Array(0L, 2L)))
+  }
+
+  test("seqExamples unrolls per-user sliding windows with (ts, event_id) tie order") {
+    val rows = Seq(
+      // user 1: five events; events 2 and 3 share a ts — order pinned by id
+      Row(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a"),
+      Row(2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "b"),
+      Row(3L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "c"),
+      Row(4L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "d"),
+      Row(5L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 1L, "e"),
+      // user 2: exactly ctxLen events — below the boundary, emits nothing
+      Row(6L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "x"),
+      Row(7L, java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), 2L, "y"),
+      // user 3: ctxLen + 1 events — exactly one example
+      Row(8L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 3L, "p"),
+      Row(9L, java.sql.Timestamp.valueOf("2024-01-01 12:05:00"), 3L, "q"),
+      Row(10L, java.sql.Timestamp.valueOf("2024-01-01 12:10:00"), 3L, "r"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val out = Pipeline.seqExamples(spark.createDataFrame(rows.asJava, schema), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, "a b", "c"), // the tie resolved b (id 2) before c (id 3)
+      (1L, 4L, "b c", "d"),
+      (1L, 5L, "c d", "e"),
+      (3L, 3L, "p q", "r")))
+  }
+
+  test("temporalSplit sends each user's last k events to eval, ties by event_id") {
+    val rows = Seq(
+      // user 1: last by (ts DESC, id DESC) is event 3 (ts tie with 2)
+      Row(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"),
+      Row(2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click"),
+      Row(3L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "view"),
+      // user 2: a single event — entirely eval when k >= its count
+      Row(4L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 2L, "view"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val out = Pipeline.temporalSplit(spark.createDataFrame(rows.asJava, schema), 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("eval", "view", 2L, 2L, 3L ^ 4L),
+      ("train", "click", 1L, 1L, 2L),
+      ("train", "view", 1L, 1L, 1L)))
   }
 
   test("scd2 collapses runs, versions changes in order, leaves current open") {

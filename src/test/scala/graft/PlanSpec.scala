@@ -343,6 +343,7 @@ class PlanSpec extends AnyFunSuite {
       "sim_knn_sq8" -> "broadcast probe codes x corpus scan (int8 candidate gen)",
       "sim_recall_lsh_multi" -> "broadcast brute-force truth set for recall",
       "text_tfidf_top_terms" -> "1-row ndocs frame in the idf term",
+      "text_bm25_topk" -> "1-row corpus-stats frame (N, sum dl) in the idf/length-norm terms",
       "q11_important_stock" -> "1-row total/part-count frame for the threshold",
       "q22_dormant_customers" -> "1-row positive-balance stats frame",
       "dq_freshness" -> "1-row global-max frame crosses into the per-source lag",
