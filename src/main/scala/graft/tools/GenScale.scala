@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *     scale like a real 10× corpus of independent shards, not like 10
   *     literal copies), n_chars recomputed to keep the n_chars =
   *     length(text) source invariant.
-  *   - embeddings: replica r rotates the 64-dim vector by r positions —
+  *   - embeddings: replica r rotates the 64-dim vector by (r mod 64)
+  *     positions, negating it once the rotation wraps (r >= 64) —
   *     norm-preserving, deterministic, and avoids the degenerate
-  *     all-exact-duplicate geometry 10 verbatim copies would create.
+  *     all-exact-duplicate geometry verbatim copies would create at any
+  *     replica count.
   *   - events keep their timestamps: 10× the traffic over the same
   *     month, which is what a higher-volume stream looks like.
   *
@@ -113,11 +115,17 @@ object GenScale {
     })
     write(dst, "embeddings", replicate(read("embeddings")) { d =>
       val dim = 64
-      val rotated = when(col("r") === 0, col("embedding")).otherwise(
+      // rotate by r mod dim (the raw r overflows slice() past 64 replicas);
+      // when the rotation wraps (r >= dim) negate the vector as well —
+      // still norm-preserving and deterministic, and no replica pair is
+      // ever an exact duplicate (negation flips cosine to -1, not +1).
+      val rotated = when(col("r") % dim === 0, col("embedding")).otherwise(
         concat(
-          expr(s"slice(embedding, CAST(r + 1 AS INT), CAST($dim - r AS INT))"),
-          expr("slice(embedding, 1, CAST(r AS INT))")))
-      d.select(off("vec_id", DocOff), rotated.as("embedding"), col("label"), col("r"))
+          expr(s"slice(embedding, CAST(r % $dim + 1 AS INT), CAST($dim - r % $dim AS INT))"),
+          expr(s"slice(embedding, 1, CAST(r % $dim AS INT))")))
+      val signed = when(col("r") < dim, rotated)
+        .otherwise(transform(rotated, x => -x))
+      d.select(off("vec_id", DocOff), signed.as("embedding"), col("label"), col("r"))
     })
     println(s"[genscale] wrote $replicas replicas of $src to $dst")
   }

@@ -199,7 +199,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     // never does — no run-to-run layout sampling involved)
     val s = spark
     import s.implicits._
-    val dir = "/tmp/graft_sink/crafted_bloomidx"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_crafted_bloomidx").toFile.getAbsolutePath
     (0L until 4000L).toDF("k")
       .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
       .write.mode("overwrite").parquet(dir)
