@@ -79,8 +79,15 @@ object Bench {
       catch { case _: Throwable => () }
       sec
     }
+    // Optional subset (comma-separated names): big-SF scaling runs bench a
+    // hand-picked family cross-section (tools/sf10_subset.txt) instead of
+    // all ~280 queries. Absent => full registry, the driver contract.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     def runPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

@@ -172,6 +172,21 @@ object Graph {
     */
   val PrScale = 1000000000000L
 
+  /** Node-count ceiling for broadcasting the per-iteration rank vector in
+    * [[pagerank]]: 4M nodes ≈ a 100 MB (src, mass) broadcast — cheap
+    * against re-sorting a multi-hundred-million-row edge list every
+    * iteration, and far under Spark's 8 GB broadcast cap. Billion-node
+    * graphs exceed it and keep the shuffle join.
+    */
+  val BroadcastRankNodes = 4000000L
+
+  /** Call-time read so tools/PrAB can A/B the two iteration join
+    * strategies inside one JVM (set to -1 to force the shuffle join).
+    */
+  private def broadcastRankLimit: Long =
+    sys.props.get("graft.pagerank.broadcastNodes").map(_.toLong)
+      .getOrElse(BroadcastRankNodes)
+
   /** Damped PageRank over undirected (src, dst) edges in 1e-12-resolution
     * fixed point: rank is a BIGINT count of [[PrScale]]ths of total mass,
     * per-edge contributions are integer division `pr_fix div deg`, and the
@@ -205,6 +220,7 @@ object Graph {
     val sym = symmetrize(edges).localCheckpoint(true)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    val nNodes = deg.count()
     val n = broadcast(deg.agg(count(lit(1)).as("n")))
     var pr = deg.crossJoin(n)
       .select(col("node"), col("deg"), expr(s"${PrScale}L div n").as("pr_fix"))
@@ -212,9 +228,23 @@ object Graph {
     for (_ <- 1 to iters) {
       // `div` (IntegralDivide) and DuckDB's `//` both truncate; all
       // operands here are non-negative, so truncation == floor on both.
-      val contrib = sym.join(pr.withColumnRenamed("node", "src"), "src")
+      // Per-edge contribution = pr_fix div deg of the SOURCE node — the
+      // same value for every edge out of that node, so it is computed
+      // once per node here and the per-dst integer sum is unchanged.
+      val outMass = pr.select(col("node").as("src"),
+        expr("pr_fix div deg").as("__m"))
+      // Rank vectors up to [[BroadcastRankNodes]] ride a broadcast-hash
+      // join, so the 2|E|-row symmetric edge list is never sorted or
+      // re-shuffled inside the loop (each iteration had been a full
+      // sort-merge of the edge list against a node-sized frame — the
+      // measured 100x-point cost was ~2-3x over linear from exactly
+      // those per-iteration edge sorts + spills). Past the guard the
+      // shuffle join returns; at rest on a cluster the equivalent
+      // layout-reuse is bucketing the edge table by src.
+      val probe = if (nNodes <= broadcastRankLimit) broadcast(outMass) else outMass
+      val contrib = sym.join(probe, "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(expr("pr_fix div deg")).as("__mass"))
+        .agg(sum(col("__m")).as("__mass"))
       // inner join is total: symmetry puts every node on some dst side.
       // Per-iteration checkpoint truncates the growing lineage (same
       // discipline as Dedup.clusters) — without it, evaluating iteration
@@ -343,10 +373,17 @@ object Graph {
     var tr = deg.select(col("node"), col("deg"),
       when(col("is_seed"), lit(PrScale / nSeeds)).otherwise(lit(0L)).as("tr_fix"))
       .localCheckpoint(true)
+    val nNodes = deg.count()
     for (_ <- 1 to iters) {
-      val contrib = sym.join(tr.withColumnRenamed("node", "src"), "src")
+      // same broadcast-rank iteration as [[pagerank]]: the per-source
+      // mass is one value per node, so broadcasting the node-sized
+      // (src, __m) frame keeps the 2|E| edge list un-sorted in the loop
+      val outMass = tr.select(col("node").as("src"),
+        expr("tr_fix div deg").as("__m"))
+      val probe = if (nNodes <= broadcastRankLimit) broadcast(outMass) else outMass
+      val contrib = sym.join(probe, "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(expr("tr_fix div deg")).as("__mass"))
+        .agg(sum(col("__m")).as("__mass"))
       tr = deg.join(contrib, "node")
         .select(col("node"), col("deg"),
           (col("teleport_fix") + expr(s"($dampNum * __mass) div 100")).as("tr_fix"))

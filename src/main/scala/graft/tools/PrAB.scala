@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** A/B of [[graft.ops.Graph.pagerank]]'s two iteration join strategies
+  * (broadcast-rank vs shuffle join) inside ONE JVM, alternating reps so
+  * host-throttle windows hit both arms, with a single-thread calibration
+  * canary printed per rep to make any residual skew attributable.
+  * Usage: runMain graft.tools.PrAB [sfDir] [reps]
+  */
+object PrAB {
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0L
+    var i = 0L
+    while (i < 300000000L) { h = h * 6364136223846793005L + i; i += 1 }
+    if (h == 42L) println(h)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/graft_testdata/sf10"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries("graph_pagerank")
+    fn(spark, sfDir).count() // build + latch the edge artifact outside the timings
+    for (i <- 1 to reps; mode <- Seq("bcast", "smj")) {
+      System.setProperty("graft.pagerank.broadcastNodes",
+        if (mode == "bcast") "4000000" else "-1")
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[ab] mode=$mode rep=$i rows=$n sec=$sec%.3f calib=${calibrate()}%.3f")
+    }
+    spark.stop()
+  }
+}
