@@ -84,14 +84,40 @@ object Bench {
     // all ~280 queries. Absent => full registry, the driver contract.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
-    def runPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
+    // A typo'd subset name would silently shrink the run and record the
+    // total as if the intended cross-section ran (the sf10 ladder numbers
+    // depend on the subset being exactly tools/sf10_subset.txt) — fail
+    // loudly instead.
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    // Per-WINDOW throttle attribution (r11): the single-thread canary is
+    // interleaved every CanaryEvery queries, so a mid-run host-throttle
+    // window (observed: 6.8x canaries poisoning the sf10 bench line) is
+    // machine-attributable to the specific queries that ran inside it.
+    // Each query carries calib_near = max(canary at its window's start,
+    // canary at its window's end) from whichever pass supplied its
+    // min-of-2 time. Read rule (BASELINE.md): a query is "throttled" if
+    // its calib_near exceeds 1.4x the run's minimum canary.
+    val CanaryEvery = 25
+    def runPass(): Seq[(String, Double, Double)] = {
+      val qs = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
-        .map { case (name, fn) =>
+      val timed = scala.collection.mutable.ArrayBuffer[(String, Double, Int)]()
+      var canaries = Vector(calibrate())
+      qs.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (i > 0 && i % CanaryEvery == 0) canaries :+= calibrate()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        timed += ((name, (System.nanoTime() - t0) / 1e9, i / CanaryEvery))
       }
+      canaries :+= calibrate()
+      timed.toSeq.map { case (name, sec, w) =>
+        (name, sec, math.max(canaries(w), canaries(math.min(w + 1, canaries.size - 1))))
+      }
+    }
     val calib = calibrate()
     val calibPar = calibratePar()
     val calibStream = calibrateStream()
@@ -104,11 +130,22 @@ object Bench {
     // runs with clean start/end calibrations), and min-over-repetitions is
     // the standard way to read through external interference. Both pass
     // totals are reported so the noise itself stays visible.
-    val pass1 = runPass()
+    val pass1full = runPass()
     val calibMid = calibrate()
-    val pass2 = runPass()
-    val p2 = pass2.toMap
-    val results = pass1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val pass2full = runPass()
+    val pass1 = pass1full.map { case (k, v, _) => k -> v }
+    val pass2 = pass2full.map { case (k, v, _) => k -> v }
+    val p2 = pass2full.map { case (k, v, c) => k -> (v, c) }.toMap
+    // min-of-2 per query; calib_near follows the pass that supplied the min
+    val withCalib = pass1full.map { case (k, v1, c1) =>
+      val (v2, c2) = p2(k)
+      if (v1 <= v2) (k, v1, c1) else (k, v2, c2)
+    }
+    val results = withCalib.map { case (k, v, _) => k -> v }
+    val calibNear = withCalib.map { case (k, _, c) => k -> c }
+    val minCanary = calibNear.map(_._2).min
+    val throttledQs = calibNear.collect {
+      case (k, c) if c > 1.4 * minCanary => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -129,7 +166,10 @@ object Bench {
       .map { case (f, qs2) =>
         s"\"" + f + "\":" + math.rint(qs2.map(_._2).sum * 1000) / 1000 }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$families,"sf":"$sfDir","passes":2,"agg":"min","value_single_pass":${pass1.map(_._2).sum},"pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par32_sec":$calibPar32,"calib_par8_end_sec":$calibParEnd,"calib_stream_sec":$calibStream,"calib_stream_end_sec":$calibStreamEnd}"""
+    val calibNearJson = calibNear.map { case (k, c) =>
+      s"\"" + k + "\":" + math.rint(c * 1000) / 1000 }.mkString("{", ",", "}")
+    val throttledJson = throttledQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$families,"sf":"$sfDir","passes":2,"agg":"min","value_single_pass":${pass1.map(_._2).sum},"pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par32_sec":$calibPar32,"calib_par8_end_sec":$calibParEnd,"calib_stream_sec":$calibStream,"calib_stream_end_sec":$calibStreamEnd,"calib_near":$calibNearJson,"canary_min_sec":$minCanary,"throttled_queries":$throttledJson}"""
     println(json)
     // The harness that snapshots this run keeps only the LAST ~2000 chars of
     // output, and sbt appends its own "[success] ..." trailer — with 84
@@ -144,7 +184,7 @@ object Bench {
     val legendLine = s"""{"bench_legend":$legend}"""
     val compactQs = results.zipWithIndex
       .map { case ((_, v), i) => s"\"q$i\":${r3(v)}" }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}","n_queries":${results.size},"passes":2,"agg":"min","value_single_pass":${r3(pass1.map(_._2).sum)},"pass_totals":[${r3(pass1.map(_._2).sum)},${r3(pass2.map(_._2).sum)}],"calib_sec":[${r3(calib)},${r3(calibMid)},${r3(calibEnd)}],"calib_par_sec":[${r3(calibPar)},${r3(calibPar32)},${r3(calibParEnd)}],"calib_stream_sec":[${r3(calibStream)},${r3(calibStreamEnd)}],"query_names":"see bench_legend line / bench_out.json"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}","n_queries":${results.size},"passes":2,"agg":"min","value_single_pass":${r3(pass1.map(_._2).sum)},"pass_totals":[${r3(pass1.map(_._2).sum)},${r3(pass2.map(_._2).sum)}],"calib_sec":[${r3(calib)},${r3(calibMid)},${r3(calibEnd)}],"calib_par_sec":[${r3(calibPar)},${r3(calibPar32)},${r3(calibParEnd)}],"calib_stream_sec":[${r3(calibStream)},${r3(calibStreamEnd)}],"canary_min_sec":${r3(minCanary)},"n_throttled":${throttledQs.size},"query_names":"see bench_legend line / bench_out.json"}"""
     // Belt-and-braces: sbt may prefix stdout lines, so also drop the JSON
     // where the driver (or a human) can read it unmangled.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -9,6 +9,14 @@ object Verify {
     // Optional third arg: comma-separated query-name filter (local iteration).
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // Same guard as Bench's SPARK_GRAFT_BENCH_ONLY: a typo'd name would
+    // silently produce a shorter dump that an adjudication script then
+    // reads as "query missing" (or worse, never notices).
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"query-name filter entries not in the registry: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

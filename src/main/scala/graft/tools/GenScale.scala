@@ -62,6 +62,15 @@ object GenScale {
   val DocOff = 100000L
 
   def scale(spark: SparkSession, src: String, dst: String, replicas: Int): Unit = {
+    // The embedding rotate+negate scheme below has period 128: replica
+    // 128+k would be byte-identical to replica 64+k, silently breaking the
+    // "no exact-duplicate replica pair" property the dedup/ANN scale
+    // stories rely on. Refuse rather than degrade (the committed sf1/sf10
+    // corpora use 10/100 replicas, well inside the bound).
+    require(replicas <= 128,
+      s"replicas=$replicas > 128: the embedding rotation+negation scheme " +
+        "repeats with period 128, so replica pairs (r, r-128) would be " +
+        "exact duplicates; extend the sign scheme before scaling further")
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
     /** Cross-join with the replica dimension and apply per-replica
@@ -117,8 +126,11 @@ object GenScale {
       val dim = 64
       // rotate by r mod dim (the raw r overflows slice() past 64 replicas);
       // when the rotation wraps (r >= dim) negate the vector as well —
-      // still norm-preserving and deterministic, and no replica pair is
-      // ever an exact duplicate (negation flips cosine to -1, not +1).
+      // still norm-preserving and deterministic, and within the required
+      // replicas <= 128 bound no replica pair is an exact duplicate
+      // (negation flips cosine to -1, not +1). The scheme has period 128
+      // — replica 128+k would equal replica 64+k — which is why scale()
+      // rejects replicas > 128 up front.
       val rotated = when(col("r") % dim === 0, col("embedding")).otherwise(
         concat(
           expr(s"slice(embedding, CAST(r % $dim + 1 AS INT), CAST($dim - r % $dim AS INT))"),
