@@ -44,6 +44,35 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** First-order Markov transition sufficient statistics over each
+    * user's time-ordered event-type sequence — the (from → to) count
+    * matrix with per-source totals and an exact integer transition
+    * probability, the starting point of every behavioral-sequence model
+    * (and the quality gate on synthetic event streams: a generator whose
+    * transition matrix drifts from production is caught here). Sequence
+    * order is the tie-pinned (ts, event_id) — event_id is unique, so
+    * both engines see the identical successor for every event. ONE
+    * user_id-keyed lead window (per-partition sort, never global) feeds
+    * a #types²-row count aggregate; p_micro = (n · 1e6) div n_from is
+    * order-independent integer arithmetic on both engines. At 100 TB the
+    * user key is the natural partitioner and the matrix stays tiny.
+    * Callable on any events-schema frame (unit tests drive THIS).
+    */
+  def markovTransitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("n_from").cast("long").as("n_from"),
+        expr("(n * 1000000) div n_from").as("p_micro"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Strict ordered funnel: stage N counts users whose earliest stage-N
     * event is strictly after their earliest completed stage-(N-1) event.
     * Powers the `events_funnel` query AND is callable on any events-schema
@@ -300,6 +329,27 @@ object Events {
           min(k).as("min_k"),
           max(k).as("max_k"))
         .orderBy(col("event_type"))
+    },
+
+    // First-order Markov transition matrix — see [[markovTransitions]].
+    // lead() over the tie-pinned (ts, event_id) order is engine-portable
+    // because event_id is unique; the probability is exact integer
+    // micro-units ((n·1e6) div n_from) so the hash gate sees only BIGINTs.
+    GraftQuery.of("events_markov_transitions",
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n, t.n_from,
+        |  CAST(c.n AS BIGINT) * 1000000 // t.n_from AS p_micro
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY c.from_type, c.to_type""".stripMargin) { (s, d) =>
+      markovTransitions(events(s, d))
     },
 
     // Sessionization: a session break is a >30 min gap between consecutive

@@ -2,11 +2,14 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** A/B of [[graft.ops.Graph.pagerank]]'s two iteration join strategies
-  * (broadcast-rank vs shuffle join) inside ONE JVM, alternating reps so
-  * host-throttle windows hit both arms, with a single-thread calibration
-  * canary printed per rep to make any residual skew attributable.
-  * Usage: runMain graft.tools.PrAB [sfDir] [reps]
+/** A/B of the broadcast-rank vs shuffle-join iteration strategies shared
+  * by [[graft.ops.Graph.pagerank]] and [[graft.ops.Graph.trustrank]],
+  * inside ONE JVM, alternating reps so host-throttle windows hit both
+  * arms, with a single-thread calibration canary printed per rep to make
+  * any residual skew attributable.
+  * Usage: runMain graft.tools.PrAB [queryName] [sfDir] [reps]
+  * (queryName defaults to graph_pagerank; graph_trustrank shares the
+  * same graft.pagerank.broadcastNodes guard at Graph.scala:383)
   */
 object PrAB {
   private def calibrate(): Double = {
@@ -19,15 +22,20 @@ object PrAB {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/tmp/graft_testdata/sf10"
-    val reps = if (args.length > 1) args(1).toInt else 3
+    // Back-compat arg parse: a leading path arg is sfDir (the r10 call
+    // shape); otherwise args(0) is the query name.
+    val named = args.nonEmpty && !args(0).startsWith("/")
+    val query = if (named) args(0) else "graph_pagerank"
+    val rest = if (named) args.drop(1) else args
+    val sfDir = if (rest.nonEmpty) rest(0) else "/tmp/graft_testdata/sf10"
+    val reps = if (rest.length > 1) rest(1).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries("graph_pagerank")
+    val fn = graft.SparkEntry.queries(query)
     fn(spark, sfDir).count() // build + latch the edge artifact outside the timings
     for (i <- 1 to reps; mode <- Seq("bcast", "smj")) {
       System.setProperty("graft.pagerank.broadcastNodes",
@@ -35,7 +43,7 @@ object PrAB {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[ab] mode=$mode rep=$i rows=$n sec=$sec%.3f calib=${calibrate()}%.3f")
+      println(f"[ab] query=$query mode=$mode rep=$i rows=$n sec=$sec%.3f calib=${calibrate()}%.3f")
     }
     spark.stop()
   }

@@ -158,6 +158,38 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.triangles(tp, invProb = 1).collect()(0).getLong(1) == 1L)
   }
 
+  test("pagerank/trustRank shuffle fallback (broadcastNodes=-1) is frame-identical to the broadcast path") {
+    import spark.implicits._
+    // The >BroadcastRankNodes branch is otherwise only exercised by
+    // tools/PrAB at sf10 — pin it here so the fallback can't rot. A
+    // deterministic multi-component graph with hubs, chains and a cycle;
+    // integer fixed point means the two join strategies must agree
+    // BIT-identically, not approximately.
+    val edges = ((0L until 60L).map(i => (i, (i * 7 + 3) % 60)) ++
+      (0L until 30L).map(i => (i, i + 30L)) ++ Seq((100L, 101L)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val seeds = Seq(1L, 7L, 100L).toDF("node")
+    def runBoth(f: => Array[org.apache.spark.sql.Row]) = {
+      val prop = "graft.pagerank.broadcastNodes"
+      val saved = sys.props.get(prop)
+      try {
+        System.clearProperty(prop) // default: broadcast path (60 << 4M)
+        val bcast = f
+        System.setProperty(prop, "-1") // force the shuffle join
+        val smj = f
+        (bcast, smj)
+      } finally saved match {
+        case Some(v) => System.setProperty(prop, v)
+        case None => System.clearProperty(prop)
+      }
+    }
+    val (prB, prS) = runBoth(Graph.pagerank(edges).orderBy("node").collect())
+    assert(prB.sameElements(prS), "pagerank broadcast vs shuffle diverged")
+    val (trB, trS) = runBoth(
+      Graph.trustRank(edges, seeds).orderBy("node").collect())
+    assert(trB.sameElements(trS), "trustRank broadcast vs shuffle diverged")
+  }
+
   test("pagerank conserves total mass across iterations") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))

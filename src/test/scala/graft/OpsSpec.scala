@@ -748,6 +748,31 @@ class OpsSpec extends AnyFunSuite {
       (3L, 3L, "p q", "r")))
   }
 
+  test("markovTransitions counts successor pairs per user with (ts, event_id) tie order") {
+    val rows = Seq(
+      // user 1: a→b→c→b (events 2,3 share a ts — successor pinned by id)
+      Row(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a"),
+      Row(2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "b"),
+      Row(3L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "c"),
+      Row(4L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1L, "b"),
+      // user 2: a→b (no cross-user pair with user 1's trailing b)
+      Row(5L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "a"),
+      Row(6L, java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), 2L, "b"),
+      // user 3: single event — emits no pair
+      Row(7L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 3L, "c"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val out = Events.markovTransitions(spark.createDataFrame(rows.asJava, schema))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 2L, 1000000L),          // a always transitions to b
+      ("b", "c", 1L, 1L, 1000000L),          // user 1's tie: b (id 2) → c (id 3)
+      ("c", "b", 1L, 1L, 1000000L)))         // then c → b; user 3 emits nothing
+  }
+
   test("temporalSplit sends each user's last k events to eval, ties by event_id") {
     val rows = Seq(
       // user 1: last by (ts DESC, id DESC) is event 3 (ts tie with 2)

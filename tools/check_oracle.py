@@ -4,18 +4,35 @@ given SF, then run each oracle SQL in DuckDB over the same parquet tables
 and compare row count, column names/dtypes, and exact values.
 
 Usage: python3 tools/check_oracle.py [sfdir] [outdir] [--skip-verify]
-           [--only name1,name2,...] [--json path]
+           [--only name1,name2,...] [--json path] [--timeout SEC]
+           [--mem LIMIT] [--threads N] [--replicas N]
 
 --only       restrict both the Spark Verify run and the DuckDB compare to a
              comma-separated subset of query names (round-sized iteration at
              big SFs: the all-or-nothing sf1 run costs >90 min of DuckDB).
 --json PATH  write a machine-readable per-query verdict (default:
              <outdir>/check_oracle.json, CORRECTNESS-style).
+--timeout S  per-oracle wall-clock budget; a whole-table replay past it is
+             interrupted (duckdb con.interrupt()) and recorded as
+             "oracle_timeout" instead of hanging a big-SF run for hours.
+--mem LIMIT  DuckDB memory_limit (e.g. 48GB) — the sf10 runs need an
+             explicit cap so a single spilling hash can't OOM the box.
+--threads N  DuckDB threads.
+--replicas N enable the PER-REPLICA derivation path (sf10_methods.METHODS)
+             for queries whose whole-table replay is single-node-infeasible:
+             the GenScale corpus is N disjoint replica shards by key
+             construction, so a replica-equivariant oracle is replayed on
+             replica-sliced views at per-replica cost and the slices are
+             combined (concat / key-summed merge / column-sum / global
+             top-k re-cut) — the tools/sf10_graph_oracle.py pattern,
+             generalized. Every verdict carries a "method" field.
 Output is line-buffered so a tail -f of a long sf1 run shows progress live.
 """
 import json
 import subprocess
 import sys
+import threading
+import time
 from pathlib import Path
 
 import duckdb
@@ -33,13 +50,19 @@ def arg_value(flag):
     return None
 
 
+VALUE_FLAGS = ("--only", "--json", "--timeout", "--mem", "--threads",
+               "--replicas")
 POSITIONAL = [a for i, a in enumerate(sys.argv[1:], start=1)
               if not a.startswith("--")
-              and sys.argv[i - 1] not in ("--only", "--json")]
+              and sys.argv[i - 1] not in VALUE_FLAGS]
 SF = POSITIONAL[0] if len(POSITIONAL) > 0 else "/root/testdata/sf0.01"
 OUT = Path(POSITIONAL[1] if len(POSITIONAL) > 1 else "/tmp/verify_out")
 ONLY = set(arg_value("--only").split(",")) if arg_value("--only") else None
 JSON_PATH = Path(arg_value("--json") or OUT / "check_oracle.json")
+TIMEOUT = float(arg_value("--timeout")) if arg_value("--timeout") else None
+MEM = arg_value("--mem")
+THREADS = arg_value("--threads")
+REPLICAS = int(arg_value("--replicas")) if arg_value("--replicas") else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -85,12 +108,150 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     return errs
 
 
+class OracleTimeout(Exception):
+    pass
+
+
+def run_df(con, sql, timeout=None):
+    """Execute sql -> DataFrame, interrupting past `timeout` seconds."""
+    if not timeout:
+        return con.sql(sql).df()
+    timer = threading.Timer(timeout, con.interrupt)
+    timer.start()
+    try:
+        return con.sql(sql).df()
+    except Exception as e:
+        if "INTERRUPT" in str(e).upper():
+            raise OracleTimeout() from None
+        raise
+    finally:
+        timer.cancel()
+
+
+def tune(con):
+    if MEM:
+        con.execute(f"SET memory_limit='{MEM}'")
+    if THREADS:
+        con.execute(f"SET threads={THREADS}")
+
+
+class ReplicaEngine:
+    """Per-replica oracle replay over the GenScale corpus (see
+    tools/sf10_methods.py for the soundness argument). Owns a SEPARATE
+    duckdb connection whose table views are re-pointed at one replica
+    slice at a time, so the main connection's whole-table views are
+    never disturbed. Each replica-keyed table is materialized ONCE,
+    physically ordered by replica id, so per-replica range filters prune
+    by zonemap instead of rescanning the full table N times."""
+
+    def __init__(self, replicas):
+        import sf10_methods
+        self.spec_mod = sf10_methods
+        self.R = replicas
+        self.con = duckdb.connect()
+        tune(self.con)
+        self.ready = set()
+
+    # FK-alignment premises verified from the data (not assumed): every
+    # key domain a table carries must agree on the replica id, else the
+    # per-replica slices would not be self-contained.
+    _FK = {
+        "lineitem": "l_orderkey // 1000000 != l_partkey // 100000 "
+                    "OR l_orderkey // 1000000 != l_suppkey // 10000",
+        "orders": "o_orderkey // 1000000 != o_custkey // 100000",
+        "events": "event_id // 1000000 != user_id // 100000",
+    }
+
+    def ensure(self, tables):
+        keys = self.spec_mod.REPLICA_KEYS
+        for t in tables:
+            if t in self.ready:
+                continue
+            if t in keys:
+                col, off = keys[t]
+                self.con.execute(
+                    f"CREATE TABLE __rep_{t} AS SELECT * FROM "
+                    f"'{SF}/{t}.parquet' ORDER BY {col} // {off}")
+                lo, hi, n = self.con.execute(
+                    f"SELECT min({col} // {off}), max({col} // {off}), "
+                    f"count(DISTINCT {col} // {off}) FROM __rep_{t}").fetchone()
+                assert (lo, hi, n) == (0, self.R - 1, self.R), \
+                    f"{t}: replica-id range ({lo},{hi},{n}) != (0,{self.R - 1},{self.R})"
+                if t in self._FK:
+                    bad = self.con.execute(
+                        f"SELECT count(*) FROM __rep_{t} WHERE {self._FK[t]}"
+                    ).fetchone()[0]
+                    assert bad == 0, f"{t}: {bad} rows violate replica FK alignment"
+            else:
+                self.con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+            self.ready.add(t)
+
+    def _set_replica(self, r, tables):
+        keys = self.spec_mod.REPLICA_KEYS
+        for t in tables:
+            if t in keys:
+                col, off = keys[t]
+                self.con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM __rep_{t} "
+                    f"WHERE {col} >= {r * off} AND {col} < {(r + 1) * off}")
+
+    def run(self, name, sql, spec, timeout=None):
+        import re
+
+        import numpy as np
+        tables = [t for t in TABLES if re.search(rf"\b{t}\b", sql)]
+        self.ensure(tables)
+        if "patch" in spec:
+            old, tmpl = spec["patch"]
+            assert sql.count(old) == 1, f"{name}: patch anchor not unique"
+            g = 0
+            for r in range(self.R):
+                self._set_replica(r, tables)
+                g += self.con.execute(spec["global_sql"]).fetchone()[0]
+            sql = sql.replace(old, tmpl.format(g=g))
+        parts = []
+        for r in range(self.R):
+            self._set_replica(r, tables)
+            parts.append(run_df(self.con, sql, timeout))
+        m = spec["method"]
+        if m == "concat":
+            df = pd.concat(parts, ignore_index=True).sort_values(
+                spec["sort"], kind="mergesort").reset_index(drop=True)
+        elif m == "merge_sum":
+            df = pd.concat(parts, ignore_index=True)
+            df = df.groupby(spec["keys"], as_index=False).sum()
+            df = df[list(parts[0].columns)].sort_values(
+                spec["keys"], kind="mergesort").reset_index(drop=True)
+        elif m == "sum_row":
+            allr = pd.concat(parts, ignore_index=True)
+            xor = set(spec.get("xor_cols", []))
+            row = {c: (np.bitwise_xor.reduce(allr[c].to_numpy())
+                       if c in xor else allr[c].sum())
+                   for c in allr.columns}
+            df = pd.DataFrame([row]).astype(
+                {c: allr[c].dtype for c in allr.columns})
+        elif m == "topk":
+            cols = [c for c, _ in spec["order"]]
+            asc = [a for _, a in spec["order"]]
+            df = pd.concat(parts, ignore_index=True).sort_values(
+                cols, ascending=asc, kind="mergesort"
+            ).head(spec["k"]).reset_index(drop=True)
+        else:
+            raise ValueError(f"{name}: unknown method {m}")
+        return df
+
+
 def main():
     if "--skip-verify" not in sys.argv:
         run_verify()
     con = duckdb.connect()
+    tune(con)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    sys.path.insert(0, str(Path(__file__).parent))
+    rep = ReplicaEngine(REPLICAS) if REPLICAS else None
+    methods = rep.spec_mod.METHODS if rep else {}
     oracles = json.loads((OUT / "oracle_sql.json").read_text())
     if ONLY:
         oracles = {k: v for k, v in oracles.items() if k in ONLY}
@@ -98,21 +259,37 @@ def main():
     n_pass = n_fail = 0
     for name in sorted(oracles):
         pq = OUT / name
+        spec = methods.get(name)
+        method = f"replica-{spec['method']}" if spec else "whole"
         if not pq.exists():
             print(f"FAIL {name}: no spark output at {pq}")
-            verdicts[name] = {"match": False, "errors": [f"no spark output at {pq}"]}
+            verdicts[name] = {"match": False, "errors": [f"no spark output at {pq}"],
+                              "method": method}
             n_fail += 1
             continue
         spark_df = con.sql(f"SELECT * FROM '{pq}/*.parquet'").df()
+        t0 = time.time()
         try:
-            oracle_df = con.sql(oracles[name]).df()
+            if spec:
+                oracle_df = rep.run(name, oracles[name], spec, timeout=TIMEOUT)
+            else:
+                oracle_df = run_df(con, oracles[name], TIMEOUT)
+        except OracleTimeout:
+            print(f"FAIL {name}: oracle_timeout after {TIMEOUT}s ({method})")
+            verdicts[name] = {"match": False, "method": method,
+                              "errors": [f"oracle_timeout after {TIMEOUT}s"]}
+            n_fail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
-            verdicts[name] = {"match": False, "errors": [f"oracle SQL error: {e}"]}
+            verdicts[name] = {"match": False, "method": method,
+                              "errors": [f"oracle SQL error: {e}"]}
             n_fail += 1
             continue
         errs = compare(name, spark_df, oracle_df)
-        verdicts[name] = {"match": not errs, "rows": len(spark_df), "errors": errs}
+        verdicts[name] = {"match": not errs, "rows": len(spark_df),
+                          "errors": errs, "method": method,
+                          "oracle_secs": round(time.time() - t0, 1)}
         if errs:
             n_fail += 1
             print(f"FAIL {name}:")
@@ -120,7 +297,8 @@ def main():
                 print(f"   {e}")
         else:
             n_pass += 1
-            print(f"PASS {name} ({len(spark_df)} rows)")
+            print(f"PASS {name} ({len(spark_df)} rows, {method}, "
+                  f"{verdicts[name]['oracle_secs']}s)")
     # queries without oracle: rows-only smoke
     produced = {p.name for p in OUT.iterdir() if p.is_dir()}
     wanted = produced if ONLY is None else produced & ONLY

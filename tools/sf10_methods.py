@@ -1,0 +1,112 @@
+"""Per-replica oracle derivation specs for the 100x (sf10) correctness
+gate — the tools/sf10_graph_oracle.py pattern generalized so check_oracle.py
+can adjudicate queries whose whole-table DuckDB replay is
+single-node-infeasible at 60M lineitem rows (the co-purchase pair DISTINCT
+alone spilled >60 GB of DuckDB temp and died; see BASELINE.md round 10).
+
+Soundness rests on the documented GenScale corpus structure: replica r
+offsets every key domain by r x a per-domain constant, so the corpus is N
+DISJOINT shards — no join, hash sample, or seed selection ever crosses a
+replica boundary (every md5 in the oracles hashes offset-preserving keys,
+so per-replica replay reproduces the whole-table sample EXACTLY).
+check_oracle.py verifies the decomposition premise from the data itself
+before trusting any spec here, and the whole machinery self-tests at sf1
+(--replicas 10), where the feasible whole-table replay already adjudicated
+every one of these queries green (CORRECTNESS_sf1_r10.json).
+
+Each entry says how per-replica replays of the UNCHANGED registered oracle
+SQL (run over replica-sliced table views) combine into the whole-table
+result:
+
+  concat     output rows are keyed by replica-local ids (node/pair keyed):
+             the whole-table result IS the concatenation, re-sorted by the
+             oracle's ORDER BY columns.
+  merge_sum  output is a histogram over a non-key dimension (degree,
+             round): concatenate, then group by `keys` summing the rest.
+  sum_row    output is a single row of decomposable aggregates: column-wise
+             sum, except `xor_cols` which combine by XOR (bit_xor is
+             associative/commutative over disjoint shards).
+  topk       output is a global ORDER BY ... LIMIT k: each replica's top-k
+             is a superset of its contribution to the global top-k (every
+             output row lives in exactly one replica), so concat + re-sort
+             + head(k) is exact.
+
+`patch` handles the one thing per-replica replay gets wrong: a GLOBAL
+scalar constant (total node count, total seed count, total order count)
+computed inside the oracle SQL. The constant's defining CTE is replaced by
+a literal (exact-string match, asserted unique), and the literal is the
+sum of `global_sql` evaluated per replica — sums are exact because the
+underlying sets are replica-disjoint.
+"""
+
+# table -> (replica key column, per-replica key offset) — GenScale.scala's
+# per-domain constants. region/nation are fixed dimensions copied verbatim
+# (every replica sees the full 25/5 rows).
+REPLICA_KEYS = {
+    "customer": ("c_custkey", 100_000),
+    "supplier": ("s_suppkey", 10_000),
+    "part": ("p_partkey", 100_000),
+    "orders": ("o_orderkey", 1_000_000),
+    "lineitem": ("l_orderkey", 1_000_000),
+    "events": ("event_id", 1_000_000),
+    "documents": ("doc_id", 100_000),
+    "embeddings": ("vec_id", 100_000),
+}
+
+# Shared CTE prefix of every co-purchase-graph oracle (the registered SQL's
+# own text) — used only by global_sql below, always on replica-sliced views.
+_EDGES = """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e1 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey),
+e AS (SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1)
+"""
+
+_SAMPLED_DEG = """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e1 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey),
+samp AS (SELECT src, dst FROM e1 WHERE ('0x' || substr(md5(src::VARCHAR || '|' || dst::VARCHAR), 1, 15))::UBIGINT % 8 = 0),
+e AS (SELECT src, dst FROM samp UNION ALL SELECT dst, src FROM samp),
+deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1)
+"""
+
+METHODS = {
+    # ---- whole-graph (unsampled) edge list: the infeasible DISTINCT ----
+    "graph_degree_hist": {
+        "method": "merge_sum", "keys": ["deg"]},
+    "graph_pagerank": {
+        "method": "concat", "sort": ["node"],
+        "patch": ("n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)",
+                  "n AS (SELECT CAST({g} AS BIGINT) AS n)"),
+        "global_sql": _EDGES + "SELECT count(DISTINCT src) FROM e"},
+    "graph_frequent_pairs": {
+        "method": "topk", "k": 20,
+        "order": [("support", False), ("src", True), ("dst", True)],
+        "patch": ("n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li)",
+                  "n AS (SELECT CAST({g} AS BIGINT) AS n_orders)"),
+        "global_sql": "SELECT count(DISTINCT l_orderkey) FROM lineitem"},
+    "graph_edges_incremental": {
+        "method": "sum_row", "xor_cols": ["edge_xor"]},
+
+    # ---- md5-sampled edge list (sample is per-edge-key, replica-local) ----
+    "graph_triangles": {"method": "sum_row"},
+    "graph_assortativity": {"method": "sum_row"},
+    "graph_kcore": {"method": "merge_sum", "keys": ["round"]},
+    "graph_cc_labels": {"method": "concat", "sort": ["node"]},
+    "graph_bfs_depth": {"method": "concat", "sort": ["node"]},
+    "graph_common_neighbors": {
+        "method": "topk", "k": 20,
+        "order": [("common_cnt", False), ("x", True), ("y", True)]},
+    "graph_adamic_adar": {
+        "method": "topk", "k": 20,
+        "order": [("aa_milli", False), ("x", True), ("y", True)]},
+    "graph_trustrank": {
+        "method": "concat", "sort": ["node"],
+        "patch": ("ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds)",
+                  "ns AS (SELECT CAST({g} AS BIGINT) AS ns)"),
+        "global_sql": _SAMPLED_DEG +
+            "SELECT count(*) FROM deg WHERE ('0x' || substr(md5(node::VARCHAR), 1, 15))::UBIGINT % 20 = 0"},
+}
