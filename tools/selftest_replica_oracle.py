@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Self-test of check_oracle.py's per-replica derivation engine: on a
+replica corpus SMALL enough that the whole-table DuckDB replay is
+feasible, every tools/sf10_methods.py spec must reproduce the whole-table
+result frame-exactly (same compare as the gate).
+
+Run it on a corpus where both sides are cheap:
+
+    sbt -batch "runMain graft.tools.GenScale /root/testdata/sf0.01 /tmp/graft_testdata/rep3 3"
+    python3 tools/selftest_replica_oracle.py /tmp/graft_testdata/rep3 3
+
+and/or at sf1 (10 replicas), where the whole-table side needs a quiet box
+and ~50 GB of spill headroom for graph_pagerank/graph_triangles:
+
+    python3 tools/selftest_replica_oracle.py /tmp/graft_testdata/sf1 10
+
+Round-11 record: 12/12 PASS at rep3 (3x sf0.01); 9/12 also PASS at sf1
+before the whole-table side (not the derivation) ran the box out of disk
+— the three heavy ones are covered by the rep3 run plus, for
+pagerank/triangles, agreement with the independent
+tools/sf10_graph_oracle.py derivation at sf10.
+
+Needs /tmp/verify_out/oracle_sql.json (any check_oracle run leaves one;
+the oracle SQL map is SF-independent).
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_testdata/rep3"
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+ORACLES = sys.argv[3] if len(sys.argv) > 3 else "/tmp/verify_out/oracle_sql.json"
+
+sys.argv = ["check_oracle.py", SF, "/tmp/verify_out", "--skip-verify",
+            "--replicas", str(R), "--mem", "24GB", "--threads", "16"]
+sys.path.insert(0, str(Path(__file__).parent))
+import duckdb  # noqa: E402
+
+import check_oracle as co  # noqa: E402
+
+sys.stdout.reconfigure(line_buffering=True)
+con = duckdb.connect()
+co.tune(con)
+con.execute("SET temp_directory='/tmp/duck_spill'")
+for t in co.TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+rep = co.ReplicaEngine(R)
+rep.con.execute("SET temp_directory='/tmp/duck_spill'")
+oracles = json.loads(Path(ORACLES).read_text())
+fails = 0
+for name in sorted(rep.spec_mod.METHODS):
+    sql = oracles[name]
+    t0 = time.time()
+    whole = con.sql(sql).df()
+    t1 = time.time()
+    derived = rep.run(name, sql, rep.spec_mod.METHODS[name])
+    t2 = time.time()
+    errs = co.compare(name, whole, derived)
+    print(("PASS" if not errs else "FAIL") +
+          f" {name} whole={t1 - t0:.1f}s derived={t2 - t1:.1f}s rows={len(whole)}")
+    for e in errs[:4]:
+        print("   ", e)
+    fails += bool(errs)
+print(f"done, {fails} fails")
+sys.exit(1 if fails else 0)
