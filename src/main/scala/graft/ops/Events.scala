@@ -44,27 +44,24 @@ object Events {
       .orderBy(col("user_id"))
   }
 
-  /** First-order Markov transition sufficient statistics over each
-    * user's time-ordered event-type sequence — the (from → to) count
-    * matrix with per-source totals and an exact integer transition
-    * probability, the starting point of every behavioral-sequence model
-    * (and the quality gate on synthetic event streams: a generator whose
-    * transition matrix drifts from production is caught here). Sequence
-    * order is the tie-pinned (ts, event_id) — event_id is unique, so
-    * both engines see the identical successor for every event. ONE
-    * user_id-keyed lead window (per-partition sort, never global) feeds
-    * a #types²-row count aggregate; p_micro = (n · 1e6) div n_from is
-    * order-independent integer arithmetic on both engines. At 100 TB the
-    * user key is the natural partitioner and the matrix stays tiny.
+  /** Row-NORMALIZED first-order Markov matrix — [[transitionMatrix]]'s
+    * counts turned into the model a behavioral-sequence consumer actually
+    * loads: real (from → to) transitions only (the synthetic '<START>'
+    * rows dropped), each with its per-source total and the exact integer
+    * transition probability p_micro = (n · 1e6) div n_from. ONE
+    * definition of the pair extraction — this CALLS transitionMatrix
+    * (same user-keyed lag window, same tie-pinned (ts, event_id) order)
+    * and adds only the tiny #types-row totals join; order-independent
+    * integer arithmetic end to end, so the hash gate sees only BIGINTs.
+    * Also the drift gate on synthetic event generators: a generator
+    * whose normalized matrix departs from production is caught here.
     * Callable on any events-schema frame (unit tests drive THIS).
     */
   def markovTransitions(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = ev
-      .withColumn("to_type", lead(col("event_type"), 1).over(w))
-      .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
+    val pairs = transitionMatrix(ev)
+      .filter(col("prev_type") =!= "<START>")
+      .select(col("prev_type").as("from_type"),
+        col("next_type").as("to_type"), col("n"))
     val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
     pairs.join(totals, "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
@@ -331,19 +328,20 @@ object Events {
         .orderBy(col("event_type"))
     },
 
-    // First-order Markov transition matrix — see [[markovTransitions]].
-    // lead() over the tie-pinned (ts, event_id) order is engine-portable
-    // because event_id is unique; the probability is exact integer
-    // micro-units ((n·1e6) div n_from) so the hash gate sees only BIGINTs.
+    // Row-normalized Markov matrix — [[markovTransitions]], the
+    // probability view DERIVED from events_transition_matrix's counts
+    // (one pair-extraction definition; this adds the totals join and the
+    // exact integer p_micro = (n·1e6) div n_from). The oracle twin
+    // mirrors that structure: same lag window, <START> rows excluded.
     GraftQuery.of("events_markov_transitions",
       """WITH p AS (
-        |  SELECT event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |      AS to_type
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type,
+        |    event_type AS to_type
         |  FROM events),
         |c AS (
         |  SELECT from_type, to_type, count(*) AS n
-        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n, t.n_from,
         |  CAST(c.n AS BIGINT) * 1000000 // t.n_from AS p_micro
