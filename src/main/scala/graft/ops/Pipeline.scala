@@ -796,12 +796,20 @@ object Pipeline {
     // snapshot/delta split is hash-deterministic (doc_id md5 < 80%), and
     // the oracle computes the SAME stats over the full table in one pass:
     // equality proves the merge is lossless.
+    // avg is exact integer MICRO-chars ((total·1e6) div n — the
+    // ops/Money.scala doctrine): the original round(DOUBLE, 6) form hit a
+    // genuine half-boundary at sf10 — six (lang, source) groups have
+    // n_docs = 3200, which divides 2·10⁶, putting their true ratios
+    // EXACTLY on 6dp half-points (es/src18 = 528.4334375), where Spark's
+    // HALF_UP-on-BigDecimal round and DuckDB's double-space round can
+    // disagree by one grid point. The precise r10 float-parity class,
+    // reachable only once group counts grew 100x.
     GraftQuery.of("pipeline_incremental_agg",
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars,
-        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+        |  CAST(sum(n_chars) AS BIGINT) * 1000000 // count(*) AS avg_chars_micro
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin) { (s, d) =>
       val docs = documents(s, d)
@@ -825,7 +833,7 @@ object Pipeline {
           max(col("max_chars")).as("max_chars"))
         .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
           col("min_chars"), col("max_chars"),
-          round(col("total_chars").cast("double") / col("n_docs"), 6).as("avg_chars"))
+          expr("(total_chars * 1000000) div n_docs").as("avg_chars_micro"))
         .orderBy(col("lang"), col("source"))
     },
 

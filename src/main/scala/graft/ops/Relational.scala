@@ -219,15 +219,22 @@ object Relational {
 
     // P3 + P6 — filter + projection; predicate and column pruning must both
     // reach the parquet scan (PushedFilters / ReadSchema).
+    // The sort covers ALL projected columns: (l_orderkey, l_linenumber) is
+    // NOT unique in the driver's synthetic lineitem (118k duplicate pairs
+    // at sf0.1), so a 2-key ORDER BY ... LIMIT was nondeterministic — it
+    // survived sf0.01/sf1 only because in-window ties happened to carry
+    // equal quantities, and the sf10 sweep caught the first unequal tie.
+    // Adding the last projected column makes the cut total: any remaining
+    // ties are row-identical in the output, so the frame is deterministic.
     GraftQuery.of("q_p3_filter_project",
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber, l_quantity
         |FROM lineitem WHERE date_part('year', l_shipdate) >= 1995 AND l_quantity >= 45
-        |ORDER BY l_orderkey, linenumber LIMIT 200""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, linenumber, l_quantity LIMIT 200""".stripMargin) { (s, d) =>
       lineitem(s, d)
         .filter(year(col("l_shipdate")) >= 1995 && col("l_quantity") >= 45)
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("linenumber"),
           col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("linenumber")).limit(200)
+        .orderBy(col("l_orderkey"), col("linenumber"), col("l_quantity")).limit(200)
     },
 
     // E2 + E3 — lowercase + distinct (validate.py:286).
