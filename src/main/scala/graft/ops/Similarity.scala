@@ -262,6 +262,19 @@ object Similarity {
       s"(CASE WHEN NOT isnan($dot) AND $dot > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** [[bucketSql]] with a RUNTIME plane count: emits `maxBits` plane
+    * terms, each additionally gated on `j < params.bits`, so ONE static
+    * SQL string replays whatever occupancy-scaled bits the engine derives
+    * (the adaptive [[nnDedupLsh]] oracle — plane family identical, the
+    * extra planes contribute 0 when masked off).
+    */
+  private def bucketSqlAdaptive(maxBits: Int, sign: (Int, Int) => Double,
+      arr: String = "e"): String =
+    (0 until maxBits).map { j =>
+      val dot = s"list_dot_product($arr, ${planeListSql(i => sign(j, i))})"
+      s"(CASE WHEN $j < params.bits AND NOT isnan($dot) AND $dot > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** Oracle CTE chain `{pfx}p → {pfx}scored → {pfx}ranked` for brute-force
     * cosine ranking of probes vec_id < 5 — ONE definition shared by the
     * `sim_knn_brute` oracle and every composition over it (the recall
@@ -651,20 +664,50 @@ object Similarity {
        |ORDER BY cid, dim""".stripMargin
   }
 
+  /** Occupancy-scaled plane count for the SELF-probe LSH consumers: the
+    * smallest `bits` in [4, 16] with corpus ≤ [[NnDedupTargetBucket]] ·
+    * 2^bits, i.e. expected bucket occupancy stays ≈ constant as the
+    * corpus grows. With FIXED bits the self-join candidate volume is
+    * n · (bits+1) · n/2^bits — QUADRATIC in the corpus: the r11 sf10
+    * sweep caught exactly that (200k vectors over 2^4 buckets ⇒ 12.5k
+    * occupancy ⇒ ~12.5 BILLION candidate pairs; the engine spilled the
+    * box's disk where sf1's 125M pairs had sailed through). Scaled bits
+    * keep candidates ≈ n · (bits+1) · B — linear · log. Integer-exact
+    * threshold ladder (n ≤ B·2^b), replayed literally by the oracle.
+    * External-probe consumers ([[knnLsh]] etc.) stay at fixed bits: their
+    * probe side is bounded, so their cost is already linear in corpus.
+    */
+  val NnDedupTargetBucket = 125L
+  val NnDedupMaxBits = 16
+  def nnDedupBits(n: Long): Int = {
+    var b = 4
+    while (b < NnDedupMaxBits && n > (NnDedupTargetBucket << b)) b += 1
+    b
+  }
+
   /** Embedding near-dup NN with LSH-bucketed candidate generation — the
     * 100 TB shape: every vector probes its own bucket plus all Hamming-1
     * neighbors, candidates meet in a (bucket)-keyed equi-join (each
     * candidate lives in exactly ONE bucket, so no pair is scored twice),
     * exact cosine re-rank, partial-agg `max_by` argmax per vector.
-    * Candidates per vector ≈ (bits+1) · corpus / 2^bits — linear in the
-    * corpus, never the all-pairs |corpus|².
+    * Candidates per vector ≈ (bits+1) · corpus / 2^bits; because BOTH
+    * join sides are the corpus here, bits defaults to the
+    * occupancy-scaled [[nnDedupBits]] (bits ≤ 0 ⇒ derive from ONE
+    * bounded count — the trustRank nSeeds discipline), which keeps the
+    * total candidate volume linear·log in the corpus instead of
+    * quadratic; pass an explicit positive `bits` to pin it.
     *
     * A vector whose probed buckets contain no other vector yields no row —
     * deterministic, and replayed identically by the oracle. Recall vs the
     * exact NN on the dup band (cosine ≥ threshold, where random-hyperplane
     * LSH concentrates) is asserted in the test suite.
     */
-  def nnDedupLsh(emb: DataFrame, bits: Int = 4, dupThreshold: Double = 0.95): DataFrame = {
+  def nnDedupLsh(emb: DataFrame, bits: Int = 0, dupThreshold: Double = 0.95): DataFrame = {
+    val b = if (bits > 0) bits else nnDedupBits(emb.count())
+    nnDedupLshAt(emb, b, dupThreshold)
+  }
+
+  private def nnDedupLshAt(emb: DataFrame, bits: Int, dupThreshold: Double): DataFrame = {
     val withBucket = emb.withColumn("bucket", lshBucket("embedding", bits))
     val probeBuckets = (0 until bits).map(m => col("bucket").bitwiseXOR(lit(1L << m))) :+ col("bucket")
     val probes = withBucket.select(col("vec_id"), col("embedding").as("pe"),
@@ -1072,18 +1115,30 @@ object Similarity {
     // Embedding-cosine near-dup detection: each vector's nearest neighbor
     // (within LSH-bucketed candidates) with a duplicate flag at
     // cosine ≥ 0.95. The oracle replays the identical plane literals,
-    // Hamming-1 multiprobe, and argmax (row_number = 1 ≡ max_by).
+    // Hamming-1 multiprobe, and argmax (row_number = 1 ≡ max_by) — and,
+    // as of r11, the OCCUPANCY-SCALED plane count: bits from the same
+    // integer threshold ladder as [[nnDedupBits]] (n ≤ 125·2^b), planes
+    // above `bits` masked off, probe list CASE-gated to `bits` entries.
+    // Fixed bits=4 was quadratic in the corpus and found out at sf10.
     GraftQuery.of("dedup_embedding_nn", {
-      val bits = 4
-      val probeBuckets = (0 until bits).map(m => s"xor(bucket, ${1L << m})") :+ "bucket"
-      s"""WITH wb AS (
+      val ladder = (4 until NnDedupMaxBits)
+        .map(b => s"WHEN n <= ${NnDedupTargetBucket << b} THEN $b")
+        .mkString(" ")
+      val probeBuckets = (0 until NnDedupMaxBits)
+        .map(m => s"CASE WHEN $m < params.bits THEN xor(bucket, ${1L << m}) END") :+ "bucket"
+      s"""WITH params AS (
+         |  SELECT CASE $ladder ELSE $NnDedupMaxBits END AS bits
+         |  FROM (SELECT count(*) AS n FROM embeddings)
+         |), wb AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS e,
-         |    CAST(${bucketSql(bits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS bucket
-         |  FROM embeddings
+         |    CAST(${bucketSqlAdaptive(NnDedupMaxBits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS bucket
+         |  FROM embeddings CROSS JOIN params
          |), probes AS (
-         |  SELECT vec_id, e AS pe,
-         |    unnest([${probeBuckets.mkString(", ")}]) AS bucket
-         |  FROM wb
+         |  SELECT vec_id, pe, bucket FROM (
+         |    SELECT vec_id, e AS pe,
+         |      unnest([${probeBuckets.mkString(", ")}]) AS bucket
+         |    FROM wb CROSS JOIN params)
+         |  WHERE bucket IS NOT NULL
          |), scored AS (
          |  SELECT p.vec_id, w.vec_id AS nn_id,
          |    round(list_cosine_similarity(pe, w.e), 6) AS cosine

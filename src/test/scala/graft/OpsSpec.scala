@@ -264,6 +264,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getLong(1) == 0L && out(0).getDouble(3) == 1.0, out(0).toString)
   }
 
+  test("nnDedupBits: occupancy ladder boundaries match the oracle's integer thresholds") {
+    import Similarity.nnDedupBits
+    assert(nnDedupBits(0) == 4 && nnDedupBits(2000) == 4)   // 125·2^4 boundary inclusive
+    assert(nnDedupBits(2001) == 5)
+    assert(nnDedupBits(20000) == 8)                         // the sf1 regime
+    assert(nnDedupBits(200000) == 11)                       // the sf10 regime
+    assert(nnDedupBits(Long.MaxValue / 4) == 16)            // capped
+  }
+
   test("LSH near-dup NN finds >= 90% of planted dup pairs (cosine >= 0.95 band)") {
     // the testdata embeddings are near-random (max NN cosine ~0.51), so
     // plant the dup band explicitly: a slightly perturbed copy of every
