@@ -279,12 +279,18 @@ def main():
             verdicts[name] = {"match": False, "method": method,
                               "errors": [f"oracle_timeout after {TIMEOUT}s"]}
             n_fail += 1
+            JSON_PATH.write_text(json.dumps(
+                {"sf": SF, "pass": n_pass, "fail": n_fail, "partial": True,
+                 "queries": verdicts}, indent=1))
             continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             verdicts[name] = {"match": False, "method": method,
                               "errors": [f"oracle SQL error: {e}"]}
             n_fail += 1
+            JSON_PATH.write_text(json.dumps(
+                {"sf": SF, "pass": n_pass, "fail": n_fail, "partial": True,
+                 "queries": verdicts}, indent=1))
             continue
         errs = compare(name, spark_df, oracle_df)
         verdicts[name] = {"match": not errs, "rows": len(spark_df),
@@ -299,6 +305,11 @@ def main():
             n_pass += 1
             print(f"PASS {name} ({len(spark_df)} rows, {method}, "
                   f"{verdicts[name]['oracle_secs']}s)")
+        # flush verdicts incrementally: a multi-hour big-SF run that dies
+        # on one pathological query must not lose every completed verdict
+        JSON_PATH.write_text(json.dumps(
+            {"sf": SF, "pass": n_pass, "fail": n_fail, "partial": True,
+             "queries": verdicts}, indent=1))
     # queries without oracle: rows-only smoke
     produced = {p.name for p in OUT.iterdir() if p.is_dir()}
     wanted = produced if ONLY is None else produced & ONLY
