@@ -267,9 +267,9 @@ def main():
                               "method": method}
             n_fail += 1
             continue
-        spark_df = con.sql(f"SELECT * FROM '{pq}/*.parquet'").df()
         t0 = time.time()
         try:
+            spark_df = con.sql(f"SELECT * FROM '{pq}/*.parquet'").df()
             if spec:
                 oracle_df = rep.run(name, oracles[name], spec, timeout=TIMEOUT)
             else:
