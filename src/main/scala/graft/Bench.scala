@@ -15,31 +15,70 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Fixed single-thread calibration loop, run before AND after the
-    // queries: ~0.3s on an unthrottled core. Lets a reader spot host
-    // throttling of the container (observed: identical workloads 52s vs
-    // 630s wall-clock, with throttling sometimes starting mid-run).
-    def calibrate(): Double = {
+    // queries: ~0.4s on an unthrottled core (measured 0.38-0.46 on the
+    // r12 clean host; r3-era boxes ran 0.33-0.39). Lets a reader spot
+    // hard host throttling of the container (observed: identical
+    // workloads 52s vs 630s wall-clock, throttling starting mid-run).
+    def calibrate(iters: Long = 300000000L): Double = {
       val t0 = System.nanoTime()
       var h = 0L
       var i = 0L
-      while (i < 300000000L) { h = h * 6364136223846793005L + i; i += 1 }
+      while (i < iters) { h = h * 6364136223846793005L + i; i += 1 }
       if (h == 42L) println(h) // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
-    // Parallel variant: the same loop on 8 threads at once. A host CPU
-    // quota does NOT slow a single thread (calib_sec stays ~0.3s) but
+    // Parallel variant: the same loop on N threads at once. A host CPU
+    // quota does NOT slow a single thread (calib_sec stays ~0.4s) but
     // crushes aggregate throughput — observed: identical bench runs 95s vs
-    // 921s with IDENTICAL calib_sec. On an unthrottled multicore box the
-    // 8-way wall-clock ≈ the single-thread time; under a ~2-core quota it
-    // is ~4×. Report the ratio so a slow judged run is attributable.
-    def calibratePar(threads: Int = 8): Double = {
+    // 921s with IDENTICAL calib_sec. On the unthrottled 32-core box the
+    // 32-way wall-clock ≈ the single-thread time for the same per-thread
+    // iteration count (measured: 0.47-0.49s at 300M — true 32 cores);
+    // under a c-core quota it is ~32/c ×.
+    def calibratePar(threads: Int = 8, iters: Long = 300000000L): Double =
+      calibrateParBoth(threads, iters)._1
+    // Returns (wall, mean per-thread loop time). The WINDOW verdict uses
+    // the MEAN, not the wall: an N-thread wall is straggler-dominated —
+    // ONE busy external core doubles it (one canary thread shares a core)
+    // while costing a 32-task Spark stage only ~1/32 ≈ 3%. The mean
+    // per-thread time tracks bench impact linearly: a 1-core co-tenant
+    // moves it ~3%, a half-box co-tenant ~50% — exactly the dose-response
+    // a load classifier needs (r12; the wall stays recorded for reading).
+    def calibrateParBoth(threads: Int, iters: Long): (Double, Double) = {
+      val secs = new Array[Double](threads)
       val t0 = System.nanoTime()
-      val ts = (0 until threads).map { _ =>
-        val t = new Thread(() => calibrate())
+      val ts = (0 until threads).map { j =>
+        val t = new Thread(() => secs(j) = calibrate(iters))
         t.start(); t
       }
       ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, secs.sum / threads)
+    }
+    // Memory-bandwidth canary: 8 threads sweep-summing private 256 MB long
+    // arrays (8 GB of traffic, ~0.19s clean ≈ 43 GB/s measured r12). A
+    // co-tenant that is bandwidth-heavy but CPU-light (large scans, page
+    // churn) slows Spark's columnar scans without moving a register-only
+    // spin loop — this is the instrument for that third load shape.
+    // Buffers allocated once (2 GB resident for the run; box has 128 GB).
+    // Like calibrateParBoth, the verdict metric is the MEAN per-thread
+    // sweep time, not the straggler-dominated wall.
+    val memBufs: Array[Array[Long]] = Array.tabulate(8)(j => {
+      val b = new Array[Long](1 << 25); java.util.Arrays.fill(b, j.toLong); b
+    })
+    def calibrateMem(): Double = {
+      val secs = new Array[Double](memBufs.length)
+      val ts = memBufs.zipWithIndex.map { case (b, j) =>
+        val t = new Thread(() => {
+          val t0 = System.nanoTime()
+          var s = 0L
+          var p = 0
+          while (p < 4) { var i = 0; while (i < b.length) { s += b(i); i += 1 }; p += 1 }
+          if (s == 42L) println(s)
+          secs(j) = (System.nanoTime() - t0) / 1e9
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      secs.sum / secs.length
     }
     // Streaming canary: one trivial AvailableNow file-stream aggregation
     // through a memory sink, timed. Streaming's per-query cost is serial
@@ -93,66 +132,150 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.toSeq.sorted.mkString(",")}")
     }
-    // Per-WINDOW throttle attribution (r11): the single-thread canary is
-    // interleaved every CanaryEvery queries, so a mid-run host-throttle
-    // window (observed: 6.8x canaries poisoning the sf10 bench line) is
-    // machine-attributable to the specific queries that ran inside it.
-    // Each query carries calib_near = max(canary at its window's start,
-    // canary at its window's end) from whichever pass supplied its
-    // min-of-2 time. Read rule (BASELINE.md): a query is "throttled" if
-    // its calib_near exceeds 1.4x the run's minimum canary.
+    // Pass count: 2 (min-of-2, the sf0.1 round contract) unless overridden —
+    // the full-registry sf10 timing run uses 1 (engine pass alone is ~1h;
+    // the per-query numbers there are read with their window canaries, not
+    // a min-of-2).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    require(passes == 1 || passes == 2, s"SPARK_GRAFT_BENCH_PASSES must be 1 or 2, got $passes")
+
+    // ---- Window-quality instrumentation (r12) -------------------------
+    // r11's lesson: two runs 1.47x apart BOTH self-certified clean because
+    // the only per-window canary was single-thread — blind to a CPU quota
+    // between 8 and 32 cores and to bandwidth-shaped load, and the run-min
+    // normalization made a uniformly-loaded run look flat. Three fixes:
+    //   (1) every window now samples THREE canaries — single-thread spin
+    //       (hard-throttle shape), 32-thread spin at 100M iters (quota /
+    //       competing-CPU shape), 8-thread memory sweep (bandwidth shape);
+    //   (2) the run minimum is taken over the RAW canary samples of both
+    //       passes (ADVICE r11: the old per-query-max formulation inflated
+    //       the baseline under sustained throttle and under-flagged);
+    //   (3) uniform sustained load — where every relative rule is blind —
+    //       is caught by ABSOLUTE floors on the run-MIN of each canary,
+    //       set at ~1.6x the clean-host medians measured in-repo
+    //       (BASELINE.md round 12): single 0.42, par32@100M 0.19, mem 0.19.
+    // The verdict is stamped into the JSON as load_class:
+    //   "loaded"  — one or more query windows flagged (relative rule), or a
+    //               uniform-load floor tripped: the total is NOT a clean
+    //               datapoint; rerun on a quiet window.
+    //   "suspect" — windows clean but the two pass totals differ >1.6x
+    //               (JIT warmup alone gives ~1.3x), or (full registry at
+    //               sf0.1) mean sec/query > 0.85, 1.4x the 0.62 clean-host
+    //               mean: unattributed interference.
+    //   "clean"   — none of the above; the total stands as evidence.
+    // A judge applies the same rule mechanically: load_class != "clean"
+    // disqualifies the artifact as a performance datapoint.
     val CanaryEvery = 25
-    def runPass(): Seq[(String, Double, Double)] = {
+    val Par32WindowIters = 100000000L
+    val SingleCleanFloor = 0.67 // 1.6x of 0.42 clean median (300M iters)
+    // mean PER-THREAD times (see calibrateParBoth): clean medians measured
+    // r12 — par32@100M ≈ 0.145 (a third of the single 300M loop), mem
+    // sweep ≈ 0.19/thread
+    val Par32CleanFloor = 0.23
+    val MemCleanFloor = 0.30
+    case class Canary(single: Double, par32: Double, mem: Double)
+    def sampleCanary(): Canary =
+      Canary(calibrate(), calibrateParBoth(32, Par32WindowIters)._2, calibrateMem())
+    // Per-WINDOW throttle attribution: canaries are interleaved every
+    // CanaryEvery queries, so a mid-run host-throttle window (observed:
+    // 6.8x canaries poisoning the sf10 bench line) is machine-attributable
+    // to the specific queries that ran inside it. Each query carries the
+    // worse (max) of the canaries at its window's start and end, from
+    // whichever pass supplied its min-of-N time.
+    def runPass(): (Seq[(String, Double, Canary)], Vector[Canary]) = {
       val qs = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
       val timed = scala.collection.mutable.ArrayBuffer[(String, Double, Int)]()
-      var canaries = Vector(calibrate())
+      var canaries = Vector(sampleCanary())
       qs.zipWithIndex.foreach { case ((name, fn), i) =>
-        if (i > 0 && i % CanaryEvery == 0) canaries :+= calibrate()
+        if (i > 0 && i % CanaryEvery == 0) canaries :+= sampleCanary()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         timed += ((name, (System.nanoTime() - t0) / 1e9, i / CanaryEvery))
       }
-      canaries :+= calibrate()
-      timed.toSeq.map { case (name, sec, w) =>
-        (name, sec, math.max(canaries(w), canaries(math.min(w + 1, canaries.size - 1))))
+      canaries :+= sampleCanary()
+      val out = timed.toSeq.map { case (name, sec, w) =>
+        val a = canaries(w)
+        val b = canaries(math.min(w + 1, canaries.size - 1))
+        (name, sec, Canary(math.max(a.single, b.single),
+          math.max(a.par32, b.par32), math.max(a.mem, b.mem)))
       }
+      (out, canaries)
     }
     val calib = calibrate()
     val calibPar = calibratePar()
     val calibStream = calibrateStream()
-    // 32-way variant: a quota between 8 and 32 cores is invisible to the
-    // 8-thread canary but halves+ the 32-thread bench throughput — this
-    // one makes that case attributable too.
     val calibPar32 = calibratePar(32)
-    // TWO passes, report the per-query MINIMUM: host throttling comes and
+    // N passes, report the per-query MINIMUM: host throttling comes and
     // goes mid-run (observed: the same query 2.3s and 63.7s in back-to-back
     // runs with clean start/end calibrations), and min-over-repetitions is
-    // the standard way to read through external interference. Both pass
+    // the standard way to read through external interference. All pass
     // totals are reported so the noise itself stays visible.
-    val pass1full = runPass()
+    val (pass1full, rawCan1) = runPass()
     val calibMid = calibrate()
-    val pass2full = runPass()
+    val (pass2full, rawCan2) =
+      if (passes == 2) runPass() else (pass1full, Vector.empty[Canary])
     val pass1 = pass1full.map { case (k, v, _) => k -> v }
     val pass2 = pass2full.map { case (k, v, _) => k -> v }
     val p2 = pass2full.map { case (k, v, c) => k -> (v, c) }.toMap
-    // min-of-2 per query; calib_near follows the pass that supplied the min
+    // min-of-N per query; the canary triple follows the pass that supplied
+    // the min
     val withCalib = pass1full.map { case (k, v1, c1) =>
       val (v2, c2) = p2(k)
       if (v1 <= v2) (k, v1, c1) else (k, v2, c2)
     }
     val results = withCalib.map { case (k, v, _) => k -> v }
     val calibNear = withCalib.map { case (k, _, c) => k -> c }
-    val minCanary = calibNear.map(_._2).min
+    // Run minima over the RAW window samples of both passes (not the
+    // per-query maxes — ADVICE r11)
+    val rawCanaries = rawCan1 ++ rawCan2
+    val minCanary = rawCanaries.map(_.single).min
+    val minPar32 = rawCanaries.map(_.par32).min
+    val minMem = rawCanaries.map(_.mem).min
+    // Relative per-query rule: ANY of the three window canaries >1.4x its
+    // run minimum flags the query's timing as taken under interference.
     val throttledQs = calibNear.collect {
-      case (k, c) if c > 1.4 * minCanary => k }
+      case (k, c) if c.single > 1.4 * minCanary ||
+        c.par32 > 1.4 * minPar32 || c.mem > 1.4 * minMem => k }
+    // Absolute uniform-load floors on the run minima (relative rules are
+    // blind when EVERY window is equally loaded).
+    val uniformLoad = scala.collection.mutable.ArrayBuffer[String]()
+    if (minCanary > SingleCleanFloor) uniformLoad += "uniform_cpu_single"
+    if (minPar32 > Par32CleanFloor) uniformLoad += "uniform_cpu_par32"
+    if (minMem > MemCleanFloor) uniformLoad += "uniform_membw"
+    val total = results.map(_._2).sum
+    val passSpread =
+      if (passes == 2) {
+        val t1 = pass1.map(_._2).sum; val t2 = pass2.map(_._2).sum
+        math.max(t1, t2) / math.max(1e-9, math.min(t1, t2))
+      } else 1.0
+    val meanSpq = total / math.max(1, results.size)
+    val fullRegistrySf01 = only.isEmpty &&
+      new java.io.File(sfDir).getName == "sf0.1"
+    val suspectReasons = scala.collection.mutable.ArrayBuffer[String]()
+    // 1.6, not lower: pass 1 legitimately carries JIT/codegen warmup (the
+    // r11 clean-host run's spread was 1.33); interference that only shows
+    // as spread while every window canary stays clean is rare — the
+    // absolute floors above are the primary uniform-load instrument.
+    if (passSpread > 1.6) suspectReasons += "pass_spread_gt_1.6"
+    // 0.62 s/query measured clean at r11-r12 registry composition; the
+    // floor only applies to the canonical full-registry sf0.1 run. When
+    // the registry composition changes materially, re-baseline this in
+    // BASELINE.md and here.
+    if (fullRegistrySf01 && meanSpq > 0.85) suspectReasons += "mean_spq_gt_0.85"
+    val loadClass =
+      if (throttledQs.nonEmpty || uniformLoad.nonEmpty) "loaded"
+      else if (suspectReasons.nonEmpty) "suspect"
+      else "clean"
+    val loadEvidence = (uniformLoad ++ suspectReasons ++
+      (if (throttledQs.nonEmpty) Seq(s"throttled_windows:${throttledQs.size}") else Nil))
+      .mkString(";")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     val calibEnd = calibrate()
     val calibParEnd = calibratePar()
     val calibStreamEnd = calibrateStream()
-    // value = sum of per-query minima over the two passes (documented in
+    // value = sum of per-query minima over the passes (documented in
     // BASELINE.md); value_single_pass = the plain first-pass total, for
     // consumers comparing against single-pass baselines without reading
     // the agg/passes fields.
@@ -166,25 +289,29 @@ object Bench {
       .map { case (f, qs2) =>
         s"\"" + f + "\":" + math.rint(qs2.map(_._2).sum * 1000) / 1000 }
       .mkString("{", ",", "}")
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val calibNearJson = calibNear.map { case (k, c) =>
-      s"\"" + k + "\":" + math.rint(c * 1000) / 1000 }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + r3(c.single) }.mkString("{", ",", "}")
+    val par32NearJson = calibNear.map { case (k, c) =>
+      s"\"" + k + "\":" + r3(c.par32) }.mkString("{", ",", "}")
+    val memNearJson = calibNear.map { case (k, c) =>
+      s"\"" + k + "\":" + r3(c.mem) }.mkString("{", ",", "}")
     val throttledJson = throttledQs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$families,"sf":"$sfDir","passes":2,"agg":"min","value_single_pass":${pass1.map(_._2).sum},"pass_totals":[${pass1.map(_._2).sum},${pass2.map(_._2).sum}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par32_sec":$calibPar32,"calib_par8_end_sec":$calibParEnd,"calib_stream_sec":$calibStream,"calib_stream_end_sec":$calibStreamEnd,"calib_near":$calibNearJson,"canary_min_sec":$minCanary,"throttled_queries":$throttledJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$families,"sf":"$sfDir","passes":$passes,"agg":"min","value_single_pass":${pass1.map(_._2).sum},"pass_totals":[${(if (passes == 2) Seq(pass1, pass2) else Seq(pass1)).map(p => p.map(_._2).sum).mkString(",")}],"calib_sec":$calib,"calib_mid_sec":$calibMid,"calib_end_sec":$calibEnd,"calib_par8_sec":$calibPar,"calib_par32_sec":$calibPar32,"calib_par8_end_sec":$calibParEnd,"calib_stream_sec":$calibStream,"calib_stream_end_sec":$calibStreamEnd,"calib_near":$calibNearJson,"calib_par32_near":$par32NearJson,"calib_mem_near":$memNearJson,"canary_min_sec":${r3(minCanary)},"canary_par32_min_sec":${r3(minPar32)},"canary_mem_min_sec":${r3(minMem)},"pass_spread":${r3(passSpread)},"mean_sec_per_query":${r3(meanSpq)},"load_class":"$loadClass","load_evidence":"$loadEvidence","throttled_queries":$throttledJson}"""
     println(json)
     // The harness that snapshots this run keeps only the LAST ~2000 chars of
-    // output, and sbt appends its own "[success] ..." trailer — with 84
+    // output, and sbt appends its own "[success] ..." trailer — with 280
     // registered queries the full-name JSON line above is ~3000 chars and
     // gets truncated past recognition. So the LAST line printed is a compact
     // twin that always fits: per-query keys are q<i> in alphabetical query
     // order (the legend line right before this one, and bench_out.json,
     // carry the full names), seconds rounded to 1 ms.
-    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val legend = results.zipWithIndex
       .map { case ((k, _), i) => s"\"q$i\":\"$k\"" }.mkString("{", ",", "}")
     val legendLine = s"""{"bench_legend":$legend}"""
     val compactQs = results.zipWithIndex
       .map { case ((_, v), i) => s"\"q$i\":${r3(v)}" }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}","n_queries":${results.size},"passes":2,"agg":"min","value_single_pass":${r3(pass1.map(_._2).sum)},"pass_totals":[${r3(pass1.map(_._2).sum)},${r3(pass2.map(_._2).sum)}],"calib_sec":[${r3(calib)},${r3(calibMid)},${r3(calibEnd)}],"calib_par_sec":[${r3(calibPar)},${r3(calibPar32)},${r3(calibParEnd)}],"calib_stream_sec":[${r3(calibStream)},${r3(calibStreamEnd)}],"canary_min_sec":${r3(minCanary)},"n_throttled":${throttledQs.size},"query_names":"see bench_legend line / bench_out.json"}"""
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"sf":"${new java.io.File(sfDir).getName}","n_queries":${results.size},"passes":$passes,"agg":"min","value_single_pass":${r3(pass1.map(_._2).sum)},"pass_totals":[${(if (passes == 2) Seq(pass1, pass2) else Seq(pass1)).map(p => r3(p.map(_._2).sum)).mkString(",")}],"calib_sec":[${r3(calib)},${r3(calibMid)},${r3(calibEnd)}],"calib_par_sec":[${r3(calibPar)},${r3(calibPar32)},${r3(calibParEnd)}],"calib_stream_sec":[${r3(calibStream)},${r3(calibStreamEnd)}],"canary_min_sec":${r3(minCanary)},"canary_par32_min_sec":${r3(minPar32)},"canary_mem_min_sec":${r3(minMem)},"pass_spread":${r3(passSpread)},"mean_sec_per_query":${r3(meanSpq)},"load_class":"$loadClass","load_evidence":"$loadEvidence","n_throttled":${throttledQs.size},"query_names":"see bench_legend line / bench_out.json"}"""
     // Belt-and-braces: sbt may prefix stdout lines, so also drop the JSON
     // where the driver (or a human) can read it unmangled.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

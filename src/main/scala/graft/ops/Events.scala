@@ -58,10 +58,16 @@ object Events {
     * Callable on any events-schema frame (unit tests drive THIS).
     */
   def markovTransitions(ev: DataFrame): DataFrame = {
-    val pairs = transitionMatrix(ev)
-      .filter(col("prev_type") =!= "<START>")
-      .select(col("prev_type").as("from_type"),
-        col("next_type").as("to_type"), col("n"))
+    // Filter on the RAW lag's nullness, not on the '<START>' sentinel
+    // string (ADVICE r11: a genuine event_type literally equal to
+    // '<START>' would be dropped by a sentinel filter but kept by the
+    // oracle's `from_type IS NOT NULL`) — [[lagPairs]] is the one
+    // pair-extraction definition both views share.
+    val pairs = lagPairs(ev)
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("from_type"), col("to_type"), col("n"))
     val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
     pairs.join(totals, "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
@@ -136,13 +142,24 @@ object Events {
     * any events-schema frame (unit tests drive THIS function).
     */
   def transitionMatrix(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    ev.select(col("user_id"), col("event_type"),
-        lag(col("event_type"), 1).over(w).as("prev"))
+    lagPairs(ev)
       .groupBy(coalesce(col("prev"), lit("<START>")).as("prev_type"),
         col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** The ONE per-user ordered lag-pair extraction both Markov views share:
+    * (prev nullable — null for a user's first event, event_type). Tie
+    * order pinned by (ts, event_id). Consumers choose their own null
+    * handling: [[transitionMatrix]] coalesces null → '<START>';
+    * [[markovTransitions]] filters nulls out (matching its oracle's
+    * `from_type IS NOT NULL`, robust to a genuine '<START>' event type).
+    */
+  private def lagPairs(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"),
+      lag(col("event_type"), 1).over(w).as("prev"))
   }
 
   /** Point-in-time lookup of purchases against the value-tier SCD2

@@ -22,9 +22,11 @@ object PrAB {
   }
 
   def main(args: Array[String]): Unit = {
-    // Back-compat arg parse: a leading path arg is sfDir (the r10 call
-    // shape); otherwise args(0) is the query name.
-    val named = args.nonEmpty && !args(0).startsWith("/")
+    // Back-compat arg parse: args(0) is a query name only when the
+    // registry actually contains it; anything else (absolute OR relative
+    // path — ADVICE r11: startsWith("/") misread a relative sfDir as a
+    // query name) is sfDir, the r10 positional shape.
+    val named = args.nonEmpty && graft.SparkEntry.queries.contains(args(0))
     val query = if (named) args(0) else "graph_pagerank"
     val rest = if (named) args.drop(1) else args
     val sfDir = if (rest.nonEmpty) rest(0) else "/tmp/graft_testdata/sf10"

@@ -12,9 +12,11 @@ Usage: python3 tools/check_oracle.py [sfdir] [outdir] [--skip-verify]
              big SFs: the all-or-nothing sf1 run costs >90 min of DuckDB).
 --json PATH  write a machine-readable per-query verdict (default:
              <outdir>/check_oracle.json, CORRECTNESS-style).
---timeout S  per-oracle wall-clock budget; a whole-table replay past it is
-             interrupted (duckdb con.interrupt()) and recorded as
-             "oracle_timeout" instead of hanging a big-SF run for hours.
+--timeout S  per-oracle wall-clock budget; a replay past it is interrupted
+             (duckdb con.interrupt()) and recorded as "oracle_timeout"
+             instead of hanging a big-SF run for hours. For replica-method
+             oracles the budget is GLOBAL across all replica passes
+             (including patch-phase global_sql), not per replica.
 --mem LIMIT  DuckDB memory_limit (e.g. 48GB) — the sf10 runs need an
              explicit cap so a single spilling hash can't OOM the box.
 --threads N  DuckDB threads.
@@ -113,19 +115,44 @@ class OracleTimeout(Exception):
 
 
 def run_df(con, sql, timeout=None):
-    """Execute sql -> DataFrame, interrupting past `timeout` seconds."""
+    """Execute sql -> DataFrame, interrupting past `timeout` seconds.
+
+    The timer callback sets a flag BEFORE interrupting, and an INTERRUPT
+    error is classified as a timeout only when that flag is set and the
+    elapsed time actually reached the budget (ADVICE r11: a bare
+    Timer(timeout, con.interrupt) could fire in the gap between query
+    completion and timer.cancel(), misclassifying a query that finished
+    at the budget edge — or spuriously interrupting the NEXT statement
+    on the shared connection). A spurious interrupt (flag unset or
+    elapsed < budget) is retried once."""
     if not timeout:
         return con.sql(sql).df()
-    timer = threading.Timer(timeout, con.interrupt)
-    timer.start()
-    try:
-        return con.sql(sql).df()
-    except Exception as e:
-        if "INTERRUPT" in str(e).upper():
-            raise OracleTimeout() from None
-        raise
-    finally:
-        timer.cancel()
+    fired = threading.Event()
+
+    def _interrupt():
+        fired.set()
+        con.interrupt()
+
+    for attempt in (0, 1):
+        timer = threading.Timer(timeout, _interrupt)
+        timer.start()
+        t0 = time.time()
+        try:
+            return con.sql(sql).df()
+        except Exception as e:
+            if "INTERRUPT" in str(e).upper():
+                if fired.is_set() and time.time() - t0 >= timeout * 0.98:
+                    raise OracleTimeout() from None
+                if attempt == 0:
+                    # interrupt leaked from a previous statement's timer
+                    # (or fired with the budget not actually consumed):
+                    # not this query's timeout — run it again
+                    fired.clear()
+                    continue
+                raise OracleTimeout() from None
+            raise
+        finally:
+            timer.cancel()
 
 
 def tune(con):
@@ -151,6 +178,7 @@ class ReplicaEngine:
         self.con = duckdb.connect()
         tune(self.con)
         self.ready = set()
+        self._premises_ok = set()  # premise SQL texts already verified
 
     # FK-alignment premises verified from the data (not assumed): every
     # key domain a table carries must agree on the replica id, else the
@@ -202,18 +230,47 @@ class ReplicaEngine:
         import numpy as np
         tables = [t for t in TABLES if re.search(rf"\b{t}\b", sql)]
         self.ensure(tables)
+        # Value-level decomposition premise (sf10_methods docstring): run
+        # once per distinct premise text, over the WHOLE table (replica
+        # views not yet narrowed — _set_replica runs later).
+        prem = spec.get("premise_sql")
+        if prem and prem not in self._premises_ok:
+            for t in tables:
+                if t in self.spec_mod.REPLICA_KEYS:
+                    col, off = self.spec_mod.REPLICA_KEYS[t]
+                    self.con.execute(
+                        f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM __rep_{t}")
+            bad = int(self.con.execute(prem).fetchone()[0])
+            assert bad == 0, f"{name}: {bad} rows violate the decomposition premise"
+            self._premises_ok.add(prem)
+        # `timeout` is the GLOBAL wall-clock budget for this oracle
+        # (ADVICE r11: per-replica application let one pathological oracle
+        # consume R x timeout): every replica pass — including the
+        # patch-phase global_sql passes — draws from the same remaining
+        # budget, so the whole derivation is bounded by `timeout` seconds.
+        t0 = time.time()
+
+        def remaining():
+            if not timeout:
+                return None
+            left = timeout - (time.time() - t0)
+            if left <= 0:
+                raise OracleTimeout()
+            return left
+
         if "patch" in spec:
             old, tmpl = spec["patch"]
             assert sql.count(old) == 1, f"{name}: patch anchor not unique"
             g = 0
             for r in range(self.R):
                 self._set_replica(r, tables)
-                g += self.con.execute(spec["global_sql"]).fetchone()[0]
+                g += int(run_df(self.con, spec["global_sql"],
+                                remaining()).iloc[0, 0])
             sql = sql.replace(old, tmpl.format(g=g))
         parts = []
         for r in range(self.R):
             self._set_replica(r, tables)
-            parts.append(run_df(self.con, sql, timeout))
+            parts.append(run_df(self.con, sql, remaining()))
         m = spec["method"]
         if m == "concat":
             df = pd.concat(parts, ignore_index=True).sort_values(

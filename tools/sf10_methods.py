@@ -37,7 +37,44 @@ computed inside the oracle SQL. The constant's defining CTE is replaced by
 a literal (exact-string match, asserted unique), and the literal is the
 sum of `global_sql` evaluated per replica — sums are exact because the
 underlying sets are replica-disjoint.
+
+`premise_sql` (optional) is a whole-table query that must return 0: it
+verifies the spec's decomposition premise FROM THE DATA before any
+replica replay is trusted (the analogue of check_oracle's built-in FK
+alignment checks, for premises that live in column VALUES rather than
+key domains). Results are cached per distinct SQL text, so a premise
+shared by several specs is paid once per gate.
+
+Round-12 additions — the r11 sf10 gate spent 2.03 h in DuckDB, half of
+it in four whole-table replays that are replica-decomposable:
+
+* events_interval_join (1300 s whole-table): the oracle self-joins
+  events ON user_id with a |Δt| inequality. user_id is replica-offset
+  (CustOff) and event_id replica-offset (EvtOff) — both verified by the
+  built-in FK check — so no join pair ever crosses a replica; output
+  rows are keyed by (event_id, user_id). concat + re-sort is exact, and
+  the per-replica runs sidestep the superlinear whole-table IEJoin.
+* dedup_clusters / dedup_corpus_keep / dedup_keep_best (400/404/390 s):
+  all three consume ONLY the `verified` edge set, which gates candidates
+  on EXACT token-set Jaccard >= 0.9. GenScale suffixes every token of
+  replica r > 0 with `_r<r>`, so token sets across replicas are DISJOINT
+  (cross-replica token equality would need a string ending in both
+  `_ri` and `_rj`, i != j — impossible) and cross-replica Jaccard is
+  identically 0: a band-hash collision across replicas (the one
+  theoretical cross path) is killed by the exact verifier. Components,
+  labels, keepers, and per-doc weights are therefore all intra-replica.
+  The token-suffix premise is checked from the data by premise_sql
+  (every token of every r > 0 document ends with its own `_r<r>`).
+  NOT given specs, deliberately: dedup_minhash_jaccard_est / _lsh_pairs
+  expose PRE-verification candidate pairs (a theoretical cross-replica
+  band collision would change their output), and text_bpe_* train on
+  corpus-GLOBAL pair counts; those stay whole-table.
 """
+
+_DOC_SUFFIX_PREMISE = """SELECT count(*) FROM (
+  SELECT doc_id // 100000 AS r, unnest(string_split(text, ' ')) AS tok
+  FROM documents)
+WHERE r > 0 AND NOT ends_with(tok, '_r' || r::VARCHAR)"""
 
 # table -> (replica key column, per-replica key offset) — GenScale.scala's
 # per-domain constants. region/nation are fixed dimensions copied verbatim
@@ -109,4 +146,17 @@ METHODS = {
                   "ns AS (SELECT CAST({g} AS BIGINT) AS ns)"),
         "global_sql": _SAMPLED_DEG +
             "SELECT count(*) FROM deg WHERE ('0x' || substr(md5(node::VARCHAR), 1, 15))::UBIGINT % 20 = 0"},
+
+    # ---- r12: heavy whole-table replays that decompose (doc header) ----
+    "events_interval_join": {
+        "method": "concat", "sort": ["event_id"]},
+    "dedup_clusters": {
+        "method": "concat", "sort": ["doc_id"],
+        "premise_sql": _DOC_SUFFIX_PREMISE},
+    "dedup_corpus_keep": {
+        "method": "concat", "sort": ["doc_id"],
+        "premise_sql": _DOC_SUFFIX_PREMISE},
+    "dedup_keep_best": {
+        "method": "concat", "sort": ["cluster_id"],
+        "premise_sql": _DOC_SUFFIX_PREMISE},
 }
