@@ -14,72 +14,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Fixed single-thread calibration loop, run before AND after the
-    // queries: ~0.4s on an unthrottled core (measured 0.38-0.46 on the
-    // r12 clean host; r3-era boxes ran 0.33-0.39). Lets a reader spot
-    // hard host throttling of the container (observed: identical
-    // workloads 52s vs 630s wall-clock, throttling starting mid-run).
-    def calibrate(iters: Long = 300000000L): Double = {
-      val t0 = System.nanoTime()
-      var h = 0L
-      var i = 0L
-      while (i < iters) { h = h * 6364136223846793005L + i; i += 1 }
-      if (h == 42L) println(h) // defeat dead-code elimination
-      (System.nanoTime() - t0) / 1e9
-    }
-    // Parallel variant: the same loop on N threads at once. A host CPU
-    // quota does NOT slow a single thread (calib_sec stays ~0.4s) but
-    // crushes aggregate throughput — observed: identical bench runs 95s vs
-    // 921s with IDENTICAL calib_sec. On the unthrottled 32-core box the
-    // 32-way wall-clock ≈ the single-thread time for the same per-thread
-    // iteration count (measured: 0.47-0.49s at 300M — true 32 cores);
-    // under a c-core quota it is ~32/c ×.
+    // The three window-quality instruments (single-thread spin / 32-thread
+    // mean-per-thread spin / 8-thread memory sweep) live in
+    // graft.tools.Canaries, SHARED with Verify's sf10 timing sweep so the
+    // two artifacts' canary numbers are directly comparable — see that
+    // object and the r12 block comment below for the full rationale.
+    // Observed motivating incidents: identical workloads 52s vs 630s
+    // wall-clock under hard host throttling (single-thread canary moves);
+    // identical runs 95s vs 921s with IDENTICAL single-thread calib under
+    // a CPU quota (only the parallel canary moves).
+    import graft.tools.Canaries
+    def calibrate(iters: Long = 300000000L): Double = Canaries.calibrate(iters)
     def calibratePar(threads: Int = 8, iters: Long = 300000000L): Double =
-      calibrateParBoth(threads, iters)._1
-    // Returns (wall, mean per-thread loop time). The WINDOW verdict uses
-    // the MEAN, not the wall: an N-thread wall is straggler-dominated —
-    // ONE busy external core doubles it (one canary thread shares a core)
-    // while costing a 32-task Spark stage only ~1/32 ≈ 3%. The mean
-    // per-thread time tracks bench impact linearly: a 1-core co-tenant
-    // moves it ~3%, a half-box co-tenant ~50% — exactly the dose-response
-    // a load classifier needs (r12; the wall stays recorded for reading).
-    def calibrateParBoth(threads: Int, iters: Long): (Double, Double) = {
-      val secs = new Array[Double](threads)
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { j =>
-        val t = new Thread(() => secs(j) = calibrate(iters))
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      ((System.nanoTime() - t0) / 1e9, secs.sum / threads)
-    }
-    // Memory-bandwidth canary: 8 threads sweep-summing private 256 MB long
-    // arrays (8 GB of traffic, ~0.19s clean ≈ 43 GB/s measured r12). A
-    // co-tenant that is bandwidth-heavy but CPU-light (large scans, page
-    // churn) slows Spark's columnar scans without moving a register-only
-    // spin loop — this is the instrument for that third load shape.
-    // Buffers allocated once (2 GB resident for the run; box has 128 GB).
-    // Like calibrateParBoth, the verdict metric is the MEAN per-thread
-    // sweep time, not the straggler-dominated wall.
-    val memBufs: Array[Array[Long]] = Array.tabulate(8)(j => {
-      val b = new Array[Long](1 << 25); java.util.Arrays.fill(b, j.toLong); b
-    })
-    def calibrateMem(): Double = {
-      val secs = new Array[Double](memBufs.length)
-      val ts = memBufs.zipWithIndex.map { case (b, j) =>
-        val t = new Thread(() => {
-          val t0 = System.nanoTime()
-          var s = 0L
-          var p = 0
-          while (p < 4) { var i = 0; while (i < b.length) { s += b(i); i += 1 }; p += 1 }
-          if (s == 42L) println(s)
-          secs(j) = (System.nanoTime() - t0) / 1e9
-        })
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      secs.sum / secs.length
-    }
+      Canaries.calibrateParBoth(threads, iters)._1
     // Streaming canary: one trivial AvailableNow file-stream aggregation
     // through a memory sink, timed. Streaming's per-query cost is serial
     // commit latency (microbatch planning + state-store delta commits), which
@@ -166,16 +113,15 @@ object Bench {
     // A judge applies the same rule mechanically: load_class != "clean"
     // disqualifies the artifact as a performance datapoint.
     val CanaryEvery = 25
-    val Par32WindowIters = 100000000L
     val SingleCleanFloor = 0.67 // 1.6x of 0.42 clean median (300M iters)
-    // mean PER-THREAD times (see calibrateParBoth): clean medians measured
-    // r12 — par32@100M ≈ 0.145 (a third of the single 300M loop), mem
-    // sweep ≈ 0.19/thread
+    // mean PER-THREAD times (see Canaries.calibrateParBoth): clean medians
+    // measured r12 — par32@100M ≈ 0.145 (a third of the single 300M loop),
+    // mem sweep ≈ 0.19/thread
     val Par32CleanFloor = 0.23
     val MemCleanFloor = 0.30
-    case class Canary(single: Double, par32: Double, mem: Double)
-    def sampleCanary(): Canary =
-      Canary(calibrate(), calibrateParBoth(32, Par32WindowIters)._2, calibrateMem())
+    type Canary = Canaries.Canary
+    val Canary = Canaries.Canary
+    def sampleCanary(): Canary = Canaries.sample()
     // Per-WINDOW throttle attribution: canaries are interleaved every
     // CanaryEvery queries, so a mid-run host-throttle window (observed:
     // 6.8x canaries poisoning the sf10 bench line) is machine-attributable

@@ -30,15 +30,44 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Per-query engine timing with interference canaries (r12, verdict
+    // item 2): the scale gates read spark_secs.json for an engine-side
+    // per-query number at 10x/100x, the instrument that catches the next
+    // correct-but-super-linear operator (the dedup_embedding_nn class) as
+    // a NUMBER instead of a judge finding. Timing is "as executed by the
+    // gate": plan + execute + single-file parquet write, min-of-1 — read
+    // each value against its window canaries (same three instruments as
+    // Bench, one shared definition in graft.tools.Canaries).
+    import graft.tools.Canaries
+    val CanaryEvery = 25
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val timed = scala.collection.mutable.ArrayBuffer[(String, Double, Int)]()
+    var canaries = Vector(Canaries.sample())
+    qs.zipWithIndex.foreach { case ((name, fn), i) =>
+      if (i > 0 && i % CanaryEvery == 0) canaries :+= Canaries.sample()
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      timed += ((name, (System.nanoTime() - t0) / 1e9, i / CanaryEvery))
     }
+    canaries :+= Canaries.sample()
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val secsJson = timed.map { case (n, s, _) => s""""$n":${r3(s)}""" }
+      .mkString("{", ",", "}")
+    val winJson = timed.map { case (n, _, w) =>
+      val a = canaries(w)
+      val b = canaries(math.min(w + 1, canaries.size - 1))
+      s""""$n":[${r3(math.max(a.single, b.single))},${r3(math.max(a.par32, b.par32))},${r3(math.max(a.mem, b.mem))}]"""
+    }.mkString("{", ",", "}")
+    val canJson = canaries.map(c =>
+      s"[${r3(c.single)},${r3(c.par32)},${r3(c.mem)}]").mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/spark_secs.json"),
+      s"""{"metric":"verify_spark_secs","unit":"sec","sf":"$sfDir","agg":"min_of_1_with_write","total":${r3(timed.map(_._2).sum)},"n_queries":${timed.size},"queries":$secsJson,"window_canaries":$winJson,"raw_canaries":$canJson,"canary_min":[${r3(canaries.map(_.single).min)},${r3(canaries.map(_.par32).min)},${r3(canaries.map(_.mem).min)}]}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -41,6 +41,14 @@ object RollingHash61 {
   val Mod: Long = (1L << 61) - 1 // Mersenne prime 2^61 − 1
   val Base: Long = 1000003L
 
+  /** Base⁻¹ mod Mod (Fermat: Base^(Mod−2); Mod is prime). Lets a replay
+    * reconstruct every 16-char window hash from ONE per-char prefix term
+    * c_j·BaseInv^j in linear time instead of re-folding each window —
+    * the dedup_cdc_chunks oracle rewrite. The test suite asserts
+    * mulmod(Base, BaseInv) == 1.
+    */
+  val BaseInv: Long = 1229363429801019168L
+
   /** (a·b) mod (2^61−1) for 0 ≤ a, b < 2^61, branch-free via the Mersenne
     * identities 2^61 ≡ 1 and 2^64 ≡ 8.
     */

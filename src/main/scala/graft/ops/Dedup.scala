@@ -950,16 +950,41 @@ object Dedup {
     // partial containment (a copied paragraph) that whole-doc
     // fingerprints miss. Same star-edge discipline as LSH banding:
     // O(bucket) edges per shared chunk, never O(bucket²).
+    // Oracle shape (r12): the original replay computed every window hash
+    // from scratch — O(len·16) interpreted list lambdas per document —
+    // which made THIS oracle the second-heaviest whole-table replay of the
+    // sf10 gate (592 s; the engine side is linear). Replay is now linear:
+    //   H_i = Σ_{j=i-15..i} c_j·B^(i-j)  =  B^i · Σ c_j·B^(-j)   (mod M)
+    // so one per-char term c_j·IB^j (IB = B⁻¹ mod M, M prime), a 16-row
+    // windowed SUM per doc, and one final modular product reconstruct every
+    // window hash in one pass. Sums of ≤16 terms < 2^61 stay inside
+    // HUGEINT; & 63 becomes % 64 (identical for the non-negative residue).
+    // The chunk/keeper/pair logic below is byte-identical to before — the
+    // cut POSITIONS are provably the same set, only their cost changed.
     GraftQuery.of("dedup_cdc_chunks", {
       val M = graft.functions.RollingHash61.Mod
       val B = graft.functions.RollingHash61.Base
-      s"""WITH cuts AS (
-         |  SELECT doc_id, text, list_filter(list_transform(range(16, len(text) + 1),
-         |    i -> CASE WHEN list_reduce(
-         |           list_transform(range(i - 15, i + 1), j -> ord(substr(text, j, 1))::BIGINT),
-         |           (a, b) -> ((a::HUGEINT * $B % $M + b) % $M)::BIGINT) & 63 = 0
-         |         THEN i END), x -> x IS NOT NULL) AS cut
-         |  FROM documents
+      val IB = graft.functions.RollingHash61.BaseInv
+      s"""WITH RECURSIVE pw(j, pb, pib) AS (
+         |  SELECT 0::BIGINT, 1::HUGEINT, 1::HUGEINT
+         |  UNION ALL
+         |  SELECT j + 1, (pb * $B) % $M, (pib * $IB) % $M
+         |  FROM pw WHERE j < (SELECT max(len(text)) FROM documents)
+         |), chars AS (
+         |  SELECT doc_id, i, ord(substr(text, i, 1))::HUGEINT AS c
+         |  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+         |        FROM documents)
+         |), hashes AS (
+         |  SELECT doc_id, i,
+         |    ((SUM((c * pib) % $M) OVER (PARTITION BY doc_id ORDER BY i
+         |        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) % $M) * pb) % $M AS h
+         |  FROM chars JOIN pw ON pw.j = chars.i
+         |), cuts AS (
+         |  SELECT d.doc_id, d.text, coalesce(cl.cut, []::BIGINT[]) AS cut
+         |  FROM documents d LEFT JOIN (
+         |    SELECT doc_id, list(i ORDER BY i) AS cut
+         |    FROM hashes WHERE i >= 16 AND (h % 64) = 0
+         |    GROUP BY doc_id) cl USING (doc_id)
          |), bounds AS (
          |  SELECT doc_id, text,
          |    list_concat(list_concat([0], cut), [len(text)]) AS b

@@ -145,6 +145,46 @@ object Multimodal {
       seg(0), seg(1), seg(2), seg(3)).map(_.toDouble)
   }
 
+  /** The M2 stand-in retired (r12): a REAL in-JVM model — a fixed-weight
+    * 2-layer MLP (7 → 16 ReLU → 8) over [[pixelFeatureExtractor]]'s decoded
+    * statistics — running in [[batchExtract]]'s pluggable extractor slot,
+    * replacing the documented "no model runtime in the container"
+    * placeholder with an actual forward pass. Weights are md5-seeded small
+    * integers (hash60("mlp:w1:j:i") % 19 − 9 ∈ [−9, 9]), so the network is
+    * reproducible from its seed strings alone and EVERY step is exact
+    * 64-bit integer math: |feature| ≤ 16·16·255 = 65 280, |pre-activation|
+    * ≤ 7·9·65 280 + 9 < 2²³, |logit| ≤ 16·9·2²³ + 9 < 2³¹ — no float
+    * enters the pipeline, so the DuckDB oracle replays the forward pass as
+    * literal integer arithmetic and the hash gate compares exact BIGINTs.
+    * Swapping in LEARNED weights changes only these constants; the
+    * plumbing (mapPartitions batch tier, typed Dataset return) is the
+    * contract mm_pixel_features already proved.
+    */
+  private[graft] object PixelMlp {
+    val In = 7; val Hidden = 16; val Out = 8
+    private def seed(s: String): Long =
+      (graft.functions.Md5Hash60.hash60(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % 19) - 9
+    val w1: Array[Array[Long]] =
+      Array.tabulate(Hidden, In)((j, i) => seed(s"mlp:w1:$j:$i"))
+    val b1: Array[Long] = Array.tabulate(Hidden)(j => seed(s"mlp:b1:$j"))
+    val w2: Array[Array[Long]] =
+      Array.tabulate(Out, Hidden)((k, j) => seed(s"mlp:w2:$k:$j"))
+    val b2: Array[Long] = Array.tabulate(Out)(k => seed(s"mlp:b2:$k"))
+    def forward(x: Array[Long]): Array[Long] = {
+      val h = Array.tabulate(Hidden) { j =>
+        var s = b1(j); var i = 0
+        while (i < In) { s += w1(j)(i) * x(i); i += 1 }
+        math.max(0L, s)
+      }
+      Array.tabulate(Out) { k =>
+        var s = b2(k); var j = 0
+        while (j < Hidden) { s += w2(k)(j) * h(j); j += 1 }
+        s
+      }
+    }
+  }
+
   /** Stub extractor matching [[fakeFeatures]] byte-for-byte. */
   def defaultExtractor(dim: Int): Array[Byte] => Array[Double] = { payload =>
     (0 until dim / 4).toArray.flatMap { w =>
@@ -535,6 +575,67 @@ object Multimodal {
           names.zipWithIndex.map { case (n, i) =>
             element_at(col("features"), i + 1).cast("long").as(n)
           }: _*)
+        .orderBy(col("media_id"))
+    },
+
+    // Model-feature EMBEDDINGS through the same slot (r12 — the last M2
+    // stand-in retired): decode the PNG, compute the seven integer pixel
+    // statistics, and run [[PixelMlp]]'s fixed-weight forward pass — a
+    // genuine in-JVM network producing an 8-dim exact-integer embedding
+    // per image. The oracle replays the raster analytically (the
+    // mm_pixel_features formula, p(x,y) = (31·doc_id + 7x + 13y) % 256)
+    // and then the MLP as INLINE integer literals generated from the very
+    // weight arrays the engine executes — one definition, two renderings,
+    // zero float. At 100 TB this is the embedding-generation shape: the
+    // model rides the mapPartitions batch tier (per-partition session
+    // setup), the embedding lands as a typed column for the ANN/dedup
+    // families to consume.
+    GraftQuery.of("mm_pixel_embed", {
+      def p(x: String, y: String) = s"(31 * doc_id + 7 * ($x) + 13 * ($y)) % 256"
+      def grid(xr: String, yr: String, v: String) =
+        s"""CAST(list_sum(flatten(list_transform($yr, y ->
+           |    list_transform($xr, x -> $v)))) AS BIGINT)""".stripMargin
+      val feats = Seq(
+        grid("range(0, w)", "range(0, h)", p("x", "y")),
+        grid("range(0, w // 2)", "range(0, h // 2)", p("x", "y")),
+        grid("range(w // 2, w)", "range(0, h // 2)", p("x", "y")),
+        grid("range(0, w // 2)", "range(h // 2, h)", p("x", "y")),
+        grid("range(w // 2, w)", "range(h // 2, h)", p("x", "y")),
+        grid("range(0, w - 1)", "range(0, h)",
+          s"abs(${p("x + 1", "y")} - ${p("x", "y")})"),
+        grid("range(0, w)", "range(0, h - 1)",
+          s"abs(${p("x", "y + 1")} - ${p("x", "y")})"))
+      val hid = (0 until PixelMlp.Hidden).map { j =>
+        val terms = (0 until PixelMlp.In)
+          .map(i => s"(${PixelMlp.w1(j)(i)}) * f$i").mkString(" + ")
+        s"greatest(0, $terms + (${PixelMlp.b1(j)})) AS h$j"
+      }
+      val outs = (0 until PixelMlp.Out).map { k =>
+        val terms = (0 until PixelMlp.Hidden)
+          .map(j => s"(${PixelMlp.w2(k)(j)}) * h$j").mkString(" + ")
+        s"CAST($terms + (${PixelMlp.b2(k)}) AS BIGINT) AS e$k"
+      }
+      s"""WITH px AS (
+         |  SELECT doc_id AS media_id,
+         |    ${feats.zipWithIndex.map { case (e, i) => s"$e AS f$i" }.mkString(",\n    ")}
+         |  FROM (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 9 AS h
+         |        FROM documents)
+         |), hid AS (
+         |  SELECT media_id,
+         |    ${hid.mkString(",\n    ")}
+         |  FROM px
+         |)
+         |SELECT media_id,
+         |  ${outs.mkString(",\n  ")}
+         |FROM hid ORDER BY media_id""".stripMargin
+    }) { (s, d) =>
+      val embed: Array[Byte] => Array[Double] = bytes =>
+        PixelMlp.forward(pixelFeatureExtractor(bytes).map(_.toLong)).map(_.toDouble)
+      batchExtract(pngPayloadRelation(s, d), dim = PixelMlp.Out)(embed)
+        .toDF()
+        .select(col("media_id") +:
+          (0 until PixelMlp.Out).map(k =>
+            element_at(col("features"), k + 1).cast("long").as(s"e$k")): _*)
         .orderBy(col("media_id"))
     },
 

@@ -1129,6 +1129,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PixelMlp: seeded weights bounded, forward matches a BigInt reference, ReLU clips both ways") {
+    val m = Multimodal.PixelMlp
+    assert(m.w1.flatten.forall(w => w >= -9 && w <= 9))
+    assert(m.w2.flatten.forall(w => w >= -9 && w <= 9))
+    assert((m.b1 ++ m.b2).forall(w => w >= -9 && w <= 9))
+    var sawClip = false
+    var sawPass = false
+    for (id <- 0L until 100L) {
+      val x = Multimodal.pixelFeatureExtractor(Multimodal.encodePng(id)).map(_.toLong)
+      val pre = m.w1.indices.map(j =>
+        BigInt(m.b1(j)) + m.w1(j).zip(x).map { case (w, v) => BigInt(w) * v }.sum)
+      sawClip ||= pre.exists(_ < 0)
+      sawPass ||= pre.exists(_ > 0)
+      val h = pre.map(_.max(0))
+      val e = m.w2.indices.map(k =>
+        BigInt(m.b2(k)) + m.w2(k).zip(h).map { case (w, v) => BigInt(w) * v }.sum)
+      assert(m.forward(x).toSeq.map(BigInt(_)) == e, s"id=$id")
+      // every logit stays exact-integer-safe (the oracle compares BIGINTs)
+      assert(e.forall(_.abs < (BigInt(1) << 31)))
+    }
+    assert(sawClip, "no hidden unit ever clipped — ReLU untested")
+    assert(sawPass, "no hidden unit ever fired — network degenerate")
+  }
+
   test("PNG header probe: IHDR dims match the full decode, corrupt signature fails") {
     for (id <- Seq(0L, 4L, 80L, 4999L)) {
       val bytes = Multimodal.encodePng(id)

@@ -27,6 +27,29 @@ class RollingHash61Spec extends AnyFunSuite {
     }
   }
 
+  test("BaseInv is the modular inverse of Base, and the linear window-hash " +
+    "identity used by the dedup_cdc_chunks oracle holds") {
+    assert(RollingHash61.mulmod(RollingHash61.Base, RollingHash61.BaseInv) == 1L)
+    // H_i over chars [i-15, i] == B^i · Σ c_j·BaseInv^j (mod M) — the
+    // identity the rewritten DuckDB replay rests on, checked against the
+    // direct fold on a concrete window.
+    val text = "the quick brown fox jumps over the lazy dog".getBytes("US-ASCII")
+    val i = 20 // window = chars 5..20 (1-indexed j in [i-15, i])
+    val direct = RollingHash61.hash(text.slice(i - 16, i))
+    var s = 0L
+    var powB = 1L // B^j at j=0
+    var powIB = 1L
+    val pows = (0 to i).map { j =>
+      val p = (powB, powIB); powB = RollingHash61.mulmod(powB, RollingHash61.Base)
+      powIB = RollingHash61.mulmod(powIB, RollingHash61.BaseInv); p
+    }
+    ((i - 15) to i).foreach { j =>
+      val c = text(j - 1) & 0xffL
+      s = (s + RollingHash61.mulmod(c, pows(j)._2)) % RollingHash61.Mod
+    }
+    assert(RollingHash61.mulmod(s, pows(i)._1) == direct)
+  }
+
   test("rolling_hash61 is order-sensitive and codegen-evaluated in a query") {
     val s = spark
     import s.implicits._

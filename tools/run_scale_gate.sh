@@ -43,6 +43,14 @@ fi
 echo "== Verify at $DST (local[$CPUS])"
 SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Verify $DST $OUT$VERIFY_ONLY"
 
+# Engine-side per-query timings (r12): Verify writes spark_secs.json
+# (per-query sec + window canaries, min-of-1-with-write) alongside the
+# dumps; keep a copy next to the correctness JSON so the round records
+# BOTH sides' cost — oracle_secs lives inside $JSON, spark side here.
+if [ -f "$OUT/spark_secs.json" ]; then
+  cp "$OUT/spark_secs.json" "${JSON%.json}_spark_secs.json"
+fi
+
 echo "== DuckDB adjudication (replica derivations for tools/sf10_methods.py entries)"
 python3 tools/check_oracle.py "$DST" "$OUT" --skip-verify --json "$JSON" \
   --replicas "$REPLICAS" --timeout "$ORACLE_TIMEOUT" --mem "$DUCK_MEM" \

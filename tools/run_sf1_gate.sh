@@ -31,5 +31,10 @@ fi
 echo "== Verify at $SF1 (local[$CPUS])"
 SPARK_GRAFT_CPUS=$CPUS sbt -batch "runMain graft.Verify $SF1 $OUT$VERIFY_ONLY"
 
+# engine-side per-query timings (r12) — see run_scale_gate.sh
+if [ -f "$OUT/spark_secs.json" ]; then
+  cp "$OUT/spark_secs.json" "${JSON%.json}_spark_secs.json"
+fi
+
 echo "== DuckDB adjudication"
 python3 tools/check_oracle.py "$SF1" "$OUT" --skip-verify --json "$JSON" "${ONLY_ARGS[@]}"
