@@ -275,17 +275,30 @@ object Relational {
         .orderBy(col("returnflag"), col("linestatus"))
     },
 
-    // Ordered statistics, sketch path: percentile_approx (Greenwald-Khanna)
-    // is the 100 TB replacement for exact per-group sorts — single pass,
-    // bounded memory, mergeable partials. With accuracy ≥ the row count the
-    // sketch never compresses and the answer is EXACT (nearest-rank), which
-    // is how it earns a quantile_disc oracle at test SF.
+    // Ordered statistics, sketch path — REDESIGNED r12 after the sf1
+    // timing sweep caught the original shape super-linear (59.6 s at sf1
+    // on a clean window vs 0.32 s at sf0.1): "accuracy ≥ row count" made
+    // percentile_approx exact at test SF, but a GK sketch whose capacity
+    // tracks n is a disguised global collect (the final merge holds every
+    // sample) — the dedup_embedding_nn class of defect, found by the
+    // instrument built to find it. An exact-equality oracle over a
+    // GENUINELY approximate sketch is also inherently fragile here: the
+    // measured target-rank-to-tie-boundary margin is 0 ranks at sf0.01
+    // (f=N, p=0.9) — no accuracy in approx mode can guarantee the value.
+    // The r12 shape follows the repo's estimator-precedent doctrine
+    // (q_approx_quantiles, events_hourly_p95_approx):
+    //   exact side — l_quantity has 50 distinct values, so nearest-rank
+    //   quantiles come EXACTLY from one 150-cell map-side-combined
+    //   (flag, qty) count + a 50-row-per-flag cumsum window: the
+    //   low-cardinality exact-quantile plan that is O(distinct) at any
+    //   corpus size. These are the hash-gated q25/q50/q90 values.
+    //   sketch side — percentile_approx at PRODUCTION accuracy (1e4,
+    //   bounded sketch, mergeable partials); its GK guarantee (returned
+    //   value's rank range within ±n/acc of the target rank) is checked
+    //   in-plan against the same count frame and hash-gated as booleans.
+    // Oracle: the ceil-rank window rule (Spark's exact-mode rank,
+    // PercentilePinSpec) for the values + TRUE literals for the bounds.
     GraftQuery.of("q_percentiles_approx",
-      // Rank definition pinned EXPLICITLY to Spark's exact-mode rule
-      // (value at rank ceil(p*n), verified in PercentilePinSpec):
-      // quantile_disc's floor(p*(n-1))+1 rank can differ by one when p*n
-      // falls between distinct values, so the oracle replays the ceil
-      // rule with a window instead of relying on tie-heavy data.
       """WITH ranked AS (
         |  SELECT l_returnflag, l_quantity,
         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
@@ -294,13 +307,52 @@ object Relational {
         |SELECT l_returnflag,
         |  min(l_quantity) FILTER (WHERE rn >= ceil(0.25 * n)) AS q25,
         |  min(l_quantity) FILTER (WHERE rn >= ceil(0.5 * n)) AS q50,
-        |  min(l_quantity) FILTER (WHERE rn >= ceil(0.9 * n)) AS q90
+        |  min(l_quantity) FILTER (WHERE rn >= ceil(0.9 * n)) AS q90,
+        |  TRUE AS q25_within_eps, TRUE AS q50_within_eps, TRUE AS q90_within_eps
         |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      lineitem(s, d).groupBy(col("l_returnflag"))
+      val acc = 10000 // eps = 1e-4 rank error — the production setting
+      val counts = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      // per-(flag, value) cumulative rank range [lo, hi]; 50 rows/flag so
+      // the window partition is bounded by the value domain, not by n
+      val cum = counts.select(col("l_returnflag"), col("l_quantity"), col("c"),
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))).as("hi"))
+        .withColumn("lo", col("hi") - col("c") + 1)
+        .withColumn("n", sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))))
+      val sketch = lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(
-          expr("percentile_approx(l_quantity, 0.25D, 1000000)").as("q25"),
-          expr("percentile_approx(l_quantity, 0.5D, 1000000)").as("q50"),
-          expr("percentile_approx(l_quantity, 0.9D, 1000000)").as("q90"))
+          expr(s"percentile_approx(l_quantity, 0.25D, $acc)").as("a25"),
+          expr(s"percentile_approx(l_quantity, 0.5D, $acc)").as("a50"),
+          expr(s"percentile_approx(l_quantity, 0.9D, $acc)").as("a90"))
+      // ONE broadcast of the 3-row sketch frame onto the 150-row cum frame,
+      // then exact quantiles AND the three sketch rank-ranges come out of a
+      // single bounded groupBy — two lineitem scans total (counts + sketch);
+      // a join-per-percentile formulation re-evaluated the whole count
+      // lineage per join (5 scans, measured 23.5 s at sf1 vs ~4 s for this).
+      def exactQ(p: Double, name: String) =
+        min(when(col("hi") >= ceil(lit(p) * col("n")), col("l_quantity"))).as(name)
+      def rr(a: String, b: String) =
+        max(when(col("l_quantity") === col(a), col(b))).as(s"${b}_$a")
+      val agg = cum.join(broadcast(sketch), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(exactQ(0.25, "q25"), exactQ(0.5, "q50"), exactQ(0.9, "q90"),
+          max(col("n")).as("n"),
+          rr("a25", "lo"), rr("a25", "hi"), rr("a50", "lo"), rr("a50", "hi"),
+          rr("a90", "lo"), rr("a90", "hi"))
+      // GK check: the sketch value's rank range [lo, hi] must intersect
+      // [ceil(p*n) - n/acc, ceil(p*n) + n/acc]
+      def within(a: String, p: Double, name: String) = {
+        val t = ceil(lit(p) * col("n"))
+        val eps = col("n") / acc
+        (col(s"lo_$a") <= t + eps && col(s"hi_$a") >= t - eps).as(name)
+      }
+      agg.select(col("l_returnflag"), col("q25"), col("q50"), col("q90"),
+          within("a25", 0.25, "q25_within_eps"),
+          within("a50", 0.5, "q50_within_eps"),
+          within("a90", 0.9, "q90_within_eps"))
         .orderBy(col("l_returnflag"))
     },
 
