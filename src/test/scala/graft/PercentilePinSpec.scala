@@ -5,11 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the rank definition of exact-mode `percentile_approx` (accuracy ≥
   * n): the returned element is the value at rank ⌈p·n⌉ of the sorted
-  * column. The `q_percentiles_approx` oracle replays exactly this rule
-  * with a window (`min(v) FILTER (rn >= ceil(p*n))`), so this test — on
-  * tie-FREE data, where off-by-one rank definitions actually diverge —
-  * is what keeps the cross-engine comparison honest if Spark ever
-  * changes the sketch's exact-mode behavior.
+  * column. Both the `q_percentiles_approx` oracle (window form:
+  * `min(v) FILTER (rn >= ceil(p*n))`) and, since the r12 redesign, the
+  * engine's exact per-value-counts path (smallest value whose cumulative
+  * count ≥ ⌈p·n⌉) implement exactly this rule, so this test — on tie-FREE
+  * data, where off-by-one rank definitions actually diverge — is what
+  * keeps the three definitions honest against each other.
   */
 class PercentilePinSpec extends AnyFunSuite {
   test("exact-mode percentile_approx returns the value at rank ceil(p*n)") {

@@ -160,6 +160,12 @@ def tune(con):
         con.execute(f"SET memory_limit='{MEM}'")
     if THREADS:
         con.execute(f"SET threads={THREADS}")
+    # Spill away from the repo (DuckDB's default temp is cwd/.tmp — an
+    # unbounded whole-table replay once wrote 65 GB into /root/repo/.tmp)
+    # and cap it so one pathological replay degrades to an error for THAT
+    # oracle instead of filling the disk for everything else on the box.
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET max_temp_directory_size='40GB'")
 
 
 class ReplicaEngine:
