@@ -48,8 +48,11 @@ co.tune(con)
 con.execute("SET temp_directory='/tmp/duck_spill'")
 # Cap the whole-table side's spill so a pathological DISTINCT degrades to
 # an error for THAT name instead of filling the disk and killing the box
-# (the r11 sf1 run lost 3 names this way).
-con.execute("SET max_temp_directory_size='40GB'")
+# (the r11 sf1 run lost 3 names this way). The graph trio's whole-table
+# side at sf1 legitimately needs ~60GB — raise via DUCK_TEMP_CAP when the
+# disk has room.
+import os
+con.execute(f"SET max_temp_directory_size='{os.environ.get('DUCK_TEMP_CAP', '40GB')}'")
 for t in co.TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 rep = co.ReplicaEngine(R)
