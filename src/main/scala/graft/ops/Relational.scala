@@ -322,11 +322,17 @@ object Relational {
         .withColumn("lo", col("hi") - col("c") + 1)
         .withColumn("n", sum(col("c")).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("l_returnflag"))))
+      // ONE sketch queried at three percentiles (the array form) — three
+      // separate percentile_approx calls each build their own GK sketch
+      // over the full column (3x the insert cost; measured 74.8 s at sf10
+      // vs ~3 s for q1's scan-agg over the same rows)
       val sketch = lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(
-          expr(s"percentile_approx(l_quantity, 0.25D, $acc)").as("a25"),
-          expr(s"percentile_approx(l_quantity, 0.5D, $acc)").as("a50"),
-          expr(s"percentile_approx(l_quantity, 0.9D, $acc)").as("a90"))
+        .agg(expr(s"percentile_approx(l_quantity, array(0.25D, 0.5D, 0.9D), $acc)")
+          .as("apx"))
+        .select(col("l_returnflag"),
+          element_at(col("apx"), 1).as("a25"),
+          element_at(col("apx"), 2).as("a50"),
+          element_at(col("apx"), 3).as("a90"))
       // ONE broadcast of the 3-row sketch frame onto the 150-row cum frame,
       // then exact quantiles AND the three sketch rank-ranges come out of a
       // single bounded groupBy — two lineitem scans total (counts + sketch);
