@@ -59,7 +59,10 @@ rep = co.ReplicaEngine(R)
 rep.con.execute("SET temp_directory='/tmp/duck_spill'")
 oracles = json.loads(Path(ORACLES).read_text())
 fails = 0
-for name in sorted(rep.spec_mod.METHODS):
+# prove gate-active AND gate-disabled (fallback) specs alike
+ALL_SPECS = {**rep.spec_mod.METHODS,
+             **getattr(rep.spec_mod, "FALLBACK_METHODS", {})}
+for name in sorted(ALL_SPECS):
     if ONLY is not None and name not in ONLY:
         continue
     sql = oracles[name]
@@ -71,7 +74,7 @@ for name in sorted(rep.spec_mod.METHODS):
               f"{str(e)[:120]}) — not a derivation verdict")
         continue
     t1 = time.time()
-    derived = rep.run(name, sql, rep.spec_mod.METHODS[name])
+    derived = rep.run(name, sql, ALL_SPECS[name])
     t2 = time.time()
     errs = co.compare(name, whole, derived)
     print(("PASS" if not errs else "FAIL") +

@@ -150,6 +150,19 @@ METHODS = {
     # ---- r12: heavy whole-table replays that decompose (doc header) ----
     "events_interval_join": {
         "method": "concat", "sort": ["event_id"]},
+}
+
+# Sound but gate-DISABLED specs: the dedup cluster trio's concat
+# derivations (token-suffix premise) are proven frame-exact vs whole-table
+# at rep3 AND rep10 by selftest_replica_oracle.py, but the r12 sf10 gate
+# measured the economics the wrong way round — per-replica replay is
+# O(R · per-slice fixed cost), so at rep100 dedup_clusters took 582 s
+# derived vs 400 s whole-table at r11, and the other two blew the 600 s
+# global budget. Whole-table is feasible AND cheaper for these; the
+# derivations stay here as the verified fallback should a future scale
+# point make the whole-table replay spill-infeasible, and the selftest
+# keeps proving them (it iterates METHODS ∪ FALLBACK_METHODS).
+FALLBACK_METHODS = {
     "dedup_clusters": {
         "method": "concat", "sort": ["doc_id"],
         "premise_sql": _DOC_SUFFIX_PREMISE},
