@@ -487,23 +487,41 @@ object TextAnalysis {
 
     // Content-defined chunking cut points (CDC dedup primitive): positions
     // where the 16-byte windowed Rabin hash lands on the mask. The Spark
-    // side is the O(n) rolling native expression; the oracle hashes every
-    // window independently (O(n·w)) — two independent derivations of the
-    // same cut set.
+    // side is the O(n) rolling native expression; the oracle replays the
+    // same cut set linearly (r12, the dedup_cdc_chunks rewrite applied
+    // here too — the naive per-window fold was O(n·16) interpreted
+    // lambdas and the 4th-heaviest sf10 replay at 348 s):
+    //   H_i = Σ_{j=i-15..i} c_j·B^(i-j)  =  B^i · Σ c_j·B^(-j)   (mod M)
+    // one per-char term c_j·IB^j (IB = B⁻¹ mod M, M prime), a 16-row
+    // windowed SUM per doc, one final modular product. Window sums of
+    // ≤16 terms < 2^61 stay inside HUGEINT; & 63 ≡ % 64 on the
+    // non-negative residue. Cut POSITIONS are provably the same set.
     GraftQuery.of("text_cdc_chunks", {
       val M = graft.functions.RollingHash61.Mod
       val B = graft.functions.RollingHash61.Base
-      val (w, mask) = (16, 63)
-      s"""SELECT doc_id,
-         |  CAST(len(cuts) AS BIGINT) AS n_cuts,
-         |  coalesce(array_to_string(cuts, ','), '') AS cuts_str
-         |FROM (
-         |  SELECT doc_id, list_filter(list_transform(range($w, len(text) + 1),
-         |    i -> CASE WHEN list_reduce(
-         |           list_transform(range(i - ${w - 1}, i + 1), j -> ord(substr(text, j, 1))::BIGINT),
-         |           (a, b) -> ((a::HUGEINT * $B % $M + b) % $M)::BIGINT) & $mask = 0
-         |         THEN i END), x -> x IS NOT NULL) AS cuts
-         |  FROM documents)
+      val IB = graft.functions.RollingHash61.BaseInv
+      s"""WITH RECURSIVE pw(j, pb, pib) AS (
+         |  SELECT 0::BIGINT, 1::HUGEINT, 1::HUGEINT
+         |  UNION ALL
+         |  SELECT j + 1, (pb * $B) % $M, (pib * $IB) % $M
+         |  FROM pw WHERE j < (SELECT max(len(text)) FROM documents)
+         |), chars AS (
+         |  SELECT doc_id, i, ord(substr(text, i, 1))::HUGEINT AS c
+         |  FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+         |        FROM documents)
+         |), hashes AS (
+         |  SELECT doc_id, i,
+         |    ((SUM((c * pib) % $M) OVER (PARTITION BY doc_id ORDER BY i
+         |        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) % $M) * pb) % $M AS h
+         |  FROM chars JOIN pw ON pw.j = chars.i
+         |), cl AS (
+         |  SELECT doc_id, list(i ORDER BY i) AS cuts
+         |  FROM hashes WHERE i >= 16 AND (h % 64) = 0
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(len(cl.cuts), 0) AS BIGINT) AS n_cuts,
+         |  coalesce(array_to_string(cl.cuts, ','), '') AS cuts_str
+         |FROM documents d LEFT JOIN cl USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
       documents(s, d).select(
