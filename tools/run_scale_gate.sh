@@ -27,6 +27,11 @@ OUT=${OUT:-/tmp/scale_out_$REPLICAS}
 CPUS=${SPARK_GRAFT_CPUS:-16}
 ORACLE_TIMEOUT=${ORACLE_TIMEOUT:-600}
 DUCK_MEM=${DUCK_MEM:-48GB}
+# Scale sweeps need a scale-sized driver heap: build.sbt's 8g default
+# OOMs at the 100x point (graph_common_neighbors' wedge stage with 32
+# executor threads died there at r12) — the one-shot command must not
+# depend on the caller remembering to export it.
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g}
 
 if [ ! -f "$DST/lineitem.parquet" ]; then
   echo "== generating ${REPLICAS}x replicas of /root/testdata/sf0.1 -> $DST"
