@@ -685,6 +685,30 @@ object Similarity {
     b
   }
 
+  /** Occupancy-scaled cluster count for [[semanticDedup]]: smallest
+    * nlist = 16·2^j with n ≤ 8·nlist². A FIXED nlist has the same
+    * defect class nnDedupBits fixed at r11 — cluster size grows
+    * linearly with the corpus, so the cluster-scoped pair phase
+    * Σ|cluster|² is QUADRATIC (the r12 sf10 engine-timing sweep put
+    * dedup_semantic at 198 s: 16 clusters × ~12.5k members ≈ 2.5B
+    * bandwidth-bound pairs). This ladder balances the two phases —
+    * assignment is O(n·nlist), pairs are O(n·(n/nlist)) ≤ O(8·n·nlist)
+    * — at k ∝ √n, both O(n^1.5), exactly how SemDeDup scales its
+    * k-means k with corpus size (Abbas et al. '23 §3). Integer-exact
+    * thresholds (n ≤ 8·k²), replayed literally by the oracle; at the
+    * certified sf0.01/sf0.1 points the ladder yields the original 16,
+    * so small-SF hashes are unchanged. At true 100 TB the assignment
+    * phase would move onto the IVF/LSH candidate path ([[knnIvf]]);
+    * the ladder cap keeps the broadcast codebook bounded (16384 × 64
+    * doubles ≈ 8 MB) until then.
+    */
+  val SemDedupMaxNlist = 16384
+  def semanticNlist(n: Long): Int = {
+    var k = 16
+    while (k < SemDedupMaxNlist && n > 8L * k * k) k *= 2
+    k
+  }
+
   /** Embedding near-dup NN with LSH-bucketed candidate generation — the
     * 100 TB shape: every vector probes its own bucket plus all Hamming-1
     * neighbors, candidates meet in a (bucket)-keyed equi-join (each
@@ -733,16 +757,21 @@ object Similarity {
     * at cosine ≥ `tau` — the paper's keep-one-per-semantic-neighborhood
     * rule with a deterministic keeper (min vec_id). Pairwise work is
     * cluster-scoped: the self-join keys on cid, so cost is Σ|cluster|²,
-    * bounded by sizing nlist ∝ corpus/target-cluster-size exactly as the
-    * paper scales k — never the corpus-wide all-pairs. Shuffles: one
-    * broadcast-centroid argmax (map-side partial agg), one cid-keyed
-    * self-join, one vec_id-keyed anti-ish left join for the flag.
+    * bounded by sizing nlist with the corpus exactly as the paper
+    * scales k — never the corpus-wide all-pairs. `nlist <= 0` (the
+    * registered default) derives it from ONE bounded count through the
+    * [[semanticNlist]] ladder — the occupancy-scaling discipline that
+    * keeps the pair phase from going quadratic at 100×; pass a
+    * positive `nlist` to pin it. Shuffles: one broadcast-centroid
+    * argmax (map-side partial agg), one cid-keyed self-join, one
+    * vec_id-keyed anti-ish left join for the flag.
     */
-  def semanticDedup(emb: DataFrame, nlist: Int = 16, tau: Double = 0.3): DataFrame = {
+  def semanticDedup(emb: DataFrame, nlist: Int = 0, tau: Double = 0.3): DataFrame = {
     import graft.functions.Md5Hash60.md5hash60
+    val k = if (nlist > 0) nlist else semanticNlist(emb.count())
     val centroids = broadcast(
       emb.orderBy(md5hash60(col("vec_id").cast("string")), col("vec_id"))
-        .limit(nlist)
+        .limit(k)
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
     val lists = assignNearest(emb, "vec_id", centroids)
     val a = lists.select(col("cid"), col("vec_id").as("a_id"), col("embedding").as("ae"))
@@ -1156,15 +1185,28 @@ object Similarity {
     // SemDeDup: cluster-scoped semantic dedup (drop a vector when a
     // lower-id mate of its IVF cluster sits at cosine ≥ 0.3). The oracle
     // replays the md5-order centroid sample, the argmax assignment
-    // (row_number = 1 ≡ max_by under (csim DESC, cid)), and the
-    // cluster-scoped pair predicate. τ = 0.3 fires at every SF on the
-    // synthetic vectors (186 / 210 / 2,494 qualifying pairs); the crafted
-    // near-dup positive path is unit-pinned in OpsSpec.
+    // (row_number = 1 ≡ max_by under (csim DESC, cid)), the
+    // cluster-scoped pair predicate — and, as of r12, the
+    // OCCUPANCY-SCALED cluster count: nlist from the same integer
+    // threshold ladder as [[semanticNlist]] (n ≤ 8·nlist²). Fixed
+    // nlist=16 made the pair phase quadratic in the corpus and the sf10
+    // engine-timing sweep found it out (198 s; ~2.5B pairs). The ladder
+    // yields 16 at sf0.01/sf0.1, so certified small-SF hashes are
+    // unchanged. τ = 0.3 fires at every SF on the synthetic vectors;
+    // the crafted near-dup positive path is unit-pinned in OpsSpec.
     GraftQuery.of("dedup_semantic", {
       val h60 = GraftQuery.h60Sql("vec_id::VARCHAR")
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
-         |  FROM embeddings ORDER BY $h60, vec_id LIMIT 16
+      val ladder = Iterator.iterate(16L)(_ * 2).takeWhile(_ < SemDedupMaxNlist)
+        .map(k => s"WHEN n <= ${8L * k * k} THEN $k").mkString(" ")
+      s"""WITH params AS (
+         |  SELECT CASE $ladder ELSE $SemDedupMaxNlist END AS nlist
+         |  FROM (SELECT count(*) AS n FROM embeddings)
+         |), cents AS (
+         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM (
+         |    SELECT vec_id, embedding,
+         |      row_number() OVER (ORDER BY $h60, vec_id) AS crank
+         |    FROM embeddings) CROSS JOIN params
+         |  WHERE crank <= params.nlist
          |), asg AS (
          |  SELECT e.vec_id, e.embedding::DOUBLE[] AS ne, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id
