@@ -305,13 +305,18 @@ class ReplicaEngine:
         return df
 
 
-def main():
-    if "--skip-verify" not in sys.argv:
-        run_verify()
+def make_con():
     con = duckdb.connect()
     tune(con)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def main():
+    if "--skip-verify" not in sys.argv:
+        run_verify()
+    con = make_con()
     sys.path.insert(0, str(Path(__file__).parent))
     rep = ReplicaEngine(REPLICAS) if REPLICAS else None
     methods = rep.spec_mod.METHODS if rep else {}
@@ -319,7 +324,21 @@ def main():
     if ONLY:
         oracles = {k: v for k, v in oracles.items() if k in ONLY}
     verdicts = {}
-    n_pass = n_fail = 0
+    # Subset re-adjudication PATCHES an existing artifact instead of
+    # clobbering it: a 600 s oracle that lost its window to host load can
+    # be re-run alone (--only name --json same_path) and the other 280
+    # verdicts survive. Full runs (no --only) still start fresh.
+    if ONLY and JSON_PATH.exists():
+        try:
+            prior = json.loads(JSON_PATH.read_text()).get("queries", {})
+        except Exception:
+            prior = {}
+        verdicts = {k: v for k, v in prior.items() if k not in ONLY}
+        if verdicts:
+            print(f"[patch] preloaded {len(verdicts)} prior verdicts "
+                  f"from {JSON_PATH}")
+    n_pass = sum(1 for v in verdicts.values() if v.get("match"))
+    n_fail = sum(1 for v in verdicts.values() if not v.get("match"))
     for name in sorted(oracles):
         pq = OUT / name
         spec = methods.get(name)
@@ -331,12 +350,42 @@ def main():
             n_fail += 1
             continue
         t0 = time.time()
+        err = None
+        for attempt in (0, 1):
+            try:
+                spark_df = con.sql(f"SELECT * FROM '{pq}/*.parquet'").df()
+                if spec:
+                    oracle_df = rep.run(name, oracles[name], spec, timeout=TIMEOUT)
+                else:
+                    oracle_df = run_df(con, oracles[name], TIMEOUT)
+                err = None
+                break
+            except OracleTimeout:
+                err = OracleTimeout()
+                break
+            except Exception as e:
+                # A spill-heavy predecessor can leave the long-lived
+                # buffer pool unable to serve even a tiny allocation
+                # (observed at the r12 sf10 gate: dq_drift — 0.1 s on a
+                # fresh connection — died with a 260 KB "bad allocation"
+                # right after a 40 GB-spill replay). A fresh connection
+                # is a clean buffer pool: reconnect, retry the name ONCE.
+                if attempt == 0 and "Out of Memory" in str(e):
+                    print(f"[retry] {name}: DuckDB OOM on long-lived "
+                          f"connection — reconnecting")
+                    try:
+                        con.close()
+                    except Exception:
+                        pass
+                    con = make_con()
+                    if rep:
+                        rep = ReplicaEngine(REPLICAS)
+                    continue
+                err = e
+                break
         try:
-            spark_df = con.sql(f"SELECT * FROM '{pq}/*.parquet'").df()
-            if spec:
-                oracle_df = rep.run(name, oracles[name], spec, timeout=TIMEOUT)
-            else:
-                oracle_df = run_df(con, oracles[name], TIMEOUT)
+            if err is not None:
+                raise err
         except OracleTimeout:
             print(f"FAIL {name}: oracle_timeout after {TIMEOUT}s ({method})")
             verdicts[name] = {"match": False, "method": method,

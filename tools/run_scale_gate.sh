@@ -25,7 +25,10 @@ JSON=${3:?output json (e.g. CORRECTNESS_sf10.json)}
 ONLY=${4:-}
 OUT=${OUT:-/tmp/scale_out_$REPLICAS}
 CPUS=${SPARK_GRAFT_CPUS:-16}
-ORACLE_TIMEOUT=${ORACLE_TIMEOUT:-600}
+# 900 not 600: the dedup_cdc_chunks linear replay legitimately costs
+# ~600 s of DuckDB window machinery at sf10 (500M char rows) — a budget
+# sitting ON the clean-box cost flaps with the first puff of host load.
+ORACLE_TIMEOUT=${ORACLE_TIMEOUT:-900}
 DUCK_MEM=${DUCK_MEM:-48GB}
 # Scale sweeps need a scale-sized driver heap: build.sbt's 8g default
 # OOMs at the 100x point (graph_common_neighbors' wedge stage with 32
