@@ -1208,12 +1208,18 @@ object Similarity {
          |    FROM embeddings) CROSS JOIN params
          |  WHERE crank <= params.nlist
          |), asg AS (
-         |  SELECT e.vec_id, e.embedding::DOUBLE[] AS ne, c.cid,
+         |  SELECT e.vec_id, c.cid,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
          |               c.cid) AS crn
          |  FROM embeddings e, cents c
-         |), lists AS (SELECT vec_id, ne, cid FROM asg WHERE crn = 1),
+         |), lists AS (
+         |  -- keep the n×nlist window SKINNY (vec_id, cid, crn) and re-join
+         |  -- the 512-byte embedding payload AFTER crn = 1 prunes to n rows:
+         |  -- carrying ne through the window sort is ~26 GB at sf10 and blew
+         |  -- the 40 GB spill cap (r12 gate, two attempts)
+         |  SELECT a.vec_id, e.embedding::DOUBLE[] AS ne, a.cid
+         |  FROM asg a JOIN embeddings e USING (vec_id) WHERE a.crn = 1),
          |drops AS (
          |  SELECT DISTINCT b.vec_id
          |  FROM lists a JOIN lists b ON a.cid = b.cid AND a.vec_id < b.vec_id

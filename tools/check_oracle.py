@@ -379,6 +379,14 @@ def main():
                         pass
                     con = make_con()
                     if rep:
+                        # close the old engine FIRST: it holds materialized
+                        # __rep_* tables (GBs at sf10) — recreating without
+                        # closing doubles resident memory and killed the
+                        # whole process at the r12 gate
+                        try:
+                            rep.con.close()
+                        except Exception:
+                            pass
                         rep = ReplicaEngine(REPLICAS)
                     continue
                 err = e
