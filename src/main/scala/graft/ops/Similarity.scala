@@ -1208,11 +1208,17 @@ object Similarity {
          |    FROM embeddings) CROSS JOIN params
          |  WHERE crank <= params.nlist
          |), asg AS (
-         |  SELECT e.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
-         |               c.cid) AS crn
-         |  FROM embeddings e, cents c
+         |  -- the inner subquery is a HARD projection boundary: DuckDB 1.0
+         |  -- does not prune e.embedding below the window when the ORDER BY
+         |  -- references it inline, so the sort buffered 51M x 512-byte
+         |  -- lists (~37 GB of spill) at sf10; scoring first leaves the
+         |  -- window a 24-byte row
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cid) AS crn
+         |  FROM (SELECT e.vec_id, c.cid,
+         |          round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) AS s
+         |        FROM embeddings e, cents c) scored
          |), lists AS (
          |  -- keep the n×nlist window SKINNY (vec_id, cid, crn) and re-join
          |  -- the 512-byte embedding payload AFTER crn = 1 prunes to n rows:
