@@ -36,6 +36,17 @@ DUCK_MEM=${DUCK_MEM:-48GB}
 # depend on the caller remembering to export it.
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g}
 
+# DuckDB's buffer manager maps ~256 KB blocks individually, so a 48 GB
+# pool wants ~200k VM maps; the kernel default vm.max_map_count=65530
+# caps the pool at ~16 GB and the NEXT allocation dies with a KB-sized
+# "bad allocation" (r12 gate: dedup_span_scrub's replay parked the
+# process at exactly 65531 maps and everything after it OOM'd while the
+# box had 119 GB free). Raise it if we can; warn if we can't.
+if [ "$(cat /proc/sys/vm/max_map_count 2>/dev/null || echo 0)" -lt 262144 ]; then
+  sysctl -w vm.max_map_count=1048576 2>/dev/null \
+    || echo "WARN: vm.max_map_count low and not raisable - big replays may OOM spuriously"
+fi
+
 if [ ! -f "$DST/lineitem.parquet" ]; then
   echo "== generating ${REPLICAS}x replicas of /root/testdata/sf0.1 -> $DST"
   sbt -batch "runMain graft.tools.GenScale /root/testdata/sf0.1 $DST $REPLICAS"
