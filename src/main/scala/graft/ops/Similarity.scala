@@ -487,13 +487,31 @@ object Similarity {
     * id×centroid product through a ranked window. Ordering (csim desc,
     * cid asc) is encoded as max of struct(csim, -cid).
     */
-  private def assignNearest(df: DataFrame, idCol: String, centroids: DataFrame): DataFrame =
-    df.crossJoin(centroids)
-      .withColumn("csim", round(cosineSim(col("embedding"), col("ce")), 6))
+  private def assignNearest(df: DataFrame, idCol: String, centroids: DataFrame): DataFrame = {
+    // Same packed-argmax trick as [[nnDedupLshAt]] (see the long comment
+    // there): max_by(struct, struct) forces a SortAggregate that
+    // partition-sorts the FULL id×centroid stream — and here each of
+    // those rows dragged the 512-byte embedding through the sort inside
+    // the value struct. One BIGINT max is a HashAggregate with map-side
+    // combine; the embedding payload re-joins AFTER the argmax prunes to
+    // one row per id (id-keyed equi-join, co-partitionable at scale).
+    // cid is a sampled corpus id, so the [0, 2^41) premise is checked on
+    // the bounded centroid frame itself.
+    val Array(cLo, cHi) = centroids.agg(min(col("cid")), max(col("cid")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    require(cLo >= 0L && cHi < NnPackRadix,
+      s"cid range [$cLo, $cHi] outside [0, 2^41) - packed argmax needs re-radixing")
+    val packed = (rint(round(cosineSim(col("embedding"), col("ce")), 6) * lit(1000000.0d))
+      .cast("long") * lit(NnPackRadix)) - col("cid")
+    val best = df.crossJoin(centroids)
       .groupBy(col(idCol))
-      .agg(max_by(struct(col("cid"), col("embedding")),
-        struct(col("csim"), -col("cid"))).as("__a"))
-      .select(col(idCol), col("__a.embedding").as("embedding"), col("__a.cid").as("cid"))
+      .agg(max(packed).as("pk"))
+      .select(col(idCol),
+        (shiftright(col("pk") + lit(NnPackRadix - 1), 41) * lit(NnPackRadix) - col("pk"))
+          .as("cid"))
+    df.select(col(idCol), col("embedding")).join(best, Seq(idCol))
+      .select(col(idCol), col("embedding"), col("cid"))
+  }
 
   /** Top-`keep` centroid assignment as a BOUNDED aggregation: per-probe
     * state is at most nlist (csim, cid) entries collected map-side, so
@@ -731,6 +749,12 @@ object Similarity {
     nnDedupLshAt(emb, b, dupThreshold)
   }
 
+  /** Id-packing radix for the candidate argmax below: ids must sit in
+    * [0, 2^41) so (cosine_micro, nn_id) packs into one BIGINT. 2^41
+    * leaves the 6-dp cosine (|micro| ≤ 10^6 < 2^20) a full 20+sign bits
+    * of headroom inside the 63-bit magnitude. */
+  private val NnPackRadix = 1L << 41
+
   private def nnDedupLshAt(emb: DataFrame, bits: Int, dupThreshold: Double): DataFrame = {
     val withBucket = emb.withColumn("bucket", lshBucket("embedding", bits))
     val probeBuckets = (0 until bits).map(m => col("bucket").bitwiseXOR(lit(1L << m))) :+ col("bucket")
@@ -738,14 +762,38 @@ object Similarity {
       explode(array(probeBuckets: _*)).as("bucket"))
     val cands = withBucket
       .select(col("vec_id").as("nn_id"), col("embedding").as("ne"), col("bucket"))
+    // The per-vector argmax under (cosine DESC, nn_id ASC) used to be
+    // max_by(struct, struct) — which Spark can only run as a
+    // SortAggregate: the FULL candidate stream (286M rows at sf10) was
+    // partition-sorted and every row allocated two structs (the
+    // mem-canary saw the GC as a self-loaded window; 403 s at sf10,
+    // while a column-pruned count() of the same join ran in 14 s).
+    // Packing the ordering key into ONE BIGINT — micro-cosine in the
+    // high bits, NEGATED id in the low bits — turns it into a plain
+    // max(): HashAggregate, map-side combine, no sort, no allocation.
+    // pk = rint(cosine·10^6)·2^41 − nn_id is strictly order-isomorphic
+    // to (cosine DESC, nn_id ASC); rint is exact because cosine is
+    // already 6-dp-rounded. Decode: cm = (pk + 2^41 − 1) >> 41
+    // (arithmetic shift = floorDiv, exact for negative cosines too),
+    // nn_id = cm·2^41 − pk, cosine = cm / 10^6 (both sides of the gate
+    // produce "nearest double to the exact 6-dp decimal", so the hash
+    // matches round()'s output bit-for-bit). The id-range premise is a
+    // bounded 1-row check, not an assumption.
+    val Array(idLo, idHi) = emb.agg(min(col("vec_id")), max(col("vec_id")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    require(idLo >= 0L && idHi < NnPackRadix,
+      s"vec_id range [$idLo, $idHi] outside [0, 2^41) - packed argmax needs re-radixing")
+    val packed = (rint(round(cosineSim(col("pe"), col("ne")), 6) * lit(1000000.0d))
+      .cast("long") * lit(NnPackRadix)) - col("nn_id")
     probes.join(cands, Seq("bucket"))
       .filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("cosine", round(cosineSim(col("pe"), col("ne")), 6))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("nn_id"), col("cosine")),
-        struct(col("cosine"), -col("nn_id"))).as("nn"))
-      .select(col("vec_id"), col("nn.nn_id").as("nn_id"), col("nn.cosine").as("cosine"),
-        (col("nn.cosine") >= dupThreshold).as("is_dup"))
+      .agg(max(packed).as("pk"))
+      .select(col("vec_id"), shiftright(col("pk") + lit(NnPackRadix - 1), 41).as("cm"), col("pk"))
+      .select(col("vec_id"),
+        (col("cm") * lit(NnPackRadix) - col("pk")).as("nn_id"),
+        (col("cm").cast("double") / lit(1000000.0d)).as("cosine"))
+      .withColumn("is_dup", col("cosine") >= dupThreshold)
       .orderBy(col("vec_id"))
   }
 

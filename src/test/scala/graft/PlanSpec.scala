@@ -158,15 +158,23 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("dedup_embedding_nn")
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    // argmax is the partial-aggregating max_by, not a ranked window sort
-    assert(p.contains("max_by"), p.take(2000))
+    // argmax is the PACKED BIGINT max (r12): a HashAggregate with
+    // map-side combine over the candidate stream — max_by(struct,struct)
+    // could only run as a SortAggregate, which partition-sorted all 286M
+    // sf10 candidates and allocated two structs per row (403 s → 105 s)
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(2000))
+    assert(!p.contains("max_by"), p.take(2000))
     assert(!p.contains("row_number"), p.take(2000))
   }
 
-  test("IVF assignment never window-sorts: max_by argmax + bounded top-n agg") {
+  test("IVF assignment never window-sorts: packed-max argmax + bounded top-n agg") {
     val p = planOf("sim_knn_ivf")
-    // corpus inverted-list build: partial-agg max_by argmax
-    assert(p.contains("max_by"), p.take(2000))
+    // corpus inverted-list build: hash-agg packed-BIGINT argmax (r12) —
+    // the embedding payload re-joins after the argmax instead of riding
+    // the aggregation buffer through a sort
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("max_by"), p.take(2000))
     // probe-side nprobe selection: bounded collect_list aggregation
     assert(p.contains("collect_list"), p.take(2000))
     // the ONLY Window operator left is the final top-k re-rank
