@@ -11,6 +11,8 @@ object Bench {
       // single FILES with 2 MB row groups, and the default 128 MB range
       // would put a whole 80 MB table in one scan task
       .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config(graft.functions.TypedArgExtremum.FallbackThresholdKey,
+        graft.functions.TypedArgExtremum.FallbackThreshold)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

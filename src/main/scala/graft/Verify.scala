@@ -26,6 +26,8 @@ object Verify {
       // would put a whole 80 MB table in one scan task
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.functions.TypedArgExtremum.FallbackThresholdKey,
+        graft.functions.TypedArgExtremum.FallbackThreshold)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -532,8 +532,29 @@ object Dedup {
   def keepBest(docs: DataFrame): DataFrame =
     keepBestEdges(docs, lshCandidatePairs(docs))
 
+  /** Packing radix for [[keepBestEdges]]'s argmax: (score, doc_id) pack
+    * into ONE BIGINT as `w·2^32 − doc_id`, strictly order-isomorphic to
+    * (w DESC… as max; doc_id ASC as tiebreak). Premises — |w| < 2^30
+    * (≥ a million ±1000-weighted tokens per doc) and doc_id ∈ [0, 2^32)
+    * — are asserted IN-PLAN on every row (`assert_true` folded into the
+    * packed expression), so construction stays lazy: no eager
+    * premise-scan jobs at DataFrame-build time, and a violating corpus
+    * fails loudly instead of mis-ranking.
+    */
+  private val KeepBestRadix = 1L << 32
+
   /** [[keepBest]] over an already-derived verified edge relation (the
     * standing-artifact path of the registered query).
+    *
+    * The per-cluster keeper argmax is the packed-BIGINT max (r12's
+    * `Similarity.nnDedupLshAt` template): `max(struct(w, -doc_id))` could
+    * only plan as a SortAggregate — the struct buffer disqualifies
+    * `HashAggregateExec`, so the FULL cluster-member stream (data-
+    * proportional: every doc in every near-dup cluster) was partition-
+    * sorted per aggregation pass. One BIGINT max is a HashAggregate with
+    * map-side combine. Decode: w = floorDiv(pk + 2^32 − 1, 2^32)
+    * (arithmetic shiftright 32 — exact for negative scores too),
+    * keeper = w·2^32 − pk.
     */
   def keepBestEdges(docs: DataFrame, edges: DataFrame): DataFrame = {
     val labels = clusters(edges)
@@ -541,12 +562,19 @@ object Dedup {
       """coalesce(aggregate(split(text, ' '), 0L, (acc, t) ->
         |  acc + CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000),
         |  0L)""".stripMargin).as("w"))
+    val premise = assert_true(
+      abs(col("w")) < lit(1L << 30) && col("doc_id") >= 0 && col("doc_id") < lit(KeepBestRadix),
+      lit("keep_best packed argmax premise: |w| < 2^30 and doc_id in [0, 2^32)"))
+    val packed = col("w") * lit(KeepBestRadix) - col("doc_id") +
+      coalesce(premise.cast("long"), lit(0L))
     labels.join(w, Seq("doc_id"))
       .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members"),
-        max(struct(col("w"), (-col("doc_id")).as("nid"))).as("best"))
+      .agg(count(lit(1)).as("n_members"), max(packed).as("pk"))
       .select(col("cluster_id"), col("n_members"),
-        (-col("best.nid")).as("keeper_id"), col("best.w").as("keeper_w"))
+        shiftright(col("pk") + lit(KeepBestRadix - 1), 32).as("kw"), col("pk"))
+      .select(col("cluster_id"), col("n_members"),
+        (col("kw") * lit(KeepBestRadix) - col("pk")).as("keeper_id"),
+        col("kw").as("keeper_w"))
       .orderBy(col("cluster_id"))
   }
 
@@ -957,8 +985,10 @@ object Dedup {
     //   H_i = Σ_{j=i-15..i} c_j·B^(i-j)  =  B^i · Σ c_j·B^(-j)   (mod M)
     // so one per-char term c_j·IB^j (IB = B⁻¹ mod M, M prime), a 16-row
     // windowed SUM per doc, and one final modular product reconstruct every
-    // window hash in one pass. Sums of ≤16 terms < 2^61 stay inside
-    // HUGEINT; & 63 becomes % 64 (identical for the non-negative residue).
+    // window hash in one pass. Each term is a residue < 2^61, so a
+    // 16-term window sum reaches 16·(2^61−1) ≈ 2^65 — past BIGINT, which
+    // is why the accumulator must be HUGEINT; & 63 becomes % 64
+    // (identical for the non-negative residue).
     // The chunk/keeper/pair logic below is byte-identical to before — the
     // cut POSITIONS are provably the same set, only their cost changed.
     GraftQuery.of("dedup_cdc_chunks", {

@@ -472,10 +472,20 @@ object Similarity {
 
     val joined = cands.join(maybeBroadcast(p, broadcastProbes), Seq("t", "bucket"))
     val kept = if (excludeSelf) joined.filter(col("probe_id") =!= col("neighbor_id")) else joined
-    // OR-combine the tables: a pair that collides in several tables scores once
-    val uniq = kept.select(col("probe_id"), col("pe"), col("neighbor_id"), col("ne"))
-      .dropDuplicates("probe_id", "neighbor_id")
-    topK(uniq.withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6)), k)
+    // OR-combine the tables: score FIRST, dedup per (probe, neighbor) with
+    // max(sim) — the occurrences are the same pair so their sims are
+    // identical and max = the single score. Order matters for the PLAN:
+    // deduping before scoring (dropDuplicates carrying the embedding
+    // arrays) is a `first(array)` aggregate whose buffer disqualifies
+    // HashAggregateExec — the full candidate stream was partition-SORTED
+    // just to dedup (r12 verdict item 1). max(double) is fixed-width, so
+    // this is a HashAggregate with map-side combine; the cost is scoring
+    // a pair once per table it collides in (≤ `tables`, a constant) —
+    // a bounded recompute traded for an unbounded sort.
+    val scored = kept.withColumn("sim", round(cosineSim(col("pe"), col("ne")), 6))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(max(col("sim")).as("sim"))
+    topK(scored, k)
   }
 
   def knnLshMulti(emb: DataFrame, nProbes: Int, k: Int): DataFrame =
@@ -495,14 +505,20 @@ object Similarity {
     // the value struct. One BIGINT max is a HashAggregate with map-side
     // combine; the embedding payload re-joins AFTER the argmax prunes to
     // one row per id (id-keyed equi-join, co-partitionable at scale).
-    // cid is a sampled corpus id, so the [0, 2^41) premise is checked on
-    // the bounded centroid frame itself.
-    val Array(cLo, cHi) = centroids.agg(min(col("cid")), max(col("cid")))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    require(cLo >= 0L && cHi < NnPackRadix,
-      s"cid range [$cLo, $cHi] outside [0, 2^41) - packed argmax needs re-radixing")
-    val packed = (rint(round(cosineSim(col("embedding"), col("ce")), 6) * lit(1000000.0d))
-      .cast("long") * lit(NnPackRadix)) - col("cid")
+    // The premises — cid in [0, 2^41), non-NaN similarity — are asserted
+    // IN-PLAN per row (r13; see nnDedupLshAt): the r12 version collected
+    // min/max over the centroid frame, which is bounded but DERIVED from
+    // a full-corpus md5-order sample, so constructing the DataFrame ran
+    // an extra corpus job before any action. A NaN csim (degenerate
+    // vector or centroid) now fails fast instead of silently competing
+    // as similarity 0.
+    val csim = round(cosineSim(col("embedding"), col("ce")), 6)
+    val cPremise = assert_true(
+      !isnan(csim) && col("cid") >= 0 && col("cid") < lit(NnPackRadix),
+      lit("packed argmax premise: non-NaN csim and cid in [0, 2^41)"))
+    val packed = (rint(csim * lit(1000000.0d))
+      .cast("long") * lit(NnPackRadix)) - col("cid") +
+      coalesce(cPremise.cast("long"), lit(0L))
     val best = df.crossJoin(centroids)
       .groupBy(col(idCol))
       .agg(max(packed).as("pk"))
@@ -777,14 +793,22 @@ object Similarity {
     // (arithmetic shift = floorDiv, exact for negative cosines too),
     // nn_id = cm·2^41 − pk, cosine = cm / 10^6 (both sides of the gate
     // produce "nearest double to the exact 6-dp decimal", so the hash
-    // matches round()'s output bit-for-bit). The id-range premise is a
-    // bounded 1-row check, not an assumption.
-    val Array(idLo, idHi) = emb.agg(min(col("vec_id")), max(col("vec_id")))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    require(idLo >= 0L && idHi < NnPackRadix,
-      s"vec_id range [$idLo, $idHi] outside [0, 2^41) - packed argmax needs re-radixing")
-    val packed = (rint(round(cosineSim(col("pe"), col("ne")), 6) * lit(1000000.0d))
-      .cast("long") * lit(NnPackRadix)) - col("nn_id")
+    // matches round()'s output bit-for-bit). The premises — id in
+    // [0, 2^41) and a non-NaN cosine — are asserted IN-PLAN on every
+    // candidate row (r13): the r12 eager min/max-collect premise cost an
+    // extra full-corpus job at DataFrame-CONSTRUCTION time, and a NaN
+    // cosine (degenerate zero-norm vector) would have packed silently to
+    // 0 where the old max_by ranked NaN above all — now either violation
+    // aborts the query loudly instead of fabricating a result. The
+    // assert is two codegen'd compares per row next to a 64-dim dot
+    // product; construction stays lazy.
+    val cos = round(cosineSim(col("pe"), col("ne")), 6)
+    val premise = assert_true(
+      !isnan(cos) && col("nn_id") >= 0 && col("nn_id") < lit(NnPackRadix),
+      lit("packed argmax premise: non-NaN cosine and nn_id in [0, 2^41)"))
+    val packed = (rint(cos * lit(1000000.0d))
+      .cast("long") * lit(NnPackRadix)) - col("nn_id") +
+      coalesce(premise.cast("long"), lit(0L))
     probes.join(cands, Seq("bucket"))
       .filter(col("vec_id") =!= col("nn_id"))
       .groupBy(col("vec_id"))

@@ -493,9 +493,11 @@ object TextAnalysis {
     // lambdas and the 4th-heaviest sf10 replay at 348 s):
     //   H_i = Σ_{j=i-15..i} c_j·B^(i-j)  =  B^i · Σ c_j·B^(-j)   (mod M)
     // one per-char term c_j·IB^j (IB = B⁻¹ mod M, M prime), a 16-row
-    // windowed SUM per doc, one final modular product. Window sums of
-    // ≤16 terms < 2^61 stay inside HUGEINT; & 63 ≡ % 64 on the
-    // non-negative residue. Cut POSITIONS are provably the same set.
+    // windowed SUM per doc, one final modular product. Each term is a
+    // residue < 2^61, so a 16-term window sum reaches 16·(2^61−1) ≈ 2^65
+    // — past BIGINT, inside HUGEINT, which is why the accumulator is
+    // HUGEINT; & 63 ≡ % 64 on the non-negative residue. Cut POSITIONS
+    // are provably the same set.
     GraftQuery.of("text_cdc_chunks", {
       val M = graft.functions.RollingHash61.Mod
       val B = graft.functions.RollingHash61.Base

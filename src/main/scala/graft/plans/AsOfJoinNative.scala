@@ -265,6 +265,22 @@ final case class AsOfJoinBroadcastExec(
     val nVals = rightValsIn.length
     val out = outAttrs
     val rBc = right.executeBroadcast[Array[InternalRow]]()
+    // The broadcast mode is correct ONLY while the build side is
+    // dimension-sized — a data-proportional right side makes the
+    // broadcast itself the scale failure (every task re-sorts it, every
+    // executor holds it). That contract was previously a Scaladoc note;
+    // now it is enforced at the one place the cardinality is already
+    // known for free: the driver-side broadcast value, before any task
+    // launches (r12 verdict item 2 — the registry's last unguarded
+    // scale-killer). Past the rail the query fails loudly and names the
+    // shuffle-mode operator that handles unbounded right sides.
+    val buildRows = rBc.value.length
+    val rail = conf.getConfString(AsOfJoinNative.MaxBroadcastBuildRowsKey,
+      AsOfJoinNative.MaxBroadcastBuildRows.toString).toLong
+    require(buildRows <= rail,
+      s"as-of broadcast build side has $buildRows rows > rail $rail " +
+        s"(${AsOfJoinNative.MaxBroadcastBuildRowsKey}) - the right side " +
+        "is not dimension-sized; use the shuffle mode (broadcastRight = false)")
     left.execute().mapPartitions({ lIter =>
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
@@ -322,6 +338,20 @@ final case class AsOfJoinBroadcastExec(
 }
 
 object AsOfJoinNative {
+  /** Cardinality rail for [[AsOfJoinBroadcastExec]]: 2^24 (~16.8M) build
+    * rows. Sized from the physics of the operator — every task holds and
+    * binary-searches the full build array, so ~16M copied (key, time,
+    * tie, vals) tuples ≈ low-GB heap per executor is the most a
+    * "dimension-sized" side can defensibly mean; a build side tracking
+    * the fact table (the q_asof_broadcast demo's purchase subset at
+    * ≥100×) trips the rail long before it OOMs an executor, with an
+    * error that points at the shuffle mode.
+    */
+  val MaxBroadcastBuildRows: Int = 1 << 24
+  /** Session-conf override of the rail (tests pin it low to exercise the
+    * failure path without 16M rows; a deployment can widen it knowingly). */
+  val MaxBroadcastBuildRowsKey = "spark.graft.asof.maxBroadcastBuildRows"
+
   /** DataFrame entry point: projects the right side to what the operator
     * consumes, registers the strategy on the live session, and builds the
     * logical node. Output = every left column, plus `asof_<v>` for each

@@ -7,6 +7,8 @@ object EntrySmoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      .config(graft.functions.TypedArgExtremum.FallbackThresholdKey,
+        graft.functions.TypedArgExtremum.FallbackThreshold)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = graft.SparkEntry.entry(spark).count()

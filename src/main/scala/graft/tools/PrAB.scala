@@ -35,6 +35,8 @@ object PrAB {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config(graft.functions.TypedArgExtremum.FallbackThresholdKey,
+        graft.functions.TypedArgExtremum.FallbackThreshold)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(query)

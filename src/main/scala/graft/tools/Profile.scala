@@ -15,6 +15,8 @@ object Profile {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("PROFILE_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("PROFILE_SHUFFLE", "8"))
+      .config(graft.functions.TypedArgExtremum.FallbackThresholdKey,
+        graft.functions.TypedArgExtremum.FallbackThreshold)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -10,6 +10,8 @@ object SkewProbe {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config(graft.functions.TypedArgExtremum.FallbackThresholdKey,
+        graft.functions.TypedArgExtremum.FallbackThreshold)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.ops.ScaleOps.withSkewJoinConfs(spark) {

@@ -172,14 +172,57 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("sim_knn_ivf")
     // corpus inverted-list build: hash-agg packed-BIGINT argmax (r12) —
     // the embedding payload re-joins after the argmax instead of riding
-    // the aggregation buffer through a sort
+    // the aggregation buffer through a sort. The explicit !SortAggregate
+    // matters (r12 ADVICE): collect_list's ObjectHashAggregate also
+    // matches "HashAggregate", so without it a packed-argmax regression
+    // back to SortAggregate would still pass this test.
     assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(2000))
     assert(!p.contains("max_by"), p.take(2000))
     // probe-side nprobe selection: bounded collect_list aggregation
     assert(p.contains("collect_list"), p.take(2000))
     // the ONLY Window operator left is the final top-k re-rank
     val windows = "- Window \\(".r.findAllIn(p).size
     assert(windows == 1, s"Window operators=$windows\n${p.take(2000)}")
+  }
+
+  // r13 (verdict item 1): the five remaining SortAggregate plans, each
+  // over a data-proportional stream, converted to hash-grouped argmaxes —
+  // packed-BIGINT max where the ordering key packs into 63 bits
+  // (dedup_keep_best), typed ObjectHashAggregate argmax where key+payload
+  // cannot pack (events_compact_latest: 51-bit micros + id + raw double),
+  // score-then-dedup where the sort came from first(array) dedup buffers
+  // (the multi-table LSH pair). These lock the whole family.
+  test("compact snapshot argmax is hash-grouped: ObjectHashAggregate, no partition sort") {
+    val p = planOf("events_compact_latest")
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(2000))
+    // the BUILTIN max_by must be gone (typed_max_by is the replacement)
+    assert("(?<!typed_)max_by\\(".r.findFirstIn(p).isEmpty, p.take(2000))
+  }
+
+  test("keep-best keeper argmax is the packed-BIGINT HashAggregate") {
+    val p = planOf("dedup_keep_best")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(2000))
+    assert(!p.contains("max_by("), p.take(2000))
+  }
+
+  test("multi-table LSH dedups scored pairs hash-side, never sorts the candidate stream") {
+    for (q <- Seq("sim_knn_lsh_multi", "sim_recall_lsh_multi")) {
+      val p = planOf(q)
+      assert(p.contains("HashAggregate"), s"$q\n${p.take(2000)}")
+      assert(!p.contains("SortAggregate"), s"$q\n${p.take(2000)}")
+      // the only Sorts allowed are the top-k WindowGroupLimit re-rank and
+      // output ordering — never a dedup aggregate over embedding arrays
+      assert(!p.contains("partial_first"), s"$q\n${p.take(2000)}")
+    }
+  }
+
+  test("column-profile string extrema fold on the hash path") {
+    val p = planOf("dq_column_profile")
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    assert(p.contains("typed_min_by") && p.contains("typed_max_by"), p.take(3000))
   }
 
   test("decontamination probes the benchmark shingles via broadcast, no corpus shuffle join") {

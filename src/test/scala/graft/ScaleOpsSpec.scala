@@ -73,6 +73,33 @@ class ScaleOpsSpec extends AnyFunSuite {
       (300L, Some(903L), Some(7.0))))
   }
 
+  test("broadcast as-of join enforces the build-side cardinality rail") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 900L, 1.0),
+      (1L, ts("2024-01-01 09:30:00"), 901L, 2.0),
+      (1L, ts("2024-01-01 09:45:00"), 902L, 3.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val key = graft.plans.AsOfJoinNative.MaxBroadcastBuildRowsKey
+    spark.conf.set(key, "2") // 3 build rows > rail 2 → must fail loudly
+    try {
+      val e = intercept[Exception] {
+        graft.plans.AsOfJoinNative.asofJoin(left, right, key = Seq("user_id"),
+          time = "ts", tieBreak = "event_id", rightVals = Seq("value"),
+          broadcastRight = true).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("not dimension-sized")), e.toString)
+    } finally spark.conf.unset(key)
+    // at the default rail the same query runs
+    val ok = graft.plans.AsOfJoinNative.asofJoin(left, right, key = Seq("user_id"),
+      time = "ts", tieBreak = "event_id", rightVals = Seq("value"),
+      broadcastRight = true).collect()
+    assert(ok.length == 1 && ok(0).getAs[Double]("asof_value") == 3.0)
+  }
+
   test("extension-registered SQL functions match the native column API") {
     GraftExtensions.register(spark)
     Seq((1L, "hello world"), (2L, "")).toDF("id", "text")

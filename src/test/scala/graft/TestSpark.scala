@@ -10,6 +10,8 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .config(graft.functions.TypedArgExtremum.FallbackThresholdKey,
+      graft.functions.TypedArgExtremum.FallbackThreshold)
     .getOrCreate()
 
   def resourcePath(name: String): String =

@@ -328,11 +328,26 @@ def main():
     # clobbering it: a 600 s oracle that lost its window to host load can
     # be re-run alone (--only name --json same_path) and the other 280
     # verdicts survive. Full runs (no --only) still start fresh.
+    final_partial = False
     if ONLY and JSON_PATH.exists():
         try:
-            prior = json.loads(JSON_PATH.read_text()).get("queries", {})
+            prior_doc = json.loads(JSON_PATH.read_text())
         except Exception:
+            prior_doc = {}
+        prior = prior_doc.get("queries", {})
+        # Guards (r12 ADVICE): a prior artifact from a DIFFERENT SF must
+        # not be laundered into this run's verdict, and a prior that was
+        # itself partial keeps its partial flag through the merge —
+        # otherwise a cross-SF or incomplete file silently becomes a
+        # clean-looking full artifact.
+        if prior and prior_doc.get("sf") != SF:
+            print(f"[patch] SKIP preload: prior sf={prior_doc.get('sf')!r} "
+                  f"!= current {SF!r}")
             prior = {}
+        elif prior_doc.get("partial"):
+            final_partial = True
+            print("[patch] prior artifact is PARTIAL - merged output "
+                  "keeps partial=true")
         verdicts = {k: v for k, v in prior.items() if k not in ONLY}
         if verdicts:
             print(f"[patch] preloaded {len(verdicts)} prior verdicts "
@@ -436,8 +451,10 @@ def main():
     for name in sorted(wanted - set(oracles)):
         df = con.sql(f"SELECT * FROM '{OUT / name}/*.parquet'").df()
         print(f"INFO {name}: no oracle, {len(df)} rows")
-    JSON_PATH.write_text(json.dumps(
-        {"sf": SF, "pass": n_pass, "fail": n_fail, "queries": verdicts}, indent=1))
+    final_doc = {"sf": SF, "pass": n_pass, "fail": n_fail, "queries": verdicts}
+    if final_partial:
+        final_doc["partial"] = True
+    JSON_PATH.write_text(json.dumps(final_doc, indent=1))
     print(f"\n{n_pass} pass / {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
