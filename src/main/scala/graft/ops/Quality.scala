@@ -246,6 +246,30 @@ object Quality {
         .orderBy(col("table_name"), col("col_name"))
     },
 
+    // The profile's 100 TB twin ([[profileApprox]] Scaladoc): the exact
+    // count(DISTINCT) swap for HLL++ EXECUTED as a registered row — one
+    // single-pass aggregate per table, per-column envelope booleans. The
+    // oracle pins the exact stats and asserts the envelope held (TRUE),
+    // the same contract as q_approx_distinct.
+    GraftQuery.of("dq_column_profile_approx", {
+      def one(t: String, c: String) =
+        s"""SELECT '$t' AS table_name, '$c' AS col_name,
+           |  count(*) AS n_rows, count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct, TRUE AS approx_ok FROM $t""".stripMargin
+      (Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        .map(one("lineitem", _)) ++
+        Seq("o_custkey", "o_orderstatus", "o_totalprice").map(one("orders", _)))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, col_name")
+    }) { (s, d) =>
+      profileApprox("lineitem", lineitem(s, d), Seq(
+        "l_orderkey" -> NumCol, "l_quantity" -> NumCol,
+        "l_returnflag" -> StrCol, "l_shipdate" -> TsCol))
+        .unionByName(profileApprox("orders", orders(s, d), Seq(
+          "o_custkey" -> NumCol, "o_orderstatus" -> StrCol,
+          "o_totalprice" -> NumCol)))
+        .orderBy(col("table_name"), col("col_name"))
+    },
+
     // REFERENTIAL-INTEGRITY audit across the star schema's four FK edges.
     // The testdata is consistent (all counts 0) — the production success
     // case; QualitySpec proves the orphan path on a crafted violation.

@@ -275,6 +275,18 @@ object Similarity {
       s"(CASE WHEN $j < params.bits AND NOT isnan($dot) AND $dot > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Side bit of the FIRST MASKED-OFF plane (index = params.bits, a
+    * runtime value) — the heavy-bucket split key ([[NnDedupHeavyOccupancy]]).
+    * Emits maxBits+1 gated plane terms so one static SQL string replays
+    * whatever bits the engine's ladder derives, including the cap.
+    */
+  private def subBitSqlAdaptive(maxBits: Int, sign: (Int, Int) => Double,
+      arr: String = "e"): String =
+    (0 to maxBits).map { j =>
+      val dot = s"list_dot_product($arr, ${planeListSql(i => sign(j, i))})"
+      s"(CASE WHEN $j = params.bits AND NOT isnan($dot) AND $dot > 0 THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+
   /** Oracle CTE chain `{pfx}p → {pfx}scored → {pfx}ranked` for brute-force
     * cosine ranking of probes vec_id < 5 — ONE definition shared by the
     * `sim_knn_brute` oracle and every composition over it (the recall
@@ -745,9 +757,10 @@ object Similarity {
 
   /** Embedding near-dup NN with LSH-bucketed candidate generation — the
     * 100 TB shape: every vector probes its own bucket plus all Hamming-1
-    * neighbors, candidates meet in a (bucket)-keyed equi-join (each
-    * candidate lives in exactly ONE bucket, so no pair is scored twice),
-    * exact cosine re-rank, partial-agg `max_by` argmax per vector.
+    * neighbors, candidates meet in a (bucket, sub)-keyed equi-join (each
+    * candidate lives in exactly ONE bucket and one side of the
+    * heavy-split plane — see [[NnDedupHeavyOccupancy]] — so no pair is
+    * scored twice), exact cosine re-rank, partial-agg argmax per vector.
     * Candidates per vector ≈ (bits+1) · corpus / 2^bits; because BOTH
     * join sides are the corpus here, bits defaults to the
     * occupancy-scaled [[nnDedupBits]] (bits ≤ 0 ⇒ derive from ONE
@@ -771,13 +784,48 @@ object Similarity {
     * of headroom inside the 63-bit magnitude. */
   private val NnPackRadix = 1L << 41
 
+  /** Occupancy past which a bucket is SPLIT by one extra plane (r12
+    * verdict item 6): the [[nnDedupBits]] ladder bounds EXPECTED
+    * occupancy at [[NnDedupTargetBucket]], but hash skew leaves a tail
+    * (sf10 measured: median 86, max 522 members) whose within-bucket
+    * dot-product term is quadratic in occupancy. Past 2× target the
+    * bucket's members key on (bucket, side-of-plane-`bits`) — the next
+    * plane in the same deterministic family — roughly halving the
+    * tail's pair work. The cost is losing same-heavy-bucket pairs the
+    * extra plane separates: P = acos(cos)/π ≈ 0.5% at the planted
+    * 0.9999 band (recall re-asserted ≥ 0.9 in OpsSpec), ≤ 10% at the
+    * 0.95 flag edge. The occupancy probe is ONE hash-agg over the
+    * bucketed corpus, and the heavy set is PROVABLY bounded — ≤ 2^16
+    * buckets by the ladder cap — so its broadcast never scales with the
+    * corpus.
+    */
+  val NnDedupHeavyOccupancy: Long = 2L * NnDedupTargetBucket
+
   private def nnDedupLshAt(emb: DataFrame, bits: Int, dupThreshold: Double): DataFrame = {
     val withBucket = emb.withColumn("bucket", lshBucket("embedding", bits))
+    val occ = withBucket.groupBy(col("bucket")).agg(count(lit(1)).as("__occ"))
+    val heavy = broadcast(occ.filter(col("__occ") > NnDedupHeavyOccupancy)
+      .select(col("bucket"), lit(true).as("__heavy")))
+    // side of the FIRST MASKED-OFF plane (index = bits): same nanvl
+    // pinning as bucketCol so degenerate vectors take side 0 on both
+    // engines
+    val extraBit = when(nanvl(cosineSim(col("embedding"),
+      planeArray(i => planeSign(bits, i))), lit(0.0)) > 0, lit(1L)).otherwise(lit(0L))
     val probeBuckets = (0 until bits).map(m => col("bucket").bitwiseXOR(lit(1L << m))) :+ col("bucket")
-    val probes = withBucket.select(col("vec_id"), col("embedding").as("pe"),
-      explode(array(probeBuckets: _*)).as("bucket"))
+    // a probe's sub-key depends on the PROBED bucket's heaviness (its own
+    // side travels with it); a candidate's on its home bucket's
+    val probes = withBucket
+      .withColumn("__eb", extraBit)
+      .select(col("vec_id"), col("embedding").as("pe"), col("__eb"),
+        explode(array(probeBuckets: _*)).as("bucket"))
+      .join(heavy, Seq("bucket"), "left")
+      .withColumn("sub", when(col("__heavy").isNotNull, col("__eb")).otherwise(lit(0L)))
+      .select(col("vec_id"), col("pe"), col("bucket"), col("sub"))
     val cands = withBucket
-      .select(col("vec_id").as("nn_id"), col("embedding").as("ne"), col("bucket"))
+      .join(heavy, Seq("bucket"), "left")
+      .withColumn("sub", when(col("__heavy").isNotNull, extraBit).otherwise(lit(0L)))
+      .select(col("vec_id").as("nn_id"), col("embedding").as("ne"),
+        col("bucket"), col("sub"))
     // The per-vector argmax under (cosine DESC, nn_id ASC) used to be
     // max_by(struct, struct) — which Spark can only run as a
     // SortAggregate: the FULL candidate stream (286M rows at sf10) was
@@ -809,7 +857,7 @@ object Similarity {
     val packed = (rint(cos * lit(1000000.0d))
       .cast("long") * lit(NnPackRadix)) - col("nn_id") +
       coalesce(premise.cast("long"), lit(0L))
-    probes.join(cands, Seq("bucket"))
+    probes.join(cands, Seq("bucket", "sub"))
       .filter(col("vec_id") =!= col("nn_id"))
       .groupBy(col("vec_id"))
       .agg(max(packed).as("pk"))
@@ -1227,23 +1275,38 @@ object Similarity {
         .mkString(" ")
       val probeBuckets = (0 until NnDedupMaxBits)
         .map(m => s"CASE WHEN $m < params.bits THEN xor(bucket, ${1L << m}) END") :+ "bucket"
+      // heavy-bucket split replay (r13): the occupancy CTE, the
+      // 2×target threshold, the extra-plane side bit (runtime plane
+      // index params.bits via the gated-term trick), and the
+      // (bucket, sub) join key — all literally the engine's logic
       s"""WITH params AS (
          |  SELECT CASE $ladder ELSE $NnDedupMaxBits END AS bits
          |  FROM (SELECT count(*) AS n FROM embeddings)
          |), wb AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS e,
-         |    CAST(${bucketSqlAdaptive(NnDedupMaxBits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS bucket
+         |    CAST(${bucketSqlAdaptive(NnDedupMaxBits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS bucket,
+         |    CAST(${subBitSqlAdaptive(NnDedupMaxBits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS eb
          |  FROM embeddings CROSS JOIN params
+         |), heavy AS (
+         |  SELECT bucket FROM wb GROUP BY bucket
+         |  HAVING count(*) > $NnDedupHeavyOccupancy
+         |), wbs AS (
+         |  SELECT vec_id, e, wb.bucket,
+         |    CASE WHEN h.bucket IS NOT NULL THEN eb ELSE 0 END AS sub
+         |  FROM wb LEFT JOIN heavy h ON h.bucket = wb.bucket
          |), probes AS (
-         |  SELECT vec_id, pe, bucket FROM (
-         |    SELECT vec_id, e AS pe,
+         |  SELECT vec_id, pe, p.bucket,
+         |    CASE WHEN h.bucket IS NOT NULL THEN eb ELSE 0 END AS sub
+         |  FROM (
+         |    SELECT vec_id, e AS pe, eb,
          |      unnest([${probeBuckets.mkString(", ")}]) AS bucket
-         |    FROM wb CROSS JOIN params)
-         |  WHERE bucket IS NOT NULL
+         |    FROM wb CROSS JOIN params) p
+         |  LEFT JOIN heavy h ON h.bucket = p.bucket
+         |  WHERE p.bucket IS NOT NULL
          |), scored AS (
          |  SELECT p.vec_id, w.vec_id AS nn_id,
          |    round(list_cosine_similarity(pe, w.e), 6) AS cosine
-         |  FROM probes p JOIN wb w USING (bucket) WHERE w.vec_id <> p.vec_id
+         |  FROM probes p JOIN wbs w USING (bucket, sub) WHERE w.vec_id <> p.vec_id
          |), ranked AS (
          |  SELECT vec_id, nn_id, cosine,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn

@@ -299,6 +299,29 @@ class OpsSpec extends AnyFunSuite {
     assert(exactHits == n, s"exact path should always find the planted pair ($exactHits/$n)")
   }
 
+  test("heavy-bucket split: an over-occupied bucket splits on the extra plane, dups still found") {
+    // 600 tiny perturbations of ONE vector: they pile into one bucket
+    // (occupancy 600 > the 250 heavy threshold), so the r13 split keys
+    // them on the extra plane's side — and every vector must still find
+    // a ≥0.95-cosine neighbor, because each side keeps hundreds of
+    // near-copies
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("be"))
+    val many = spark.range(600).toDF("vec_id").crossJoin(base)
+      .select(col("vec_id"),
+        expr("transform(be, (x, i) -> cast(x * (1.0 + 0.0005 * ((i + vec_id) % 5 - 2)) as float))")
+          .as("embedding"))
+    val bits = Similarity.nnDedupBits(600)
+    val occ = many.withColumn("b", Similarity.lshBucket("embedding", bits))
+      .groupBy("b").count().orderBy(col("count").desc).collect()
+    assert(occ.head.getLong(1) > Similarity.NnDedupHeavyOccupancy,
+      s"test premise: dominant bucket ${occ.head.getLong(1)} must exceed the heavy threshold")
+    val out = Similarity.nnDedupLsh(many).collect()
+    val dups = out.count(_.getBoolean(3))
+    assert(out.length >= 590, s"rows=${out.length}")
+    assert(dups >= (0.9 * out.length).toInt, s"dups=$dups of ${out.length}")
+  }
+
   test("SemDeDup drops every planted near-copy into its original's cluster") {
     // plant a ~0.9999-cosine copy of each vector at vec_id + 10000: the
     // copy must land in the SAME IVF cluster as its original (assignment
