@@ -57,10 +57,37 @@ object Verify {
       timed += ((name, (System.nanoTime() - t0) / 1e9, i / CanaryEvery))
     }
     canaries :+= Canaries.sample()
+    // Heavy-query timings are MIN-OF-2 (r12 verdict item 4): per-query
+    // numbers at the 100x point swung ±2x between min-of-1 sweeps
+    // (q_aqe_skew_join 55.7↔207.0 s with identical code), so the
+    // instrument that catches super-linear defects couldn't reliably
+    // flag a 2x regression in a heavy query. The top 20 queries by
+    // first-pass seconds (above a 5 s floor — below it the parquet
+    // write dominates and totals already reproduce within ~2%) run a
+    // second timed pass and the artifact keeps the min, with both raw
+    // passes recorded so a sweep-vs-sweep comparison can see the spread.
+    val heavySet = timed.sortBy(-_._2).filter(_._2 >= 5.0).take(20).map(_._1).toSet
+    val secondPass = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (heavySet.nonEmpty) {
+      qs.filter(q => heavySet(q._1)).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name second pass failed: ${e.getMessage}")
+        }
+        secondPass(name) = (System.nanoTime() - t0) / 1e9
+      }
+      canaries :+= Canaries.sample()
+    }
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val secsJson = timed.map { case (n, s, _) => s""""$n":${r3(s)}""" }
+    val secsJson = timed.map { case (n, s, _) =>
+      s""""$n":${r3(secondPass.get(n).fold(s)(math.min(s, _)))}""" }
       .mkString("{", ",", "}")
+    val heavyJson = secondPass.map { case (n, s2) =>
+      val s1 = timed.find(_._1 == n).map(_._2).getOrElse(s2)
+      s""""$n":[${r3(s1)},${r3(s2)}]""" }.mkString("{", ",", "}")
     val winJson = timed.map { case (n, _, w) =>
       val a = canaries(w)
       val b = canaries(math.min(w + 1, canaries.size - 1))
@@ -68,8 +95,10 @@ object Verify {
     }.mkString("{", ",", "}")
     val canJson = canaries.map(c =>
       s"[${r3(c.single)},${r3(c.par32)},${r3(c.mem)}]").mkString("[", ",", "]")
+    val minTotal = timed.map { case (n, s, _) =>
+      secondPass.get(n).fold(s)(math.min(s, _)) }.sum
     Files.writeString(Paths.get(s"$outDir/spark_secs.json"),
-      s"""{"metric":"verify_spark_secs","unit":"sec","sf":"$sfDir","agg":"min_of_1_with_write","total":${r3(timed.map(_._2).sum)},"n_queries":${timed.size},"queries":$secsJson,"window_canaries":$winJson,"raw_canaries":$canJson,"canary_min":[${r3(canaries.map(_.single).min)},${r3(canaries.map(_.par32).min)},${r3(canaries.map(_.mem).min)}]}""")
+      s"""{"metric":"verify_spark_secs","unit":"sec","sf":"$sfDir","agg":"min_of_2_heavy_top20_with_write","total":${r3(minTotal)},"first_pass_total":${r3(timed.map(_._2).sum)},"n_queries":${timed.size},"queries":$secsJson,"heavy_passes":$heavyJson,"window_canaries":$winJson,"raw_canaries":$canJson,"canary_min":[${r3(canaries.map(_.single).min)},${r3(canaries.map(_.par32).min)},${r3(canaries.map(_.mem).min)}]}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
