@@ -93,7 +93,14 @@ case class TypedArgExtremum(
 
   override def serialize(buf: TypedArgExtremum.State): Array[Byte] =
     if (!buf.set) Array.emptyByteArray
-    else pairProj(InternalRow(buf.key, buf.value)).getBytes
+    else {
+      // getBytes returns the projection's REUSED backing array when the
+      // row exactly fills it — copy so two serialized buffers can never
+      // alias (the framework usually consumes each result before the
+      // next call, but that's its implementation detail, not a contract)
+      val row = pairProj(InternalRow(buf.key, buf.value))
+      java.util.Arrays.copyOf(row.getBytes, row.getSizeInBytes)
+    }
 
   override def deserialize(bytes: Array[Byte]): TypedArgExtremum.State = {
     val buf = new TypedArgExtremum.State

@@ -973,7 +973,14 @@ object ScaleOps {
       // cloned session: the lowered skew thresholds + broadcast disable
       // can never leak into a concurrent plan on the shared session
       val s = outer.newSession()
-      withSkewJoinConfs(s) { aqeSkewJoinPlan(s, d).localCheckpoint(true) }
+      // split cap scaled to the input: ~256 scan slices at any SF — many
+      // mappers for the skew split to cut along, without the fixed-16KB
+      // cap's ~58k-task scheduling storm at the 100x point (one bounded
+      // FS stat of the single-file table; min 16KB keeps the small-SF
+      // slicing, and the spec's shape assertions, exactly as before)
+      val liBytes = new java.io.File(s"$d/lineitem.parquet").length()
+      val cap = s"${math.max(16L * 1024, liBytes / 256)}b"
+      withSkewJoinConfs(s, cap) { aqeSkewJoinPlan(s, d).localCheckpoint(true) }
     },
 
     // BUCKETIZED RANGE JOIN — the point-in-interval lookup every web-corpus
@@ -1253,7 +1260,8 @@ object ScaleOps {
     * concurrent plan on the shared session — sequencing is NOT the
     * safety argument.
     */
-  private[graft] def withSkewJoinConfs[T](s: org.apache.spark.sql.SparkSession)(
+  private[graft] def withSkewJoinConfs[T](s: org.apache.spark.sql.SparkSession,
+      maxPartitionBytes: String = "16KB")(
       body: => T): T = {
     val keys = Seq(
       "spark.sql.adaptive.enabled" -> "true",
@@ -1268,7 +1276,11 @@ object ScaleOps {
       // a skewed reduce partition splits along MAPPER boundaries — a
       // single-file scan (one map task) is unsplittable however hot the
       // key, so the scan is forced to many input slices at test scale
-      "spark.sql.files.maxPartitionBytes" -> "16KB",
+      // (the registered query scales this with input size — see its
+      // registration — because a FIXED 16KB cap turned the sf10 scan
+      // into ~58k tasks whose scheduling overhead was the query's 55–207 s
+      // swing, r12's most volatile heavy entry)
+      "spark.sql.files.maxPartitionBytes" -> maxPartitionBytes,
       "spark.sql.files.openCostInBytes" -> "0",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
