@@ -933,6 +933,54 @@ object Similarity {
 
   private val externalProbeIds = 0 until 3
 
+  /** Shared DuckDB CTE chain `params → wb → heavy → wbs → probes →
+    * scored → ranked` replaying the adaptive bucketed NN path — ONE
+    * definition for the `dedup_embedding_nn` oracle and the recall
+    * composition over it, so the two can never drift (heavy-bucket split
+    * replay, r13: the occupancy CTE, the 2×target threshold, the
+    * extra-plane side bit with its runtime plane index via gated terms,
+    * and the (bucket, sub) join key — all literally the engine's logic).
+    */
+  private def nnAdaptiveRankedCtes: String = {
+      val ladder = (4 until NnDedupMaxBits)
+        .map(b => s"WHEN n <= ${NnDedupTargetBucket << b} THEN $b")
+        .mkString(" ")
+      val probeBuckets = (0 until NnDedupMaxBits)
+        .map(m => s"CASE WHEN $m < params.bits THEN xor(bucket, ${1L << m}) END") :+ "bucket"
+      s"""params AS (
+         |  SELECT CASE $ladder ELSE $NnDedupMaxBits END AS bits
+         |  FROM (SELECT count(*) AS n FROM embeddings)
+         |), wb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e,
+         |    CAST(${bucketSqlAdaptive(NnDedupMaxBits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS bucket,
+         |    CAST(${subBitSqlAdaptive(NnDedupMaxBits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS eb
+         |  FROM embeddings CROSS JOIN params
+         |), heavy AS (
+         |  SELECT bucket FROM wb GROUP BY bucket
+         |  HAVING count(*) > $NnDedupHeavyOccupancy
+         |), wbs AS (
+         |  SELECT vec_id, e, wb.bucket,
+         |    CASE WHEN h.bucket IS NOT NULL THEN eb ELSE 0 END AS sub
+         |  FROM wb LEFT JOIN heavy h ON h.bucket = wb.bucket
+         |), probes AS (
+         |  SELECT vec_id, pe, p.bucket,
+         |    CASE WHEN h.bucket IS NOT NULL THEN eb ELSE 0 END AS sub
+         |  FROM (
+         |    SELECT vec_id, e AS pe, eb,
+         |      unnest([${probeBuckets.mkString(", ")}]) AS bucket
+         |    FROM wb CROSS JOIN params) p
+         |  LEFT JOIN heavy h ON h.bucket = p.bucket
+         |  WHERE p.bucket IS NOT NULL
+         |), scored AS (
+         |  SELECT p.vec_id, w.vec_id AS nn_id,
+         |    round(list_cosine_similarity(pe, w.e), 6) AS cosine
+         |  FROM probes p JOIN wbs w USING (bucket, sub) WHERE w.vec_id <> p.vec_id
+         |), ranked AS (
+         |  SELECT vec_id, nn_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
+         |  FROM scored)""".stripMargin
+  }
+
   def queries: Seq[GraftQuery] = Seq(
 
     // Trained IVF codebook: 2 Lloyd iterations from the deterministic
@@ -1269,53 +1317,82 @@ object Similarity {
     // integer threshold ladder as [[nnDedupBits]] (n ≤ 125·2^b), planes
     // above `bits` masked off, probe list CASE-gated to `bits` entries.
     // Fixed bits=4 was quadratic in the corpus and found out at sf10.
-    GraftQuery.of("dedup_embedding_nn", {
-      val ladder = (4 until NnDedupMaxBits)
-        .map(b => s"WHEN n <= ${NnDedupTargetBucket << b} THEN $b")
-        .mkString(" ")
-      val probeBuckets = (0 until NnDedupMaxBits)
-        .map(m => s"CASE WHEN $m < params.bits THEN xor(bucket, ${1L << m}) END") :+ "bucket"
-      // heavy-bucket split replay (r13): the occupancy CTE, the
-      // 2×target threshold, the extra-plane side bit (runtime plane
-      // index params.bits via the gated-term trick), and the
-      // (bucket, sub) join key — all literally the engine's logic
-      s"""WITH params AS (
-         |  SELECT CASE $ladder ELSE $NnDedupMaxBits END AS bits
-         |  FROM (SELECT count(*) AS n FROM embeddings)
-         |), wb AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS e,
-         |    CAST(${bucketSqlAdaptive(NnDedupMaxBits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS bucket,
-         |    CAST(${subBitSqlAdaptive(NnDedupMaxBits, planeSign, "embedding::DOUBLE[]")} AS BIGINT) AS eb
-         |  FROM embeddings CROSS JOIN params
-         |), heavy AS (
-         |  SELECT bucket FROM wb GROUP BY bucket
-         |  HAVING count(*) > $NnDedupHeavyOccupancy
-         |), wbs AS (
-         |  SELECT vec_id, e, wb.bucket,
-         |    CASE WHEN h.bucket IS NOT NULL THEN eb ELSE 0 END AS sub
-         |  FROM wb LEFT JOIN heavy h ON h.bucket = wb.bucket
-         |), probes AS (
-         |  SELECT vec_id, pe, p.bucket,
-         |    CASE WHEN h.bucket IS NOT NULL THEN eb ELSE 0 END AS sub
-         |  FROM (
-         |    SELECT vec_id, e AS pe, eb,
-         |      unnest([${probeBuckets.mkString(", ")}]) AS bucket
-         |    FROM wb CROSS JOIN params) p
-         |  LEFT JOIN heavy h ON h.bucket = p.bucket
-         |  WHERE p.bucket IS NOT NULL
-         |), scored AS (
-         |  SELECT p.vec_id, w.vec_id AS nn_id,
-         |    round(list_cosine_similarity(pe, w.e), 6) AS cosine
-         |  FROM probes p JOIN wbs w USING (bucket, sub) WHERE w.vec_id <> p.vec_id
-         |), ranked AS (
-         |  SELECT vec_id, nn_id, cosine,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
-         |  FROM scored)
+    GraftQuery.of("dedup_embedding_nn",
+      s"""WITH $nnAdaptiveRankedCtes
          |SELECT vec_id, nn_id, cosine, cosine >= 0.95 AS is_dup
-         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
-    }) { (s, d) =>
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
       nnDedupLsh(embeddings(s, d))
     },
+
+    // In-engine recall certification of the bucketed NN path — the
+    // sim_recall_lsh_multi discipline applied to the dedup operator the
+    // r13 heavy-bucket split changed: for the first 200 vectors the
+    // EXACT corpus-wide nearest neighbor (brute cosine argmax) sits next
+    // to the LSH path's answer, and `hit` records whether the bucketed
+    // path found an equally-near neighbor (6dp cosine equality — id
+    // ties at the same similarity count as hits, which is what recall
+    // means). Both sides replay deterministically, so the per-probe hit
+    // booleans — the measured recall — are hash-checked outputs at
+    // every SF, not a README claim. `in_dup_band` marks probes whose
+    // true NN sits at cosine ≥ 0.95 — the band the dedup operator is
+    // CONTRACTED for (random-hyperplane LSH concentrates collisions
+    // there; OpsSpec's planted test holds that band's recall ≥ 0.9).
+    // The synthetic corpus is dup-free (exact cosines ~0.5), so the
+    // measured ~0.5 exact-1NN recall here is the out-of-contract hard
+    // case, recorded honestly rather than hidden. The exact side is
+    // bounded: 200 probes × corpus, broadcast-probe hash-argmax (no
+    // window).
+    GraftQuery.of("dedup_nn_recall",
+      s"""WITH $nnAdaptiveRankedCtes, lsh AS (
+         |  SELECT vec_id, nn_id AS lsh_nn_id, cosine AS lsh_cosine
+         |  FROM ranked WHERE rn = 1 AND vec_id < 200
+         |), bscored AS (
+         |  SELECT p.vec_id, w.vec_id AS nn_id,
+         |    round(list_cosine_similarity(p.e, w.e), 6) AS cosine
+         |  FROM wb p JOIN wb w ON w.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 200
+         |), branked AS (
+         |  SELECT vec_id, nn_id, cosine,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
+         |  FROM bscored)
+         |SELECT b.vec_id, b.nn_id AS exact_nn_id, b.cosine AS exact_cosine,
+         |  lsh.lsh_cosine,
+         |  coalesce(lsh.lsh_cosine = b.cosine, FALSE) AS hit,
+         |  b.cosine >= 0.95 AS in_dup_band
+         |FROM branked b LEFT JOIN lsh ON lsh.vec_id = b.vec_id
+         |WHERE b.rn = 1 ORDER BY b.vec_id""".stripMargin) { (s, d) =>
+      val emb = embeddings(s, d)
+      val nProbe = 200
+      val lsh = nnDedupLsh(emb).filter(col("vec_id") < nProbe)
+        .select(col("vec_id"), col("cosine").as("lsh_cosine"))
+      val probes = emb.filter(col("vec_id") < nProbe)
+        .select(col("vec_id"), col("embedding").as("pe"))
+      val cands = emb.select(col("vec_id").as("nn_id"), col("embedding").as("ne"))
+      // exact argmax over the corpus per probe: broadcast the bounded
+      // probe frame, packed-BIGINT max (HashAggregate — same premise
+      // discipline as nnDedupLshAt, asserted in-plan)
+      val cos = round(cosineSim(col("pe"), col("ne")), 6)
+      val premise = assert_true(
+        !isnan(cos) && col("nn_id") >= 0 && col("nn_id") < lit(NnPackRadix),
+        lit("packed argmax premise: non-NaN cosine and nn_id in [0, 2^41)"))
+      val packed = (rint(cos * lit(1000000.0d)).cast("long") * lit(NnPackRadix)) -
+        col("nn_id") + coalesce(premise.cast("long"), lit(0L))
+      val exact = cands.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .groupBy(col("vec_id"))
+        .agg(max(packed).as("pk"))
+        .select(col("vec_id"), shiftright(col("pk") + lit(NnPackRadix - 1), 41).as("cm"), col("pk"))
+        .select(col("vec_id"),
+          (col("cm") * lit(NnPackRadix) - col("pk")).as("exact_nn_id"),
+          (col("cm").cast("double") / lit(1000000.0d)).as("exact_cosine"))
+      exact.join(lsh, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("exact_nn_id"), col("exact_cosine"),
+          col("lsh_cosine"),
+          coalesce(col("lsh_cosine") === col("exact_cosine"), lit(false)).as("hit"),
+          (col("exact_cosine") >= 0.95).as("in_dup_band"))
+        .orderBy(col("vec_id"))
+    },
+
 
     // SemDeDup: cluster-scoped semantic dedup (drop a vector when a
     // lower-id mate of its IVF cluster sits at cosine ≥ 0.3). The oracle

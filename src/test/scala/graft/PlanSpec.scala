@@ -387,6 +387,7 @@ class PlanSpec extends AnyFunSuite {
       "text_pmi_top_pairs" -> "1-row token-total frame in the lift numerator",
       "pipeline_weighted_sample" -> "1-row per-stratum target frame",
       "sim_knn_brute" -> "broadcast probe set x corpus scan (the exact baseline)",
+      "dedup_nn_recall" -> "broadcast 200-probe frame x corpus scan (exact-1NN truth side)",
       "sim_knn_ivf" -> "broadcast trained codebook",
       "sim_knn_probes" -> "broadcast external probe set",
       "sim_knn_matryoshka" -> "broadcast probe prefix set x corpus scan (coarse stage)",
