@@ -69,15 +69,27 @@ object Verify {
     val heavySet = timed.sortBy(-_._2).filter(_._2 >= 5.0).take(20).map(_._1).toSet
     val secondPass = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (heavySet.nonEmpty) {
+      // the re-run writes to a SCRATCH dir, never over the pass-1 dump:
+      // overwrite mode deletes the target before writing, so a transient
+      // second-pass failure would silently destroy a GOOD correctness
+      // dump that the adjudicator then reads as a query failure. And the
+      // elapsed time is recorded only on SUCCESS — a fast failure must
+      // not become the published min (a 0.8 s error beating a 60 s pass
+      // would read as a 75x speedup to the regression instrument).
+      val scratch = s"$outDir/__timing_pass2"
       qs.filter(q => heavySet(q._1)).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name second pass failed: ${e.getMessage}")
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$scratch/$name")
+          secondPass(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name second pass failed " +
+            s"(timing kept from pass 1): ${e.getMessage}")
         }
-        secondPass(name) = (System.nanoTime() - t0) / 1e9
       }
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+      catch { case _: Throwable => () }
       canaries :+= Canaries.sample()
     }
     def r3(v: Double): String =

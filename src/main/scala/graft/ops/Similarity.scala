@@ -524,19 +524,12 @@ object Similarity {
     // an extra corpus job before any action. A NaN csim (degenerate
     // vector or centroid) now fails fast instead of silently competing
     // as similarity 0.
-    val csim = round(cosineSim(col("embedding"), col("ce")), 6)
-    val cPremise = assert_true(
-      !isnan(csim) && col("cid") >= 0 && col("cid") < lit(NnPackRadix),
-      lit("packed argmax premise: non-NaN csim and cid in [0, 2^41)"))
-    val packed = (rint(csim * lit(1000000.0d))
-      .cast("long") * lit(NnPackRadix)) - col("cid") +
-      coalesce(cPremise.cast("long"), lit(0L))
+    val packed = nnPacked(round(cosineSim(col("embedding"), col("ce")), 6),
+      col("cid"), "cid")
     val best = df.crossJoin(centroids)
       .groupBy(col(idCol))
       .agg(max(packed).as("pk"))
-      .select(col(idCol),
-        (shiftright(col("pk") + lit(NnPackRadix - 1), 41) * lit(NnPackRadix) - col("pk"))
-          .as("cid"))
+      .select(col(idCol), nnDecodeId(col("pk")).as("cid"))
     df.select(col(idCol), col("embedding")).join(best, Seq(idCol))
       .select(col(idCol), col("embedding"), col("cid"))
   }
@@ -784,6 +777,30 @@ object Similarity {
     * of headroom inside the 63-bit magnitude. */
   private val NnPackRadix = 1L << 41
 
+  /** The packed-argmax building blocks shared by every 2^41-radix call
+    * site (centroid assignment, the bucketed NN, the recall query's
+    * exact side) — ONE definition of the premise, the packing, and the
+    * decode, so a future change (radix, NaN policy, rounding) cannot be
+    * applied to one site and missed at another. pk = rint(cos·10^6)·2^41
+    * − id is strictly order-isomorphic to (cosine DESC, id ASC); the
+    * premise (id in [0, 2^41), non-NaN similarity) is asserted IN-PLAN
+    * per row, keeping construction lazy and failing loudly instead of
+    * mis-ranking. Decode: cm = (pk + 2^41 − 1) >> 41 (arithmetic shift =
+    * floorDiv, exact for negative cosines), id = cm·2^41 − pk,
+    * cosine = cm / 10^6.
+    */
+  private def nnPacked(cos: Column, idCol: Column, what: String): Column = {
+    val premise = assert_true(
+      !isnan(cos) && idCol >= 0 && idCol < lit(NnPackRadix),
+      lit(s"packed argmax premise: non-NaN similarity and $what in [0, 2^41)"))
+    (rint(cos * lit(1000000.0d)).cast("long") * lit(NnPackRadix)) - idCol +
+      coalesce(premise.cast("long"), lit(0L))
+  }
+  private def nnDecodeId(pk: Column): Column =
+    shiftright(pk + lit(NnPackRadix - 1), 41) * lit(NnPackRadix) - pk
+  private def nnDecodeCosine(pk: Column): Column =
+    (shiftright(pk + lit(NnPackRadix - 1), 41)).cast("double") / lit(1000000.0d)
+
   /** Occupancy past which a bucket is SPLIT by one extra plane (r12
     * verdict item 6): the [[nnDedupBits]] ladder bounds EXPECTED
     * occupancy at [[NnDedupTargetBucket]], but hash skew leaves a tail
@@ -850,21 +867,15 @@ object Similarity {
     // aborts the query loudly instead of fabricating a result. The
     // assert is two codegen'd compares per row next to a 64-dim dot
     // product; construction stays lazy.
-    val cos = round(cosineSim(col("pe"), col("ne")), 6)
-    val premise = assert_true(
-      !isnan(cos) && col("nn_id") >= 0 && col("nn_id") < lit(NnPackRadix),
-      lit("packed argmax premise: non-NaN cosine and nn_id in [0, 2^41)"))
-    val packed = (rint(cos * lit(1000000.0d))
-      .cast("long") * lit(NnPackRadix)) - col("nn_id") +
-      coalesce(premise.cast("long"), lit(0L))
+    val packed = nnPacked(round(cosineSim(col("pe"), col("ne")), 6),
+      col("nn_id"), "nn_id")
     probes.join(cands, Seq("bucket", "sub"))
       .filter(col("vec_id") =!= col("nn_id"))
       .groupBy(col("vec_id"))
       .agg(max(packed).as("pk"))
-      .select(col("vec_id"), shiftright(col("pk") + lit(NnPackRadix - 1), 41).as("cm"), col("pk"))
       .select(col("vec_id"),
-        (col("cm") * lit(NnPackRadix) - col("pk")).as("nn_id"),
-        (col("cm").cast("double") / lit(1000000.0d)).as("cosine"))
+        nnDecodeId(col("pk")).as("nn_id"),
+        nnDecodeCosine(col("pk")).as("cosine"))
       .withColumn("is_dup", col("cosine") >= dupThreshold)
       .orderBy(col("vec_id"))
   }
@@ -1371,20 +1382,15 @@ object Similarity {
       // exact argmax over the corpus per probe: broadcast the bounded
       // probe frame, packed-BIGINT max (HashAggregate — same premise
       // discipline as nnDedupLshAt, asserted in-plan)
-      val cos = round(cosineSim(col("pe"), col("ne")), 6)
-      val premise = assert_true(
-        !isnan(cos) && col("nn_id") >= 0 && col("nn_id") < lit(NnPackRadix),
-        lit("packed argmax premise: non-NaN cosine and nn_id in [0, 2^41)"))
-      val packed = (rint(cos * lit(1000000.0d)).cast("long") * lit(NnPackRadix)) -
-        col("nn_id") + coalesce(premise.cast("long"), lit(0L))
+      val packed = nnPacked(round(cosineSim(col("pe"), col("ne")), 6),
+        col("nn_id"), "nn_id")
       val exact = cands.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("nn_id"))
         .groupBy(col("vec_id"))
         .agg(max(packed).as("pk"))
-        .select(col("vec_id"), shiftright(col("pk") + lit(NnPackRadix - 1), 41).as("cm"), col("pk"))
         .select(col("vec_id"),
-          (col("cm") * lit(NnPackRadix) - col("pk")).as("exact_nn_id"),
-          (col("cm").cast("double") / lit(1000000.0d)).as("exact_cosine"))
+          nnDecodeId(col("pk")).as("exact_nn_id"),
+          nnDecodeCosine(col("pk")).as("exact_cosine"))
       exact.join(lsh, Seq("vec_id"), "left")
         .select(col("vec_id"), col("exact_nn_id"), col("exact_cosine"),
           col("lsh_cosine"),

@@ -329,12 +329,18 @@ def main():
     # be re-run alone (--only name --json same_path) and the other 280
     # verdicts survive. Full runs (no --only) still start fresh.
     final_partial = False
+    if ONLY and not JSON_PATH.exists():
+        final_partial = True  # subset run, nothing to merge: partial by definition
     if ONLY and JSON_PATH.exists():
         try:
             prior_doc = json.loads(JSON_PATH.read_text())
         except Exception:
             prior_doc = {}
         prior = prior_doc.get("queries", {})
+        if not prior:
+            # an --only run with no mergeable prior produces a
+            # subset-only artifact - never let it masquerade as full
+            final_partial = True
         # Guards (r12 ADVICE): a prior artifact from a DIFFERENT SF must
         # not be laundered into this run's verdict, and a prior that was
         # itself partial keeps its partial flag through the merge —
@@ -342,8 +348,13 @@ def main():
         # clean-looking full artifact.
         if prior and prior_doc.get("sf") != SF:
             print(f"[patch] SKIP preload: prior sf={prior_doc.get('sf')!r} "
-                  f"!= current {SF!r}")
+                  f"!= current {SF!r} - output will be a PARTIAL subset "
+                  f"artifact (the prior full record is being replaced)")
             prior = {}
+            # nothing merged => the final artifact covers ONLY this
+            # subset; without the flag it would look like a clean full
+            # gate AND have clobbered the prior record silently
+            final_partial = True
         elif prior_doc.get("partial"):
             final_partial = True
             print("[patch] prior artifact is PARTIAL - merged output "
