@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CdcBoundaries, CosineSim, ExactTopKLong, Md5Hash60, NGrams, RollingHash61, SpaceSavingTopK}
+import graft.functions.{CdcBoundaries, CosineSim, ExactTopKLong, KMinDistinctLong, Md5Hash60, NGrams, RollingHash61, SpaceSavingTopK}
 
 /** SQL registration of the engine's native Catalyst expressions, so
   * `spark.sql("SELECT md5hash60(text) ...")` works like a built-in:
@@ -76,6 +76,10 @@ object GraftExtensions {
       require(args.size == 2, "exact_topk(expr, k)")
       ExactTopKLong(args.head, intLit(args(1), "k"))
     },
+    "kmin_distinct" -> { args =>
+      require(args.size == 2, "kmin_distinct(expr, k)")
+      KMinDistinctLong(args.head, intLit(args(1), "k"))
+    },
     "cdc_boundaries" -> { args =>
       require(args.size == 3, "cdc_boundaries(expr, window, mask)")
       CdcBoundaries(args.head, intLit(args(1), "window"), intLit(args(2), "mask").toLong)
@@ -85,7 +89,18 @@ object GraftExtensions {
       NGrams(args.head, intLit(args(1), "n"))
     })
 
-  /** Register every function on a live session (idempotent). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register every function on a live session (idempotent). Also pins
+    * the ObjectHashAggregate fallback threshold ([[graft.functions
+    * .TypedArgExtremum]]'s Scaladoc): a consumer session that attaches
+    * graft here but skips the per-main builder conf would otherwise
+    * silently degrade every typed-argmax aggregate to sort-based
+    * aggregation past 128 per-partition groups — the exact defect class
+    * the aggregate exists to remove. Central because this is the one
+    * choke point every live-session attach path goes through.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.conf.set(graft.functions.TypedArgExtremum.FallbackThresholdKey,
+      graft.functions.TypedArgExtremum.FallbackThreshold)
     functions.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }
+  }
 }

@@ -44,17 +44,26 @@ object Verify {
     val CanaryEvery = 25
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val timed = scala.collection.mutable.ArrayBuffer[(String, Double, Int)]()
+    // (name, seconds, canary window, pass-1 SUCCEEDED): the success flag
+    // rides along so a pass-1 FAILURE duration can never enter the heavy
+    // set or the published timings — min(failure duration, pass-2
+    // success) would mix an error path into the regression instrument
+    // (the mirror of the fast-pass-2-failure case guarded below).
+    val timed = scala.collection.mutable.ArrayBuffer[(String, Double, Int, Boolean)]()
     var canaries = Vector(Canaries.sample())
     qs.zipWithIndex.foreach { case ((name, fn), i) =>
       if (i > 0 && i % CanaryEvery == 0) canaries :+= Canaries.sample()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      timed += ((name, (System.nanoTime() - t0) / 1e9, i / CanaryEvery))
+      val ok =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          false
+        }
+      timed += ((name, (System.nanoTime() - t0) / 1e9, i / CanaryEvery, ok))
     }
     canaries :+= Canaries.sample()
     // Heavy-query timings are MIN-OF-2 (r12 verdict item 4): per-query
@@ -66,7 +75,8 @@ object Verify {
     // write dominates and totals already reproduce within ~2%) run a
     // second timed pass and the artifact keeps the min, with both raw
     // passes recorded so a sweep-vs-sweep comparison can see the spread.
-    val heavySet = timed.sortBy(-_._2).filter(_._2 >= 5.0).take(20).map(_._1).toSet
+    val heavySet = timed.filter(_._4).sortBy(-_._2)
+      .filter(_._2 >= 5.0).take(20).map(_._1).toSet
     val secondPass = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (heavySet.nonEmpty) {
       // the re-run writes to a SCRATCH dir, never over the pass-1 dump:
@@ -94,23 +104,30 @@ object Verify {
     }
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val secsJson = timed.map { case (n, s, _) =>
+    // Published timings cover SUCCESSFUL pass-1 runs only: a failed query
+    // has no dump (the correctness gate flags it) and its error-path
+    // duration is not an engine time. Failures are still named in the
+    // artifact so a shorter `queries` map is attributable.
+    val okTimed = timed.filter(_._4)
+    val failed = timed.filterNot(_._4).map(_._1)
+    val secsJson = okTimed.map { case (n, s, _, _) =>
       s""""$n":${r3(secondPass.get(n).fold(s)(math.min(s, _)))}""" }
       .mkString("{", ",", "}")
     val heavyJson = secondPass.map { case (n, s2) =>
-      val s1 = timed.find(_._1 == n).map(_._2).getOrElse(s2)
+      val s1 = okTimed.find(_._1 == n).map(_._2).getOrElse(s2)
       s""""$n":[${r3(s1)},${r3(s2)}]""" }.mkString("{", ",", "}")
-    val winJson = timed.map { case (n, _, w) =>
+    val winJson = okTimed.map { case (n, _, w, _) =>
       val a = canaries(w)
       val b = canaries(math.min(w + 1, canaries.size - 1))
       s""""$n":[${r3(math.max(a.single, b.single))},${r3(math.max(a.par32, b.par32))},${r3(math.max(a.mem, b.mem))}]"""
     }.mkString("{", ",", "}")
     val canJson = canaries.map(c =>
       s"[${r3(c.single)},${r3(c.par32)},${r3(c.mem)}]").mkString("[", ",", "]")
-    val minTotal = timed.map { case (n, s, _) =>
+    val minTotal = okTimed.map { case (n, s, _, _) =>
       secondPass.get(n).fold(s)(math.min(s, _)) }.sum
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/spark_secs.json"),
-      s"""{"metric":"verify_spark_secs","unit":"sec","sf":"$sfDir","agg":"min_of_2_heavy_top20_with_write","total":${r3(minTotal)},"first_pass_total":${r3(timed.map(_._2).sum)},"n_queries":${timed.size},"queries":$secsJson,"heavy_passes":$heavyJson,"window_canaries":$winJson,"raw_canaries":$canJson,"canary_min":[${r3(canaries.map(_.single).min)},${r3(canaries.map(_.par32).min)},${r3(canaries.map(_.mem).min)}]}""")
+      s"""{"metric":"verify_spark_secs","unit":"sec","sf":"$sfDir","agg":"min_of_2_heavy_top20_with_write","total":${r3(minTotal)},"first_pass_total":${r3(okTimed.map(_._2).sum)},"n_queries":${okTimed.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$secsJson,"heavy_passes":$heavyJson,"window_canaries":$winJson,"raw_canaries":$canJson,"canary_min":[${r3(canaries.map(_.single).min)},${r3(canaries.map(_.par32).min)},${r3(canaries.map(_.mem).min)}]}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

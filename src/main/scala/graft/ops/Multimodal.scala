@@ -832,7 +832,18 @@ object Multimodal {
       documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions(ids => ids.map(id => (id, encodeFrameStream(id))))
         .toDF("media_id", "payload")
-        .write.mode("overwrite").parquet(out)
+        .write.mode("overwrite")
+        // bounded row groups (r14, the q_aqe_skew_join lesson applied to
+        // the media tier): with the 128 MB parquet default, the sf10
+        // artifact (~GBs of blobs in a handful of files) holds only a
+        // few dozen row groups — and since one scan task consumes one
+        // row group, every downstream DECODE pass ran as ~30 fat tasks
+        // whose placement luck produced the min-of-2 sweep's widest
+        // spread (42.6/90.9 s). 8 MB row groups make decode parallelism
+        // a deterministic function of payload bytes (~hundreds of even
+        // tasks at sf10, unchanged plans at small SF).
+        .option("parquet.block.size", (8L << 20).toString)
+        .parquet(out)
       out
     })
     s.read.parquet(path)
@@ -937,7 +948,11 @@ object Multimodal {
       documents(s, d).select(col("doc_id")).as[Long]
         .mapPartitions(ids => ids.map(id => (id, encodeWav(id))))
         .toDF("media_id", "payload")
-        .write.mode("overwrite").parquet(out)
+        .write.mode("overwrite")
+        // same bounded-row-group contract as [[frameStreamRelation]]:
+        // decode parallelism scales with payload bytes, not file luck
+        .option("parquet.block.size", (8L << 20).toString)
+        .parquet(out)
       out
     })
     s.read.parquet(path)

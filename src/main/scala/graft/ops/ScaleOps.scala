@@ -978,7 +978,17 @@ object ScaleOps {
       // cap's ~58k-task scheduling storm at the 100x point (one bounded
       // FS stat of the single-file table; min 16KB keeps the small-SF
       // slicing, and the spec's shape assertions, exactly as before)
-      val liBytes = new java.io.File(s"$d/lineitem.parquet").length()
+      // layout guard: File.length() on a DIRECTORY-style parquet (or a
+      // missing path) returns the dir inode size / 0, which would silently
+      // collapse the cap back to the fixed-16KB floor — the exact
+      // scheduling storm this cap exists to prevent. Sum leaf files for a
+      // dir; refuse a path that stats to nothing.
+      val liFile = new java.io.File(s"$d/lineitem.parquet")
+      val liBytes =
+        if (liFile.isFile) liFile.length()
+        else Option(liFile.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+          .getOrElse(0L)
+      require(liBytes > 0, s"cannot stat lineitem table at $liFile for the skew-split cap")
       val cap = s"${math.max(16L * 1024, liBytes / 256)}b"
       withSkewJoinConfs(s, cap) { aqeSkewJoinPlan(s, d).localCheckpoint(true) }
     },

@@ -38,6 +38,28 @@ object EventStreams {
     */
   private[graft] val StreamStatePartitions = "5"
 
+  /** Input-scaled state-shard count for the ONE data-proportional stream
+    * state in the registry — `stream_session_native`'s session windows,
+    * whose per-batch merge sorts every user's events inside each state
+    * partition (r13 profile: 56.4 s at sf10, the largest stream entry,
+    * ~5-way parallel on a 32-core host). ~64 MB of events per shard,
+    * floor = the harness's 5-partition fixed-cost contract (small SFs
+    * keep their exact commit profile), cap 32 (local core width; a
+    * cluster scales it with executors). Shard count never changes
+    * results — session windows key on user_id wherever they land — so
+    * oracles and hashes are untouched; the fixed-floor entries keep the
+    * 5-partition contract because THEIR state is bounded and more
+    * shards only buy commit latency.
+    */
+  private def sessionStateShards(d: String): String = {
+    val f = new java.io.File(s"$d/events.parquet")
+    val bytes =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+        .getOrElse(0L)
+    math.min(32L, math.max(5L, bytes / (64L << 20))).toString
+  }
+
   /** Runs `plan` as one AvailableNow pass into a memory sink, applies
     * `finish` to the sink table, eagerly materializes the (bounded) result,
     * and then frees the harness machinery before returning:
@@ -60,9 +82,11 @@ object EventStreams {
     * prevent, one failed query at a time.
     */
   private def runToResult(s: org.apache.spark.sql.SparkSession, plan: DataFrame,
-      sink: String, mode: OutputMode)(finish: DataFrame => DataFrame): DataFrame = {
+      sink: String, mode: OutputMode,
+      statePartitions: String = StreamStatePartitions)(
+      finish: DataFrame => DataFrame): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try {
       try {
         val q = plan.writeStream.format("memory").queryName(sink)
@@ -775,7 +799,8 @@ object EventStreams {
         .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
           unix_micros(col("w.end")).as("end_us"), col("n_events"))
       val sink = s"stream_sessnat_${graft.ops.Tables.viewSuffix(d)}"
-      runToResult(s, sessioned, sink, OutputMode.Append()) { t =>
+      runToResult(s, sessioned, sink, OutputMode.Append(),
+        sessionStateShards(d)) { t =>
         t.orderBy(col("user_id"), col("start_us"))
       }
     },

@@ -299,6 +299,70 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(500))
   }
 
+  test("pagerank past the broadcast rail: edge side consumes src buckets, zero edge Exchange") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // the at-rest bucketed symmetric edge table (built lazily, reused by
+    // every graph consumer in this JVM)
+    val sym = graft.ops.Graph.symEdgeRelation(spark, sf)
+      .select(col("src"), col("dst"))
+    // a node-keyed mass frame with NO partitioning metadata — exactly
+    // what the loop's checkpointed rank vector looks like each round
+    val outMass = sym.groupBy(col("src"))
+      .count().select(col("src"), (col("count") * lit(1L)).as("__m"))
+      .localCheckpoint(true)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // kill auto-broadcast so the PAST-THE-RAIL regime (billion-node
+      // graph: rank vector too big to broadcast) is what gets planned
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // nNodes = MaxValue forces contribJoin's shuffle branch
+      val contrib = graft.ops.Graph.contribJoin(sym, outMass, Long.MaxValue)
+      val out = new ByteArrayOutputStream()
+      Console.withOut(out) { contrib.explain("formatted") }
+      val p = out.toString("UTF-8")
+      // bucketed scan engaged on the edge side
+      assert(p.contains("SelectedBucketsCount"), p.take(3000))
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      // the ONLY hash Exchanges: the node-sized probe to the bucket
+      // layout, and the dst re-aggregation — the 2|E| edge list itself
+      // is never re-partitioned (its side of the join has no Exchange)
+      val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+      assert(hashExchanges == 2, s"hashExchanges=$hashExchanges\n${p.take(4000)}")
+      // the edge side must also arrive pre-sorted from the buckets (one
+      // file per bucket + the trusted-ordering conf), so exactly ONE
+      // Sort exists in the plan: the node-sized probe's
+      val sorts = p.linesIterator.count(_.trim.matches("""\(\d+\) Sort"""))
+      assert(sorts == 1, s"sorts=$sorts (edge side re-sorted?)\n${p.take(4000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("adamic-adar wedge self-join consumes the bucketed table on BOTH sides: no Exchange") {
+    import org.apache.spark.sql.functions.col
+    val sym = graft.ops.Graph.symEdgeRelation(spark, sf)
+      .filter(col("samp")).select(col("src"), col("dst"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val wedges = sym.as("a").join(sym.as("b"), col("a.src") === col("b.src"))
+        .filter(col("a.dst") < col("b.dst"))
+      val out = new ByteArrayOutputStream()
+      Console.withOut(out) { wedges.explain("formatted") }
+      val p = out.toString("UTF-8")
+      assert(p.contains("SelectedBucketsCount"), p.take(3000))
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange"), s"wedge self-join shuffles:\n${p.take(4000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("degree aggregate over the bucketed edge table: zero Exchange before the histogram") {
+    val p = planOf("graph_degree_hist")
+    assert(p.contains("SelectedBucketsCount"), p.take(3000))
+    // one hash Exchange total: the deg-histogram re-aggregation — the
+    // node-degree groupBy itself rides the bucket distribution
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"hashExchanges=$hashExchanges\n${p.take(4000)}")
+  }
+
   test("range search has NO ranking window: scan, bucket equi-join, filter") {
     val p = planOf("sim_range_search")
     assert(!p.linesIterator.exists(l => l.contains("Window")), p.take(3000))
@@ -489,11 +553,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("graph consumers scan the materialized edge artifact, not the fact table") {
-    // full-edge consumer: the plan reads the standing graph_edges parquet —
-    // the co-occurrence construction (distinct + self-join over lineitem)
-    // ran ONCE at artifact build, never inside a consumer
+    // full-edge consumer: the plan reads the standing BUCKETED symmetric
+    // edge table (r14) — the co-occurrence construction (distinct +
+    // self-join over lineitem) and the symmetrization both ran ONCE at
+    // artifact build, never inside a consumer
     val pd = planOf("graph_degree_hist")
-    assert(pd.contains("graph_edges"), pd.take(3000))
+    assert(pd.contains("graft_bk_symedges"), pd.take(3000))
     assert(!pd.contains("lineitem"), pd.take(3000))
     // sampled consumer: the precomputed Doulion flag arrives as a
     // PUSHED-DOWN parquet filter on the same scan (no per-query md5 pass)

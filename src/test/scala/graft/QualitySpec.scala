@@ -27,6 +27,43 @@ class QualitySpec extends AnyFunSuite {
     assert(clean.getAs[Long]("n_orphans") == 0L)
   }
 
+  test("kmin_distinct: exact k smallest distinct values, ascending, null-skipping") {
+    import graft.functions.KMinDistinct.kminDistinctLong
+    val vals = Seq[Option[Long]](Some(7L), Some(3L), Some(7L), Some(1L), None,
+      Some(9L), Some(3L), Some(5L), Some(11L))
+    val arr = vals.toDF("v").repartition(4) // exercise partial merge
+      .agg(kminDistinctLong(col("v"), 3).as("kmv"))
+      .collect().head.getSeq[Long](0)
+    assert(arr == Seq(1L, 3L, 5L), arr)
+    // fewer distinct than k: the sketch IS the exact distinct set
+    val small = Seq(4L, 4L, 2L).toDF("v")
+      .agg(kminDistinctLong(col("v"), 8).as("kmv"))
+      .collect().head.getSeq[Long](0)
+    assert(small == Seq(2L, 4L), small)
+  }
+
+  test("deploy profile: KMV estimate within the +-20%+10 envelope of exact distinct") {
+    val sf = "/root/testdata/sf0.001"
+    val specs = Seq("l_orderkey" -> Quality.NumCol, "l_quantity" -> Quality.NumCol,
+      "l_returnflag" -> Quality.StrCol, "l_shipdate" -> Quality.TsCol)
+    val li = graft.ops.Tables.lineitem(spark, sf)
+    val dep = Quality.profileApproxDeploy("lineitem", li, specs)
+      .select("col_name", "n_rows", "n_null", "est_distinct")
+    val exact = Quality.profile("lineitem", li, specs)
+      .select(col("col_name"), col("n_rows").as("n_rows_x"),
+        col("n_null").as("n_null_x"), col("n_distinct"))
+    val joined = dep.join(exact, "col_name").collect()
+    assert(joined.length == specs.size)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == r.getAs[Long]("n_rows_x"), r)
+      assert(r.getAs[Long]("n_null") == r.getAs[Long]("n_null_x"), r)
+      val (est, ex) = (r.getAs[Double]("est_distinct"),
+        r.getAs[Long]("n_distinct").toDouble)
+      assert(math.abs(est - ex) <= ex * 0.2 + 10,
+        s"${r.getAs[String]("col_name")}: est=$est exact=$ex")
+    }
+  }
+
   test("profile reports nulls, exact distinct, and kind-routed min/max") {
     val df = Seq(
       (Some(10L), Some("b")),

@@ -132,8 +132,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must register without throwing
     assert(GraftExtensions.functions.map(_._1).sorted ==
-      Seq("cdc_boundaries", "cosine_sim", "exact_topk", "md5hash60", "ngrams",
-        "rolling_hash61", "space_saving_topk"))
+      Seq("cdc_boundaries", "cosine_sim", "exact_topk", "kmin_distinct",
+        "md5hash60", "ngrams", "rolling_hash61", "space_saving_topk"))
   }
 
   test("cdc boundaries match a brute-force BigInt window hash; insertions shift, not rewrite") {
