@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CdcBoundaries, CosineSim, ExactTopKLong, KMinDistinctLong, Md5Hash60, NGrams, RollingHash61, SpaceSavingTopK}
+import graft.functions.{CdcBoundaries, CosineSim, ExactTopKLong, KMinDistinctLong, Md5Hash60, NGrams, NormalizeScrub, RollingHash61, SpaceSavingTopK, TokenFreqStats}
 
 /** SQL registration of the engine's native Catalyst expressions, so
   * `spark.sql("SELECT md5hash60(text) ...")` works like a built-in:
@@ -79,6 +79,14 @@ object GraftExtensions {
     "kmin_distinct" -> { args =>
       require(args.size == 2, "kmin_distinct(expr, k)")
       KMinDistinctLong(args.head, intLit(args(1), "k"))
+    },
+    "normalize_scrub" -> { args =>
+      require(args.size == 1, "normalize_scrub(text)")
+      NormalizeScrub(args.head)
+    },
+    "token_freq_stats" -> { args =>
+      require(args.size == 1, "token_freq_stats(arr)")
+      TokenFreqStats(args.head)
     },
     "cdc_boundaries" -> { args =>
       require(args.size == 3, "cdc_boundaries(expr, window, mask)")

@@ -42,10 +42,15 @@ object EventStreams {
     * state in the registry — `stream_session_native`'s session windows,
     * whose per-batch merge sorts every user's events inside each state
     * partition (r13 profile: 56.4 s at sf10, the largest stream entry,
-    * ~5-way parallel on a 32-core host). ~64 MB of events per shard,
-    * floor = the harness's 5-partition fixed-cost contract (small SFs
-    * keep their exact commit profile), cap 32 (local core width; a
-    * cluster scales it with executors). Shard count never changes
+    * ~5-way parallel on a 32-core host). ~2 MB of compressed events per
+    * shard (≈ 8 MB of rows in the merge), floor = the harness's
+    * 5-partition fixed-cost contract (sf0.1 at 2 MB and sf1 at 7.8 MB
+    * both stay on the floor, so small-SF commit profiles are
+    * unchanged), cap 32 (local core width; a cluster scales it with
+    * executors). Measured at sf10: 45 → capped 32 shards cut the query
+    * 56.4 → 32.5 s min-of-2 (per-batch addBatch 19.5 → 7-8 s; returns
+    * diminish past ~22 shards, the residual is source scan + memory-sink
+    * collect). Shard count never changes
     * results — session windows key on user_id wherever they land — so
     * oracles and hashes are untouched; the fixed-floor entries keep the
     * 5-partition contract because THEIR state is bounded and more
@@ -57,7 +62,7 @@ object EventStreams {
       if (f.isFile) f.length()
       else Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
         .getOrElse(0L)
-    math.min(32L, math.max(5L, bytes / (64L << 20))).toString
+    math.min(32L, math.max(5L, bytes / (2L << 20))).toString
   }
 
   /** Runs `plan` as one AvailableNow pass into a memory sink, applies

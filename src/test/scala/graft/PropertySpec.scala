@@ -296,4 +296,63 @@ class PropertySpec extends AnyFunSuite {
     assert(dists.last >= 10, s"5×6 block edits should flip many bits: $dists")
     assert(dists.head <= 8, s"6 block edits should flip few bits: $dists")
   }
+
+  test("normalize_scrub equals the builtin regex chain it fused (adversarial strings)") {
+    import org.apache.spark.sql.functions._
+    // the exact chain text_normalize_scrub ran before r14 — kept here as
+    // the semantic pin the native expression must match forever
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[0-9]+", "0"), "\\s+", " "))
+    val adversarial = Seq(
+      "", " ", "\t\n\f\r", "007", "a1b22c333d", "  12  34  ",
+      "MIXED Case 42Text", "0", "tab\tsep\nnl", "trailing 99 ",
+      " leading", "unicode Ä 12 ß 3", "no digits here", "1 2 3 4 5",
+      "a" * 300 + "9" * 5 + " end", "real\u00A0nbsp is not java ws 7",
+      "vertical\u000Btab is java ws 8",
+      "multi   spaces\t\tand\r\nCRLF 10x20")
+    val df = spark.createDataFrame(
+      adversarial.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }.asJava,
+      StructType(Seq(StructField("id", org.apache.spark.sql.types.LongType),
+        StructField("text", StringType))))
+    import graft.functions.NormalizeScrub.normalizeScrub
+    val rows = df.select(col("id"),
+      expr("size(regexp_extract_all(text, '[0-9]+', 0))").cast("long").as("runs_re"),
+      norm.as("norm_re"),
+      normalizeScrub(col("text")).as("ns"))
+      .select(col("id"), col("runs_re"), col("norm_re"),
+        col("ns.n_digit_runs").as("runs_ns"), col("ns.norm").as("norm_ns"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("runs_re") == r.getAs[Long]("runs_ns"),
+        s"digit runs diverge on ${adversarial(r.getAs[Long]("id").toInt)}: $r")
+      assert(r.getAs[String]("norm_re") == r.getAs[String]("norm_ns"),
+        s"norm diverges on ${adversarial(r.getAs[Long]("id").toInt)}: $r")
+    }
+  }
+
+  test("token_freq_stats equals the quadratic distinct×filter lambda it replaced") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TokenFreqStats.tokenFreqStats
+    val gen = Gen.listOfN(40, Gen.oneOf("a", "b", "ab", "the", "x y", "", "z"))
+    val arrays = (1L to 8L).map(seed =>
+      gen.apply(Gen.Parameters.default, Seed(seed)).get) :+
+      List("only") :+ List("t", "t", "t")
+    val df = spark.createDataFrame(
+      arrays.zipWithIndex.map { case (a, i) => Row(i.toLong, a.toArray.toSeq) }.asJava,
+      StructType(Seq(StructField("id", org.apache.spark.sql.types.LongType),
+        StructField("bg", org.apache.spark.sql.types.ArrayType(StringType)))))
+    val rows = df.select(col("id"),
+      size(col("bg")).cast("long").as("n_q"),
+      expr("size(array_distinct(bg))").cast("long").as("d_q"),
+      expr("array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+        .cast("long").as("m_q"),
+      tokenFreqStats(col("bg")).as("fs"))
+      .collect()
+    rows.foreach { r =>
+      val fs = r.getStruct(r.fieldIndex("fs"))
+      assert(r.getAs[Long]("n_q") == fs.getLong(0), r)
+      assert(r.getAs[Long]("d_q") == fs.getLong(1), r)
+      assert(r.getAs[Long]("m_q") == fs.getLong(2), r)
+    }
+  }
 }

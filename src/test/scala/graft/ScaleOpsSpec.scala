@@ -133,7 +133,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // must register without throwing
     assert(GraftExtensions.functions.map(_._1).sorted ==
       Seq("cdc_boundaries", "cosine_sim", "exact_topk", "kmin_distinct",
-        "md5hash60", "ngrams", "rolling_hash61", "space_saving_topk"))
+        "md5hash60", "ngrams", "normalize_scrub", "rolling_hash61",
+        "space_saving_topk", "token_freq_stats"))
   }
 
   test("cdc boundaries match a brute-force BigInt window hash; insertions shift, not rewrite") {
