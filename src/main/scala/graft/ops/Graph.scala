@@ -155,12 +155,18 @@ object Graph {
   private def sampledEdges(s: SparkSession, d: String): DataFrame =
     edgeRelation(s, d).filter(col("samp")).select(col("src"), col("dst"))
 
-  /** Bucket count for [[symEdgeRelation]]. 32 matches the local shuffle
-    * width; on a cluster it scales with executor count — the layout
-    * contract (hash-clustered + sorted on src) is what the consumers
-    * depend on, not the number.
+  /** Bucket count for [[symEdgeRelation]], scaled to the edge artifact's
+    * bytes (~8 MB of edge parquet per bucket, floor 8, cap 32 = local
+    * core width; a cluster scales the cap with executors). Input-scaled
+    * because bucket files gate SCAN parallelism one-to-one: 32 buckets
+    * at sf0.1 made every per-iteration edge scan 32 near-empty scheduler
+    * tasks (+~4 s across the family at the bench point), while sf10's
+    * ~0.6 GB artifact wants all 32. The layout CONTRACT (hash-clustered
+    * + per-bucket sorted on src) is what consumers depend on, never the
+    * number — PlanSpec's zero-Exchange locks hold at any count.
     */
-  val SymEdgeBuckets = 32
+  private[graft] def symEdgeBuckets(artifactBytes: Long): Int =
+    math.min(32L, math.max(8L, artifactBytes / (8L << 20))).toInt
 
   /** Latch for [[symEdgeRelation]] — catalog table name per dataset dir. */
   private val symEdgeTable = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -212,10 +218,14 @@ object Graph {
         java.lang.ProcessHandle.current().pid()
       ScaleOps.dropTableAndDir(s, t)
       val e = edgeRelation(s, d).select(col("src"), col("dst"), col("samp"))
+      val edgeDir = new java.io.File(edgeArtifact.get(d))
+      val buckets = symEdgeBuckets(
+        Option(edgeDir.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+          .getOrElse(0L))
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"), col("samp")))
-        .repartition(SymEdgeBuckets, col("src"))
+        .repartition(buckets, col("src"))
         .write.mode("overwrite")
-        .bucketBy(SymEdgeBuckets, "src").sortBy("src")
+        .bucketBy(buckets, "src").sortBy("src")
         .saveAsTable(t)
       t
     })
