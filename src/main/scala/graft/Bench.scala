@@ -13,6 +13,8 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config(graft.functions.TypedArgExtremum.FallbackThresholdKey,
         graft.functions.TypedArgExtremum.FallbackThreshold)
+      // bucketed artifacts' sortBy is trusted at scan (single-file buckets)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -109,6 +109,11 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.conf.set(graft.functions.TypedArgExtremum.FallbackThresholdKey,
       graft.functions.TypedArgExtremum.FallbackThreshold)
+    // trust bucketed tables' sortBy at scan time (single-file buckets) —
+    // the graft bucketed artifacts depend on it for their sort-free SMJ
+    // consumption; set here (and in the mains' builders) so plan shapes
+    // never depend on WHEN the first bucketed artifact was touched
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     functions.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }
   }
 }

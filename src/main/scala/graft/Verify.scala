@@ -28,6 +28,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.functions.TypedArgExtremum.FallbackThresholdKey,
         graft.functions.TypedArgExtremum.FallbackThreshold)
+      // bucketed artifacts' sortBy is trusted at scan (single-file buckets)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,12 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * open-addressing pass is O(B).
   *
   * Exactness: n = array length, n_distinct = |distinct elements|,
-  * max_count = the highest element multiplicity — all integers, so the
-  * downstream ratios divide the SAME integers the quadratic form divided
-  * and every hash-compared value is unchanged (oracle untouched). Null
-  * array elements are counted as a distinct value, matching
-  * `array_distinct`/`filter` semantics on nullable arrays (the registered
-  * caller's split() never produces nulls).
+  * max_count = the highest NON-NULL element multiplicity — all integers,
+  * so the downstream ratios divide the SAME integers the quadratic form
+  * divided and every hash-compared value is unchanged (oracle untouched).
+  * Null elements count toward n and n_distinct (array_distinct keeps one
+  * null) but never toward max_count (the chain's `y = x` predicate is
+  * NULL for a null x, so its filter yields 0 there) — the one divergence
+  * from the chain is the EMPTY array, where array_max([]) is NULL and
+  * this expression returns max_count 0 (the registered caller filters
+  * size ≥ 2, so neither case reaches the gate).
   */
 case class TokenFreqStats(child: Expression) extends UnaryExpression
     with ImplicitCastInputTypes {
@@ -63,7 +66,9 @@ object TokenFreqStats {
       }
       i += 1
     }
-    if (nulls > maxCount) maxCount = nulls
+    // nulls count toward n and n_distinct but NEVER toward max_count —
+    // the pinned chain's `filter(bg, y -> y = x)` yields 0 for a null x
+    // (NULL predicate drops every row), so its array_max sees 0 there
     val distinct = counts.size + (if (nulls > 0) 1 else 0)
     new GenericInternalRow(Array[Any](n.toLong, distinct.toLong, maxCount.toLong))
   }

@@ -144,7 +144,11 @@ object Quality {
     * portable, see [[ColKind]]), timestamps as epoch micros, strings raw.
     */
   private def canonical(c: String, kind: ColKind) = kind match {
-    case NumCol => rint(col(c) * 100).cast("long").cast("string")
+    // round(), not rint: Spark round is HALF_UP (ties away from zero),
+    // matching DuckDB round() — rint is half-to-even and would hash a
+    // exactly-representable .5 tie (e.g. 0.125·100) differently across
+    // engines (the repo-wide tie convention, cf. the percentile rows)
+    case NumCol => round(col(c) * 100, 0).cast("long").cast("string")
     case StrCol => col(c)
     // NTZ→LTZ cast is an identity under the UTC session zone (the
     // Tables.fixEventsTs contract); unix_micros then matches epoch_us

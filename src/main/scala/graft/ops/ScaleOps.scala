@@ -983,12 +983,8 @@ object ScaleOps {
       // collapse the cap back to the fixed-16KB floor — the exact
       // scheduling storm this cap exists to prevent. Sum leaf files for a
       // dir; refuse a path that stats to nothing.
-      val liFile = new java.io.File(s"$d/lineitem.parquet")
-      val liBytes =
-        if (liFile.isFile) liFile.length()
-        else Option(liFile.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
-          .getOrElse(0L)
-      require(liBytes > 0, s"cannot stat lineitem table at $liFile for the skew-split cap")
+      val liBytes = Tables.leafFileBytes(s"$d/lineitem.parquet")
+      require(liBytes > 0, s"cannot stat lineitem table at $d for the skew-split cap")
       val cap = s"${math.max(16L * 1024, liBytes / 256)}b"
       withSkewJoinConfs(s, cap) { aqeSkewJoinPlan(s, d).localCheckpoint(true) }
     },

@@ -100,6 +100,19 @@ object Tables {
     */
   def processScratch(d: String, name: String): String =
     s"$processScratchRoot/${viewSuffix(d)}/$name"
+
+  /** Total bytes of a parquet table that may be a single FILE or a
+    * DIRECTORY of part files — the one stat every input-scaled sizing
+    * decision (skew-split cap, bucket count, state shards) reads.
+    * Returns 0 for a missing path; the caller owns the failure policy
+    * (the skew cap `require`s > 0, the scaling heuristics floor).
+    */
+  def leafFileBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
+      .getOrElse(0L)
+  }
 }
 
 /** One registered engine query: a Spark implementation plus (when the

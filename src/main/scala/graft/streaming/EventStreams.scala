@@ -57,11 +57,7 @@ object EventStreams {
     * shards only buy commit latency.
     */
   private def sessionStateShards(d: String): String = {
-    val f = new java.io.File(s"$d/events.parquet")
-    val bytes =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum)
-        .getOrElse(0L)
+    val bytes = graft.ops.Tables.leafFileBytes(s"$d/events.parquet")
     math.min(32L, math.max(5L, bytes / (2L << 20))).toString
   }
 

@@ -336,7 +336,8 @@ class PropertySpec extends AnyFunSuite {
     val gen = Gen.listOfN(40, Gen.oneOf("a", "b", "ab", "the", "x y", "", "z"))
     val arrays = (1L to 8L).map(seed =>
       gen.apply(Gen.Parameters.default, Seed(seed)).get) :+
-      List("only") :+ List("t", "t", "t")
+      List("only") :+ List("t", "t", "t") :+
+      List("a", null, "a", null, "b") :+ List(null, null)
     val df = spark.createDataFrame(
       arrays.zipWithIndex.map { case (a, i) => Row(i.toLong, a.toArray.toSeq) }.asJava,
       StructType(Seq(StructField("id", org.apache.spark.sql.types.LongType),

@@ -12,6 +12,8 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config(graft.functions.TypedArgExtremum.FallbackThresholdKey,
       graft.functions.TypedArgExtremum.FallbackThreshold)
+    // bucketed artifacts' sortBy is trusted at scan (single-file buckets)
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .getOrCreate()
 
   def resourcePath(name: String): String =
