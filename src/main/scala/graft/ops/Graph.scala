@@ -173,7 +173,9 @@ object Graph {
 
   /** The SYMMETRIZED edge relation AT REST in cluster layout: both
     * directions of every [[edgeRelation]] edge written ONCE per (JVM,
-    * dataset) as a `bucketBy(32, "src").sortBy("src")` catalog table —
+    * dataset) as a `bucketBy(n, "src").sortBy("src")` catalog table with
+    * `n = symEdgeBuckets(artifactBytes)` (input-scaled 8–32, cap = local
+    * core width) —
     * the proven R6 zero-Exchange mechanism
     * ([[ScaleOps.bucketedOrdersCustomer]]) applied where it pays most.
     * Every src-keyed graph consumer scans the buckets directly, so the
@@ -225,14 +227,23 @@ object Graph {
       // reap DEAD processes' trees first: per-PID names never repeat, so
       // without this every past JVM leaves a GB-scale symmetric table in
       // the warehouse forever (only dirs whose trailing pid is not alive
-      // are touched — a concurrent live session's buckets are safe)
-      Option(new java.io.File("spark-warehouse").listFiles()).foreach(_
+      // are touched — a concurrent live session's buckets are safe). The
+      // age fallback covers PID reuse: the OS recycling a dead run's pid
+      // onto an unrelated live process must not pin its table forever,
+      // and no legitimate session in this workflow holds one past ~6 h.
+      // Each reap is best-effort — a concurrent JVM's reaper may win the
+      // race on any path, which is success, not failure.
+      Option(ScaleOps.warehouseRoot(s).listFiles()).foreach(_
         .filter(f => f.isDirectory && f.getName.startsWith("graft_bk_symedges_"))
         .foreach { f =>
           val pid = f.getName.substring(f.getName.lastIndexOf('_') + 1)
           val dead = pid.toLongOption.exists(p =>
             !java.lang.ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
-          if (dead) ScaleOps.dropTableAndDir(s, f.getName)
+          val stale =
+            System.currentTimeMillis() - f.lastModified() > 6L * 3600 * 1000
+          if (dead || stale)
+            try ScaleOps.dropTableAndDir(s, f.getName)
+            catch { case scala.util.control.NonFatal(_) => () }
         })
       ScaleOps.dropTableAndDir(s, t)
       val e = edgeRelation(s, d).select(col("src"), col("dst"), col("samp"))

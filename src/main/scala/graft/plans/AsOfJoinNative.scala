@@ -343,9 +343,11 @@ object AsOfJoinNative {
     * binary-searches the full build array, so ~16M copied (key, time,
     * tie, vals) tuples ≈ low-GB heap per executor is the most a
     * "dimension-sized" side can defensibly mean; a build side tracking
-    * the fact table (the q_asof_broadcast demo's purchase subset at
-    * ≥100×) trips the rail long before it OOMs an executor, with an
-    * error that points at the shuffle mode.
+    * the fact table (e.g. an unbounded purchase subset — the shape
+    * ScaleOpsSpec's rail test pins) trips the rail long before it OOMs
+    * an executor, with an error that points at the shuffle mode. The
+    * registered q_asof_broadcast row feeds a FIXED top-1000 purchase
+    * dimension, so it never approaches the rail at any SF.
     */
   val MaxBroadcastBuildRows: Int = 1 << 24
   /** Session-conf override of the rail (tests pin it low to exercise the

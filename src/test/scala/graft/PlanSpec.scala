@@ -67,6 +67,9 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q_asof_broadcast")
     assert(p.contains("AsOfJoinBroadcast"), p.take(2000))
     assert(p.contains("BroadcastExchange"), p.take(2000))
+    // the build side must be the BOUNDED top-K dimension (per-partition
+    // top-K + driver merge — no shuffle), not a data-proportional subset
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     // the only allowed exchanges: the right-side broadcast and the final
     // ORDER BY's range exchange — no hash exchange may touch the fact scan
     assert(!p.contains("hashpartitioning"), p.take(2000))
