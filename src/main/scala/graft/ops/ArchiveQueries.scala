@@ -98,5 +98,33 @@ object ArchiveQueries {
         s"COUNT(*) did not push into the DwCA scan:\n" +
           df.queryExecution.executedPlan.toString.take(2000))
       df
+    },
+
+    // X22 — the AT-SCALE ingestion probe (r14 verdict item 8): the same
+    // pushed COUNT(*) against a ~110 MB synthetic zip archive (1.2M rows,
+    // deterministic, built once per box — graft.dwca.SyntheticArchive),
+    // where the plan shape actually matters: the pushed count advances
+    // CSV records without materializing or projecting a single row, and
+    // this row REQUIRES that plan before returning. The input is
+    // SF-independent by construction, so the timing reproduces across
+    // gates like the fixture rows'. DuckDB re-counts the retained
+    // uncompressed core file — a real cross-engine count of the same
+    // bytes, not a pinned constant; the engine reads the ZIP (paying
+    // real extraction, the "how many rows is this 40 GB zip?" shape).
+    GraftQuery.of("q_s1_archive_scale_count",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows
+         |FROM read_csv('${graft.dwca.SyntheticArchive.coreFile.getAbsolutePath}',
+         |              header = true, all_varchar = true)""".stripMargin) { (s, _) =>
+      val zip = graft.dwca.SyntheticArchive.ensure()
+      val df = s.read.format("dwca").option("path", zip.getAbsolutePath).load()
+        .agg(count(lit(1)).as("n_rows"))
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      require(scans.size == 1 &&
+        scans.head.scan.description().contains("PushedAggregates: [COUNT(*)]"),
+        s"COUNT(*) did not push into the DwCA scale scan:\n" +
+          df.queryExecution.executedPlan.toString.take(2000))
+      df
     })
 }

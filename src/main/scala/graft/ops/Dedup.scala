@@ -177,7 +177,7 @@ object Dedup {
     * nothing.
     */
   private[graft] def verifiedEdgeRelation(s: SparkSession, d: String): DataFrame = {
-    val path = nearDupArtifact.computeIfAbsent(d, _ => {
+    val path = nearDupArtifact.computeIfAbsent(d, _ => ArtifactBuilds.timed("dedup_verified_edges", d) {
       val out = processScratch(d, "neardup_edges")
       // chained off the RAW candidate artifact: the MinHash → band →
       // star-edge stage runs once per dataset TOTAL, shared with the
@@ -201,7 +201,7 @@ object Dedup {
     * generation is priced once however many verifiers run.
     */
   private[graft] def candidateEdgeRelation(s: SparkSession, d: String): DataFrame = {
-    val path = candidateArtifact.computeIfAbsent(d, _ => {
+    val path = candidateArtifact.computeIfAbsent(d, _ => ArtifactBuilds.timed("dedup_lsh_candidates", d) {
       val out = processScratch(d, "lsh_candidates")
       lshCandidateEdges(documents(s, d)).write.mode("overwrite").parquet(out)
       out
@@ -226,7 +226,7 @@ object Dedup {
   private[graft] def preDeltaBucketStats(s: SparkSession, d: String, kThr: Long): DataFrame = {
     // latch key includes kThr: a second caller with a different threshold
     // in the same JVM must not silently receive the first one's artifact
-    val path = nearDupPreBuckets.computeIfAbsent(s"$d|$kThr", _ => {
+    val path = nearDupPreBuckets.computeIfAbsent(s"$d|$kThr", _ => ArtifactBuilds.timed(s"dedup_pre_buckets_$kThr", d) {
       val out = processScratch(d, s"neardup_pre_buckets_$kThr")
       val standing = documents(s, d).filter(col("doc_id") < kThr)
       lshBands(minhashSignature(shingles1(standing)))
@@ -248,7 +248,7 @@ object Dedup {
     * in the incremental-refresh proof `dedup_index_incremental` runs.
     */
   private[graft] def preDeltaVerifiedEdges(s: SparkSession, d: String, kThr: Long): DataFrame = {
-    val path = nearDupPreEdges.computeIfAbsent(s"$d|$kThr", _ => {
+    val path = nearDupPreEdges.computeIfAbsent(s"$d|$kThr", _ => ArtifactBuilds.timed(s"dedup_pre_edges_$kThr", d) {
       val out = processScratch(d, s"neardup_pre_edges_$kThr")
       val standing = documents(s, d).filter(col("doc_id") < kThr)
       verifyJaccardPairs(standing, lshCandidateEdges(standing))
@@ -462,6 +462,12 @@ object Dedup {
     * Input: (doc_a, doc_b) edges. Output: (doc_id, cluster_id) for every
     * doc appearing in an edge, cluster_id = min doc_id of its component.
     */
+  /** Rounds the most recent [[clusters]] run took to reach fixpoint —
+    * read by specs and by the scale-gate ledger (stderr carries the same
+    * number per run).
+    */
+  private[graft] val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def clusters(edges: DataFrame, maxIter: Int = 64): DataFrame = {
     val e = edges.localCheckpoint(true) // ONE run of the edge pipeline
     val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -500,6 +506,11 @@ object Dedup {
       throw new IllegalStateException(
         s"clusters(): label propagation not at fixpoint after $maxIter iterations " +
           "(component diameter exceeds the rail); raise maxIter — results would be wrong")
+    // visible rounds-per-run ledger (r14 verdict item 7): the SF→rounds
+    // ladder is what distinguishes "paying an extra O(log D) round at
+    // 100×" from a per-round cost increase when reading the sweep
+    lastRounds.set(iter)
+    System.err.println(s"[clusters] fixpoint in $iter rounds")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -78,7 +78,7 @@ object Graph {
     */
   private[graft] def edgeRelation(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Md5Hash60.md5hash60
-    val path = edgeArtifact.computeIfAbsent(d, _ => {
+    val path = edgeArtifact.computeIfAbsent(d, _ => ArtifactBuilds.timed("graph_edges", d) {
       val out = processScratch(d, "graph_edges")
       coOccurrenceEdgesWithSupport(lineitem(s, d), "l_orderkey", "l_partkey")
         .withColumn("samp",
@@ -103,7 +103,7 @@ object Graph {
     */
   private[graft] def preDeltaEdgeArtifact(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Md5Hash60.md5hash60
-    val path = edgePreArtifact.computeIfAbsent(d, _ => {
+    val path = edgePreArtifact.computeIfAbsent(d, _ => ArtifactBuilds.timed("graph_edges_pre", d) {
       val out = processScratch(d, "graph_edges_pre")
       coOccurrenceEdgesWithSupport(
         lineitem(s, d).filter(pmod(col("l_orderkey"), lit(10L)) =!= 0),
@@ -219,7 +219,7 @@ object Graph {
     // only ever ENABLES an optimization every graft bucketed artifact is
     // written to satisfy — one file per bucket).
     s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    val name = symEdgeTable.computeIfAbsent(d, _ => {
+    val name = symEdgeTable.computeIfAbsent(d, _ => ArtifactBuilds.timed("graph_symedges", d) {
       // per-process unique name: Verify alongside Bench on one SF must
       // not overwrite each other's live bucket files (the R6 rule)
       val t = s"graft_bk_symedges_${viewSuffix(d)}_" +

@@ -769,7 +769,7 @@ object Multimodal {
     */
   private[graft] def pngPayloadRelation(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val path = pngArtifact.computeIfAbsent(d, _ => {
+    val path = pngArtifact.computeIfAbsent(d, _ => ArtifactBuilds.timed("mm_png_payloads", d) {
       import s.implicits._
       val out = processScratch(d, "png_payloads")
       documents(s, d).select(col("doc_id")).as[Long]
@@ -826,7 +826,7 @@ object Multimodal {
     */
   private[graft] def frameStreamRelation(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val path = gfsArtifact.computeIfAbsent(d, _ => {
+    val path = gfsArtifact.computeIfAbsent(d, _ => ArtifactBuilds.timed("mm_gfs_payloads", d) {
       import s.implicits._
       val out = processScratch(d, "gfs_payloads")
       documents(s, d).select(col("doc_id")).as[Long]
@@ -942,7 +942,7 @@ object Multimodal {
     */
   private[graft] def wavPayloadRelation(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val path = wavArtifact.computeIfAbsent(d, _ => {
+    val path = wavArtifact.computeIfAbsent(d, _ => ArtifactBuilds.timed("mm_wav_payloads", d) {
       import s.implicits._
       val out = processScratch(d, "wav_payloads")
       documents(s, d).select(col("doc_id")).as[Long]

@@ -620,9 +620,12 @@ object Pipeline {
         |  round(CAST(total AS DOUBLE) / (n_langs * n), 6) AS weight
         |FROM c, t ORDER BY lang""".stripMargin) { (s, d) =>
       val c = documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      val t = broadcast(c.agg(sum(col("n")).cast("long").as("total"),
-        count(lit(1)).as("n_langs")))
-      c.crossJoin(t)
+      // totals via an unpartitioned window over the lang-bounded frame —
+      // a second c.agg would re-execute the documents scan + lang
+      // shuffle to sum a handful of rows (r15 two-scan sweep)
+      val tw = Window.partitionBy()
+      c.withColumn("total", sum(col("n")).over(tw).cast("long"))
+        .withColumn("n_langs", count(lit(1)).over(tw).cast("long"))
         .select(col("lang"), col("n").as("n_docs"),
           round(col("total").cast("double") / (col("n_langs") * col("n")), 6)
             .as("weight"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -537,13 +538,21 @@ object Quality {
         .agg(
           sum(when(col("sec") * 2 <= col("mn") + col("mx"), 1L).otherwise(0L)).as("n_early"),
           sum(when(col("sec") * 2 > col("mn") + col("mx"), 1L).otherwise(0L)).as("n_late"))
-      val totals = perType.agg(sum(col("n_early")).as("te"), sum(col("n_late")).as("tl"))
+      // totals are DERIVED from the type-bounded perType frame via an
+      // unpartitioned window (one single-partition exchange of ~5 rows)
+      // instead of a second perType.agg — which would re-execute the
+      // whole events scan + type shuffle just to sum ≤5 rows (the
+      // dq_benford two-scan idiom, swept out in r15)
+      val tw = Window.partitionBy()
+      val withTot = perType
+        .withColumn("te", sum(col("n_early")).over(tw))
+        .withColumn("tl", sum(col("n_late")).over(tw))
       // a DEGENERATE corpus (every event at one timestamp) puts all rows
       // in the early half, so the late share's divisor is 0 — its share
       // is then 0‰ by definition, guarded identically on both engines
       val earlyPm = expr("CASE WHEN te = 0 THEN 0L ELSE (n_early * 1000) div te END")
       val latePm = expr("CASE WHEN tl = 0 THEN 0L ELSE (n_late * 1000) div tl END")
-      perType.crossJoin(broadcast(totals))
+      withTot
         .select(col("event_type"), col("n_early"), col("n_late"),
           earlyPm.as("share_early_pm"),
           latePm.as("share_late_pm"),
@@ -584,10 +593,14 @@ object Quality {
         .agg(
           sum(when(col("sec") * 2 <= col("mn") + col("mx"), 1L).otherwise(0L)).as("o_early"),
           sum(when(col("sec") * 2 > col("mn") + col("mx"), 1L).otherwise(0L)).as("o_late"))
-      val totals = perType.agg(sum(col("o_early")).as("c_early"),
-        sum(col("o_late")).as("c_late"),
-        sum(col("o_early") + col("o_late")).as("n"))
-      perType.crossJoin(broadcast(totals))
+      // column/grand totals via an unpartitioned window over the
+      // type-bounded frame — not a second perType.agg, which would pay
+      // the events scan + type shuffle twice (r15 two-scan sweep)
+      val tw = Window.partitionBy()
+      perType
+        .withColumn("c_early", sum(col("o_early")).over(tw))
+        .withColumn("c_late", sum(col("o_late")).over(tw))
+        .withColumn("n", sum(col("o_early") + col("o_late")).over(tw))
         .select(col("event_type"), col("o_early"), col("o_late"),
           (col("o_early") + col("o_late")).as("r"),
           col("c_early"), col("c_late"), col("n"),
@@ -744,19 +757,23 @@ object Quality {
         .select(substring(floor(col("l_extendedprice")).cast("long").cast("string"),
           1, 1).as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
-      val total = counts.agg(sum(col("n")).as("total"))
-      // counts/total are ≤9-row / 1-row aggregate outputs — broadcast
-      // them and stream nothing: the whole join tree is driver-tiny
-      // (the preserved side of an outer join cannot be the build side,
-      // so the hint goes on the aggregated sides, not `expected`)
+      // Pack the ≤9-row counts frame into ONE row (digit→n map + total)
+      // so the total is DERIVED from counts, not re-aggregated: a second
+      // `counts.agg(sum)` frame would recompute the whole lineitem
+      // group-by subtree — two full fact scans for a 9-row result (the
+      // r14 sf10 profile paid 17.2 s where ~9 s was available). The
+      // packed row cross-joins the 9-row literal frame broadcast-tiny.
+      val packed = counts.agg(
+        map_from_entries(collect_list(struct(col("digit"), col("n"))))
+          .as("digit_n"),
+        sum(col("n")).as("total"))
+      val n = coalesce(element_at(col("digit_n"), col("digit")), lit(0L))
       expected
-        .join(broadcast(counts), Seq("digit"), "left")
-        .crossJoin(broadcast(total))
+        .crossJoin(broadcast(packed))
         .select(col("digit"),
-          coalesce(col("n"), lit(0L)).as("n"), col("exp_frac"),
-          round(coalesce(col("n"), lit(0L)) / col("total"), 6).as("obs_frac"),
-          round(coalesce(col("n"), lit(0L)) / col("total") - col("exp_frac"), 6)
-            .as("dev"))
+          n.as("n"), col("exp_frac"),
+          round(n / col("total"), 6).as("obs_frac"),
+          round(n / col("total") - col("exp_frac"), 6).as("dev"))
         .orderBy(col("digit"))
     })
 }

@@ -57,8 +57,10 @@ object RankStats {
     * strictly-prior blocks (an in-plan prefix sum over the tiny block
     * frame, broadcast back as an equi-join) + row_number within the
     * block (a key-partitioned window); the bucket is ntile's exact
-    * arithmetic off a broadcast 1-row total: with N = kq + r, buckets
-    * 1..r take q+1 rows. Reserved helper columns: __blk/__off/__rn/__n.
+    * arithmetic off the grand total, computed in the SAME block-frame
+    * pass and carried on the broadcast join (one df scan total): with
+    * N = kq + r, buckets 1..r take q+1 rows. Reserved helper columns:
+    * __blk/__off/__rn/__n.
     */
   def blockedNtile(df: DataFrame, out: String, k: Int, m: String, tie: String,
       desc: Boolean, blk: Column): DataFrame = {
@@ -69,16 +71,20 @@ object RankStats {
       .groupBy("__blk").agg(count(lit(1)).as("__c"))
     val bw = Window.orderBy(if (desc) col("__blk").desc else col("__blk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // prefix offsets AND the grand total from ONE pass over the bounded
+    // block frame (both windows share its single partition) — a separate
+    // cnts.agg(sum) would re-execute the whole df scan + block shuffle
+    // for one number, and the fused __n removes the crossJoin entirely
     val offDf = broadcast(
-      cnts.select(col("__blk"), coalesce(sum(col("__c")).over(bw), lit(0L)).as("__off")))
-    val tot = broadcast(cnts.agg(sum(col("__c")).as("__n")))
+      cnts.select(col("__blk"),
+        coalesce(sum(col("__c")).over(bw), lit(0L)).as("__off"),
+        sum(col("__c")).over(Window.partitionBy()).as("__n")))
     val ord =
       if (desc) Seq(col(m).desc, col(tie).asc)
       else Seq(col(m).asc, col(tie).asc)
     val w = Window.partitionBy(col("__blk")).orderBy(ord: _*)
     df.withColumn("__blk", blk.cast("long"))
       .join(offDf, "__blk")
-      .crossJoin(tot)
       .withColumn("__rn", (col("__off") + row_number().over(w)).cast("long"))
       .withColumn(out, expr(
         s"""CAST(CASE WHEN __rn <= (__n % $k) * ((__n div $k) + 1)

@@ -38,23 +38,27 @@ object EventStreams {
     */
   private[graft] val StreamStatePartitions = "5"
 
-  /** Input-scaled state-shard count for the ONE data-proportional stream
-    * state in the registry — `stream_session_native`'s session windows,
-    * whose per-batch merge sorts every user's events inside each state
-    * partition (r13 profile: 56.4 s at sf10, the largest stream entry,
-    * ~5-way parallel on a 32-core host). ~2 MB of compressed events per
-    * shard (≈ 8 MB of rows in the merge), floor = the harness's
-    * 5-partition fixed-cost contract (sf0.1 at 2 MB and sf1 at 7.8 MB
-    * both stay on the floor, so small-SF commit profiles are
-    * unchanged), cap 32 (local core width; a cluster scales it with
-    * executors). Measured at sf10: 45 → capped 32 shards cut the query
+  /** Input-scaled state-shard count for the DATA-PROPORTIONAL stream
+    * states in the registry: `stream_session_native`'s session windows
+    * (per-batch merge sorts every user's events inside each state
+    * partition; r13 profile: 56.4 s at sf10, the largest stream entry,
+    * ~5-way parallel on a 32-core host), `stream_dedup_watermarked`'s
+    * within-watermark fingerprint store (~2× events rows live until the
+    * watermark passes — r14's #4 at 32.6 s, 7.1× sf1→sf10 ladder), and
+    * `stream_topk`'s windowed per-(hour, user) counts (r14's #5 at
+    * 31.8 s, 6.2×). ~2 MB of compressed events per shard (≈ 8 MB of
+    * rows in a state partition), floor = the harness's 5-partition
+    * fixed-cost contract (sf0.1 at 2 MB and sf1 at 7.8 MB both stay on
+    * the floor, so small-SF commit profiles are unchanged), cap 32
+    * (local core width; a cluster scales it with executors). Measured
+    * at sf10 for the sessions: 45 → capped 32 shards cut the query
     * 56.4 → 32.5 s min-of-2 (per-batch addBatch 19.5 → 7-8 s; returns
     * diminish past ~22 shards, the residual is source scan + memory-sink
-    * collect). Shard count never changes
-    * results — session windows key on user_id wherever they land — so
-    * oracles and hashes are untouched; the fixed-floor entries keep the
-    * 5-partition contract because THEIR state is bounded and more
-    * shards only buy commit latency.
+    * collect). Shard count never changes results — state keys hash to
+    * SOME partition wherever they land — so oracles and hashes are
+    * untouched; the fixed-floor entries keep the 5-partition contract
+    * because THEIR state is bounded and more shards only buy commit
+    * latency.
     */
   private def sessionStateShards(d: String): String = {
     val bytes = graft.ops.Tables.leafFileBytes(s"$d/events.parquet")
@@ -419,16 +423,48 @@ object EventStreams {
         .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").as("hour_start"), col("user_id"), col("n"))
-      val sink = s"stream_topk_${graft.ops.Tables.viewSuffix(d)}"
-      runToResult(s, plan, sink, OutputMode.Complete()) { t =>
-        val byHour = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("hour_start"))
-          .orderBy(col("n").desc, col("user_id"))
-        t.withColumn("rnk", row_number().over(byHour).cast("long"))
-          .filter(col("rnk") <= 3)
+      // The serving-layer rank runs DISTRIBUTED inside foreachBatch over
+      // each complete-mode refresh, and only the top-3 per hour (≤ 3×
+      // hours rows) ever leaves the cluster — a memory sink here would
+      // collect the FULL (hour, user) count state to the driver every
+      // batch (9.6M rows at sf10: the r14 profile's actual cost; state
+      // shards could not move it because the sink, not the state store,
+      // was the bottleneck). Complete mode still re-emits the whole
+      // state per refresh, so overwrite keeps exactly the final answer.
+      // (hour, user) count state is data-proportional → input-scaled
+      // shards; same conf-cap / StateStore.stop / eager-materialize-
+      // then-delete discipline as runToResult/hourlyToParquetSink.
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_topk").toFile
+      val out = s"$base/out"
+      try {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", sessionStateShards(d))
+        try {
+          val q = plan.writeStream
+            .outputMode(OutputMode.Complete())
+            .option("checkpointLocation", s"$base/checkpoint")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              val byHour = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("hour_start"))
+                .orderBy(col("n").desc, col("user_id"))
+              batch.withColumn("rnk", row_number().over(byHour).cast("long"))
+                .filter(col("rnk") <= 3)
+                .write.mode("overwrite").parquet(out)
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+            Option(q.lastProgress).foreach(p => println(
+              s"[stream] topk batchId=${p.batchId} durationMs=${p.durationMs}"))
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.read.parquet(out)
           .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
             col("rnk"), col("user_id"), col("n"))
           .orderBy(col("hour_start"), col("rnk"))
+          .localCheckpoint(true)
+      } finally {
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
       }
     },
 
@@ -524,11 +560,37 @@ object EventStreams {
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("event_type"))
-      val sink = s"stream_ddwm_${graft.ops.Tables.viewSuffix(d)}"
-      runToResult(s, deduped, sink, OutputMode.Append()) { t =>
-        t.groupBy(col("event_type"))
+      // Append mode emits every first-seen row — ~10M rows at sf10 —
+      // so the sink must be DISTRIBUTED: a parquet sink writes them in
+      // parallel and the per-type count aggregates the files, where the
+      // r14 memory sink collected all of them into the driver each batch
+      // (the profile's actual cost; state shards alone couldn't move
+      // it). Within-watermark fingerprint state ∝ input (2× events
+      // here) → input-scaled shards; same conf-cap / StateStore.stop /
+      // eager-materialize-then-delete discipline as hourlyToParquetSink.
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ddwm").toFile
+      try {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", sessionStateShards(d))
+        try {
+          val q = deduped.writeStream.format("parquet")
+            .option("path", s"$base/data")
+            .option("checkpointLocation", s"$base/checkpoint")
+            .outputMode(OutputMode.Append())
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+            Option(q.lastProgress).foreach(p => println(
+              s"[stream] ddwm batchId=${p.batchId} durationMs=${p.durationMs}"))
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.read.parquet(s"$base/data")
+          .groupBy(col("event_type"))
           .agg(count(lit(1)).cast("long").as("n"))
           .orderBy(col("event_type"))
+          .localCheckpoint(true)
+      } finally {
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
       }
     },
 

@@ -391,16 +391,22 @@ class PlanSpec extends AnyFunSuite {
     // exact-ntile via blocked ranks: the USER dimension must never cross
     // a single-partition WindowExec — at 100 TB users scale with the
     // corpus and a global ntile sort is the classic scale-killer. The
-    // ONE legal unpartitioned window is the two-phase block-prefix sum,
-    // which runs directly over the per-block COUNT AGGREGATE (bounded by
-    // the measure's value range, not data) — anything else fails.
+    // ONE legal unpartitioned shape is the block-prefix sum plus its
+    // fused grand total (r15: two stacked windows over the SAME
+    // per-block COUNT AGGREGATE — bounded by the measure's value range,
+    // not data; the fused total replaced a second full scan) — anything
+    // else fails.
+    def boundedBlockFrame(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.groupingExpressions.size == 1
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          boundedBlockFrame(w.child)
+        case _ => false
+      }
     val bad = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.isEmpty && !(w.child match {
-            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-              a.groupingExpressions.size == 1
-            case _ => false
-          }) => w
+          if w.partitionSpec.isEmpty && !boundedBlockFrame(w.child) => w
     }
     assert(bad.isEmpty, s"unpartitioned data-sized windows:\n${bad.mkString("\n")}")
     // the block-prefix offsets come back as a broadcast equi-join
@@ -438,13 +444,10 @@ class PlanSpec extends AnyFunSuite {
       "events_dau_wau" -> "1-row day-bounds frame clips the cover-day explode",
       "events_funnel" -> "1-row per-stage counts cross into the funnel",
       "events_peak_concurrency" -> "1-row peak/session-count frames cross into the argmin",
-      "events_rfm" -> "1-row user-total frame per measure (blocked exact ntile)",
       "events_resample_1h" -> "bounded hour spine x 5-row type dimension",
       "graph_frequent_pairs" -> "1-row order-count frame in the lift numerator",
       "graph_pagerank" -> "1-row N frame joins every rank row",
       "graph_triangles" -> "1-row sampled-edge count frame crosses into the count",
-      "pipeline_mix_weights" -> "1-row corpus totals frame",
-      "pipeline_quantile_bins" -> "1-row corpus-total frame (blocked exact ntile)",
       "q_approx_quantiles" -> "broadcast 3-row quantile-probe frame x one scan (rank check)",
       "q_kmv_distinct" -> "1-row kth-hash frame x 1-row exact-count frame",
       "q_kmv_setops" -> "1-row sketch-summary frames (kth hash, membership, exact counts) crossed",
@@ -466,9 +469,9 @@ class PlanSpec extends AnyFunSuite {
       "q11_important_stock" -> "1-row total/part-count frame for the threshold",
       "q22_dormant_customers" -> "1-row positive-balance stats frame",
       "dq_freshness" -> "1-row global-max frame crosses into the per-source lag",
-      "dq_benford" -> "1-row digit-total frame crosses into the 9-row digit spine",
-      "dq_drift" -> "1-row min/max-bounds frame + 1-row share-totals frame cross into the per-type counts",
-      "dq_chi2_stats" -> "1-row min/max-bounds frame + 1-row column-totals frame cross into the contingency rows",
+      "dq_benford" -> "1-row packed counts+total frame crosses into the 9-row digit spine",
+      "dq_drift" -> "1-row min/max-bounds frame crosses into the events scan (totals now windowed off the type frame)",
+      "dq_chi2_stats" -> "1-row min/max-bounds frame crosses into the events scan (totals now windowed off the type frame)",
       "dedup_semantic" -> "broadcast 16-centroid codebook x corpus scan (cluster assignment)")
     // stream_* excluded: their returned frame is a localCheckpointed
     // result (bare RDD scan — nothing to inspect) and construction runs
