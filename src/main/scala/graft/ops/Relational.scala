@@ -528,29 +528,35 @@ object Relational {
          |FROM kth, inter, ex""".stripMargin
     }) { (s, d) =>
       import graft.functions.Md5Hash60.md5hash60
-      def keySet(flag: String) = lineitem(s, d)
-        .filter(col("l_returnflag") === flag)
-        .select(col("l_orderkey").as("k")).distinct()
-        .select(md5hash60(col("k").cast("string")).as("h"))
-        .localCheckpoint(true) // consumed twice: sketch union + membership
-      val (ha, hb) = (keySet("A"), keySet("R"))
-      val u = ha.unionByName(hb).distinct().orderBy(col("h")).limit(16)
+      // ONE lineitem scan + ONE key shuffle for everything (r15: the
+      // previous form paid six scans and six distinct shuffles — 30.3 s
+      // at sf10, a 5.1× ladder): per order key, membership FLAGS in the
+      // 'A' and 'R' sets ride one groupBy, and the checkpointed flag-pair
+      // frame then answers the hash sets (filters), the exact union/
+      // intersection (one bounded aggregate — union = every row, inter =
+      // both flags set), and the sketch membership probe (16-row
+      // broadcast back). The per-h groupBy in `m` mirrors the oracle's
+      // "u rows whose h appears in both sets" exactly even under an
+      // (astronomically unlikely) 60-bit hash collision.
+      val keys = lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_orderkey"))
+        .agg(max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("in_a"),
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("in_r"))
+        .select(md5hash60(col("l_orderkey").cast("string")).as("h"),
+          col("in_a"), col("in_r"))
+        .localCheckpoint(true)
+      val u = keys.select(col("h")).distinct().orderBy(col("h")).limit(16)
       val kth = u.agg(max(col("h")).as("hk"), count(lit(1)).as("k"))
-      val m = broadcast(u.join(ha, Seq("h"), "left_semi")
-        .join(hb, Seq("h"), "left_semi")
-        .agg(count(lit(1)).as("m")))
-      val exact = broadcast(
-        lineitem(s, d).filter(col("l_returnflag") === "A")
-          .select(col("l_orderkey")).distinct()
-          .unionByName(lineitem(s, d).filter(col("l_returnflag") === "R")
-            .select(col("l_orderkey")).distinct())
-          .agg(countDistinct(col("l_orderkey")).as("exact_union"))
-          .crossJoin(
-            lineitem(s, d).filter(col("l_returnflag") === "A")
-              .select(col("l_orderkey")).distinct()
-              .join(lineitem(s, d).filter(col("l_returnflag") === "R")
-                .select(col("l_orderkey")).distinct(), Seq("l_orderkey"), "left_semi")
-              .agg(count(lit(1)).as("exact_inter"))))
+      val m = broadcast(keys.join(broadcast(u), Seq("h"))
+        .groupBy(col("h"))
+        .agg(max(col("in_a")).as("a"), max(col("in_r")).as("r"))
+        .agg(sum(when(col("a") === 1 && col("r") === 1, 1L).otherwise(0L))
+          .as("m")))
+      val exact = broadcast(keys.agg(
+        count(lit(1)).as("exact_union"),
+        sum(when(col("in_a") === 1 && col("in_r") === 1, 1L).otherwise(0L))
+          .as("exact_inter")))
       val estU = lit(15.0) * lit(1152921504606846976.0) / col("hk")
       val estI = (col("m") / lit(16.0)) * estU
       kth.crossJoin(m).crossJoin(exact)
