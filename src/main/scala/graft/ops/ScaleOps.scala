@@ -360,6 +360,14 @@ object ScaleOps {
           .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
           .saveAsTable(t)
         val s2 = forcedBucketScanSession(s)
+        // the cloned session keeps its own relation cache: a re-run in
+        // the same JVM (Verify's second timing pass) drops + recreates t
+        // through the PARENT session, whose DROP doesn't invalidate the
+        // clone's cached FileIndex — without the refresh the probe reads
+        // the previous run's deleted part files (FAILED_READ_FILE,
+        // surfaced the first time r15's canary re-time pulled this
+        // sub-5s query into a second pass)
+        s2.catalog.refreshTable(t)
         val probe = s2.table(t).filter(col("o_custkey") === 37L)
         val plan = probe.queryExecution.executedPlan.toString
         require(plan.contains("SelectedBucketsCount: 1 out of 8"),
