@@ -615,10 +615,11 @@ object Graph {
     * co-purchase graph: mean degree ~120 at sf0.1, no hub/non-hub
     * split to cut) sample edges deterministically first, which divides
     * the wedge count by 1/p² (the registered query does, at p = 1/8 —
-    * measured 298M → 4.6M wedges). Degree attach via broadcast (|nodes|
-    * rows), the existing-edge flag via one LEFT equi-join on the
-    * oriented pair, and a TakeOrderedAndProject top-k cut on the total
-    * order (common DESC, x, y).
+    * measured 298M → 4.6M wedges). TakeOrderedAndProject top-k cut on
+    * the total order (common DESC, x, y) directly over the pair
+    * aggregate; degree attach (broadcast, |nodes| rows) and the
+    * existing-edge flag (broadcast semi-join reduction of the edge set,
+    * then a LEFT equi-join) run on the ≤k cut rows only.
     */
   def commonNeighbors(edges: DataFrame, k: Int): DataFrame =
     commonNeighborsSym(symmetrize(edges).localCheckpoint(true), edges, k)
@@ -632,19 +633,37 @@ object Graph {
     val wedges = sym.as("a")
       .join(sym.as("b"), col("a.src") === col("b.src"))
       .filter(col("a.dst") < col("b.dst"))
-    val common = wedges
+    // Top-k cut FIRST: the cut's total order (common_cnt DESC, x, y) is a
+    // function of the aggregate alone, so the deg + is_edge attach runs on
+    // the k survivors, never the ~Σdeg² pair frame. Attaching first cost a
+    // full extra pass over ~10⁸ aggregated pairs at the 100× SF — the
+    // is_edge LEFT join re-shuffled the whole pair frame against the edge
+    // set (the one non-noise constant in graph_common_neighbors's four
+    // recorded r15 passes, 36-42 s, vs 20.7 for the attach-free
+    // adamic-adar twin over the same wedges). Eager-checkpoint the ≤k-row
+    // cut so the two consumers below reuse it instead of re-running the
+    // wedge aggregation per branch.
+    val top = wedges
       .groupBy(col("a.dst").as("x"), col("b.dst").as("y"))
       .agg(count(lit(1)).as("common_cnt"))
+      .orderBy(col("common_cnt").desc, col("x"), col("y")).limit(k)
+      .localCheckpoint(true)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    common
+    // The edge set is DATA-PROPORTIONAL — never broadcast it. Reduce it to
+    // the ≤k hit rows with a broadcast semi-join on the cut, then attach
+    // the flag with a tiny left join.
+    val hits = edges.select(col("src"), col("dst"))
+      .join(broadcast(top.select(col("x"), col("y"))),
+        col("src") === col("x") && col("dst") === col("y"), "left_semi")
+      .select(col("src"), col("dst"), lit(true).as("__e"))
+    top
       .join(broadcast(deg.select(col("node").as("x"), col("deg").as("deg_x"))), "x")
       .join(broadcast(deg.select(col("node").as("y"), col("deg").as("deg_y"))), "y")
-      .join(edges.select(col("src"), col("dst"), lit(true).as("__e")),
-        col("x") === col("src") && col("y") === col("dst"), "left")
+      .join(hits, col("x") === col("src") && col("y") === col("dst"), "left")
       .select(col("x"), col("y"), col("common_cnt"),
         (col("deg_x") + col("deg_y") - col("common_cnt")).as("union_cnt"),
         coalesce(col("__e"), lit(false)).as("is_edge"))
-      .orderBy(col("common_cnt").desc, col("x"), col("y")).limit(k)
+      .orderBy(col("common_cnt").desc, col("x"), col("y"))
   }
 
   def queries: Seq[GraftQuery] = Seq(
