@@ -105,7 +105,12 @@ object Verify {
     }
     val fixedInput = Set(
       "q_s1_archive_core_read", "q_s1_archive_count_pushdown",
-      "q_s2_archive_join")
+      "q_s2_archive_join",
+      // the ~100 MB synthetic archive is SF-independent by construction
+      // too — on a warm box its pass-1 pays no build, so without this it
+      // could publish sub-1.4×-canary window inflation as a cross-SF
+      // "regression" in a query whose input never changes
+      "q_s1_archive_scale_count")
     val heavyTop = timed.filter(_._4).sortBy(-_._2)
       .filter(_._2 >= 5.0).take(20).map(_._1).toSet
     val canaryFlagged = timed.filter(_._4)

@@ -116,10 +116,26 @@ object SyntheticArchive {
       try java.nio.file.Files.move(tmp.toPath, dir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        // another JVM won the build race — use its tree
         case _: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.FileSystemException =>
-          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+          // a tree already exists: either another JVM won the build race
+          // (complete — use it) or a PARTIAL tree survived an external
+          // delete (tmp cleaners age-purge individual files under /tmp),
+          // which would otherwise wedge every future run on the require
+          // below. Complete ⇒ drop our duplicate; partial ⇒ replace it
+          // with the fresh scratch (losing THAT race to a concurrent
+          // repairer is again success).
+          if (zipFile.isFile && coreFile.isFile)
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+          else {
+            org.apache.commons.io.FileUtils.deleteQuietly(dir)
+            try java.nio.file.Files.move(tmp.toPath, dir.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileSystemException =>
+                org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+            }
+          }
       }
       require(zipFile.isFile && coreFile.isFile,
         s"synthetic archive build left no tree at $dir")

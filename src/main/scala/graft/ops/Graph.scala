@@ -239,8 +239,21 @@ object Graph {
           val pid = f.getName.substring(f.getName.lastIndexOf('_') + 1)
           val dead = pid.toLongOption.exists(p =>
             !java.lang.ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+          // Age fallback covers PID REUSE only — the pid is alive but
+          // belongs to a process that STARTED AFTER this table was built
+          // (the builder can't start after its own artifact), so the
+          // builder is gone and the table is orphaned. A live builder's
+          // own long run must never trip it: a legitimate >6 h sweep
+          // (sf100 trajectory) started BEFORE the build, so the start-
+          // instant comparison keeps its table. Unknown start instants
+          // conservatively keep the table.
           val stale =
-            System.currentTimeMillis() - f.lastModified() > 6L * 3600 * 1000
+            System.currentTimeMillis() - f.lastModified() > 6L * 3600 * 1000 &&
+              pid.toLongOption.exists(p =>
+                java.lang.ProcessHandle.of(p).map[Boolean](h =>
+                  h.info().startInstant().map[Boolean](si =>
+                    si.toEpochMilli > f.lastModified()).orElse(false))
+                  .orElse(true))
           if (dead || stale)
             try ScaleOps.dropTableAndDir(s, f.getName)
             catch { case scala.util.control.NonFatal(_) => () }

@@ -90,22 +90,39 @@ object EventStreams {
       sink: String, mode: OutputMode,
       statePartitions: String = StreamStatePartitions)(
       finish: DataFrame => DataFrame): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try {
-      try {
-        val q = plan.writeStream.format("memory").queryName(sink)
-          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
-          Option(q.lastProgress).foreach(p => println(
-            s"[stream] $sink batchId=${p.batchId} durationMs=${p.durationMs}"))
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      runStreamOnce(s, sink, statePartitions)(
+        plan.writeStream.format("memory").queryName(sink)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start())
       finish(s.table(sink)).localCheckpoint(true)
     } finally {
       s.catalog.dropTempView(sink)
       org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     }
+  }
+
+  /** THE one copy of the run-a-stream-to-completion discipline every
+    * sink flavor shares (memory, parquet, foreachBatch): cap the state
+    * partitioning for the query's lifetime and RESTORE it in a finally
+    * (streaming state partitions are fixed at query start — the cap must
+    * never leak into subsequent batch plans), AvailableNow drain via
+    * `start`, and the opt-in progress print. Sink lifecycle (temp dirs,
+    * temp views, StateStore provider stop) stays with the caller — each
+    * sink owns different resources, but the core discipline regressing
+    * in ONE of four hand-rolled copies is how BENCH_r05 happened.
+    */
+  private def runStreamOnce(s: org.apache.spark.sql.SparkSession, label: String,
+      statePartitions: String)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = start
+      q.awaitTermination()
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        Option(q.lastProgress).foreach(p => println(
+          s"[stream] $label batchId=${p.batchId} durationMs=${p.durationMs}"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** The PRODUCTION sink path behind `stream_sink_parquet_hourly` (and
@@ -125,21 +142,13 @@ object EventStreams {
       sfDir: String, base: String): DataFrame = {
     val raw = graft.ops.Tables.eventsStream(s, sfDir)
     val out = s"$base/data"
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
-    try {
-      try {
-        val q = hourlyAgg(raw).writeStream
-          .format("parquet").option("path", out)
-          .option("checkpointLocation", s"$base/checkpoint")
-          .outputMode(OutputMode.Append())
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
-          Option(q.lastProgress).foreach(p => println(
-            s"[stream] parquet-sink batchId=${p.batchId} durationMs=${p.durationMs}"))
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    } finally org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    try runStreamOnce(s, "parquet-sink", StreamStatePartitions)(
+      hourlyAgg(raw).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base/checkpoint")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start())
+    finally org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     s.read.parquet(out)
       .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -437,10 +446,8 @@ object EventStreams {
       val base = java.nio.file.Files.createTempDirectory("graft_stream_topk").toFile
       val out = s"$base/out"
       try {
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", sessionStateShards(d))
-        try {
-          val q = plan.writeStream
+        runStreamOnce(s, "topk", sessionStateShards(d))(
+          plan.writeStream
             .outputMode(OutputMode.Complete())
             .option("checkpointLocation", s"$base/checkpoint")
             .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -451,12 +458,7 @@ object EventStreams {
                 .filter(col("rnk") <= 3)
                 .write.mode("overwrite").parquet(out)
             }
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
-            Option(q.lastProgress).foreach(p => println(
-              s"[stream] topk batchId=${p.batchId} durationMs=${p.durationMs}"))
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+            .trigger(Trigger.AvailableNow()).start())
         s.read.parquet(out)
           .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
             col("rnk"), col("user_id"), col("n"))
@@ -570,19 +572,12 @@ object EventStreams {
       // eager-materialize-then-delete discipline as hourlyToParquetSink.
       val base = java.nio.file.Files.createTempDirectory("graft_stream_ddwm").toFile
       try {
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", sessionStateShards(d))
-        try {
-          val q = deduped.writeStream.format("parquet")
+        runStreamOnce(s, "ddwm", sessionStateShards(d))(
+          deduped.writeStream.format("parquet")
             .option("path", s"$base/data")
             .option("checkpointLocation", s"$base/checkpoint")
             .outputMode(OutputMode.Append())
-            .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-          if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
-            Option(q.lastProgress).foreach(p => println(
-              s"[stream] ddwm batchId=${p.batchId} durationMs=${p.durationMs}"))
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+            .trigger(Trigger.AvailableNow()).start())
         s.read.parquet(s"$base/data")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).cast("long").as("n"))
