@@ -213,11 +213,13 @@ object Bench {
     // spread, recorded in BASELINE.md — so spread_vs_record makes each
     // artifact carry its own distance from the record: a "clean" run at
     // > ~1.10 is a real regression, not window noise to be absorbed.
-    // The r15 record was measured in a builder-box window (~9% slower
-    // than driver windows historically); a sustained sub-0.95 spread
-    // means the record should tighten downward. Re-baseline together
-    // with the mean_spq floor when the registry composition changes.
-    val CleanRecordSf01 = 166.5
+    // The first r15 record (166.5) was measured in a builder-box window
+    // (~9% slower than driver windows historically); the anticipated
+    // tightening landed the same round: bench_r15_clean2.json at r15
+    // HEAD measured 154.9 clean (spread_vs_record 0.930 against 166.5),
+    // so the record is 154.9. Re-baseline together with the mean_spq
+    // floor when the registry composition changes.
+    val CleanRecordSf01 = 154.9
     val spreadVsRecord =
       if (fullRegistrySf01) Some(total / CleanRecordSf01) else None
     val suspectReasons = scala.collection.mutable.ArrayBuffer[String]()

@@ -224,40 +224,7 @@ object Graph {
       // not overwrite each other's live bucket files (the R6 rule)
       val t = s"graft_bk_symedges_${viewSuffix(d)}_" +
         java.lang.ProcessHandle.current().pid()
-      // reap DEAD processes' trees first: per-PID names never repeat, so
-      // without this every past JVM leaves a GB-scale symmetric table in
-      // the warehouse forever (only dirs whose trailing pid is not alive
-      // are touched — a concurrent live session's buckets are safe). The
-      // age fallback covers PID reuse: the OS recycling a dead run's pid
-      // onto an unrelated live process must not pin its table forever,
-      // and no legitimate session in this workflow holds one past ~6 h.
-      // Each reap is best-effort — a concurrent JVM's reaper may win the
-      // race on any path, which is success, not failure.
-      Option(ScaleOps.warehouseRoot(s).listFiles()).foreach(_
-        .filter(f => f.isDirectory && f.getName.startsWith("graft_bk_symedges_"))
-        .foreach { f =>
-          val pid = f.getName.substring(f.getName.lastIndexOf('_') + 1)
-          val dead = pid.toLongOption.exists(p =>
-            !java.lang.ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
-          // Age fallback covers PID REUSE only — the pid is alive but
-          // belongs to a process that STARTED AFTER this table was built
-          // (the builder can't start after its own artifact), so the
-          // builder is gone and the table is orphaned. A live builder's
-          // own long run must never trip it: a legitimate >6 h sweep
-          // (sf100 trajectory) started BEFORE the build, so the start-
-          // instant comparison keeps its table. Unknown start instants
-          // conservatively keep the table.
-          val stale =
-            System.currentTimeMillis() - f.lastModified() > 6L * 3600 * 1000 &&
-              pid.toLongOption.exists(p =>
-                java.lang.ProcessHandle.of(p).map[Boolean](h =>
-                  h.info().startInstant().map[Boolean](si =>
-                    si.toEpochMilli > f.lastModified()).orElse(false))
-                  .orElse(true))
-          if (dead || stale)
-            try ScaleOps.dropTableAndDir(s, f.getName)
-            catch { case scala.util.control.NonFatal(_) => () }
-        })
+      reapDeadSymEdgeTrees(s)
       ScaleOps.dropTableAndDir(s, t)
       val e = edgeRelation(s, d).select(col("src"), col("dst"), col("samp"))
       val buckets = symEdgeBuckets(leafFileBytes(edgeArtifact.get(d)))
@@ -265,6 +232,80 @@ object Graph {
         .repartition(buckets, col("src"))
         .write.mode("overwrite")
         .bucketBy(buckets, "src").sortBy("src")
+        .saveAsTable(t)
+      t
+    })
+    s.table(name)
+  }
+
+  /** Reap DEAD processes' symmetric edge trees (both layouts share the
+    * `graft_bk_symedges_` prefix): per-PID names never repeat, so
+    * without this every past JVM leaves a GB-scale table in the
+    * warehouse forever (only dirs whose trailing pid is not alive are
+    * touched — a concurrent live session's buckets are safe). Each reap
+    * is best-effort — a concurrent JVM's reaper may win the race on any
+    * path, which is success, not failure.
+    */
+  private def reapDeadSymEdgeTrees(s: SparkSession): Unit =
+    Option(ScaleOps.warehouseRoot(s).listFiles()).foreach(_
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_bk_symedges_"))
+      .foreach { f =>
+        val pid = f.getName.substring(f.getName.lastIndexOf('_') + 1)
+        val dead = pid.toLongOption.exists(p =>
+          !java.lang.ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        // Age fallback covers PID REUSE only — the pid is alive but
+        // belongs to a process that STARTED AFTER this table was built
+        // (the builder can't start after its own artifact), so the
+        // builder is gone and the table is orphaned. A live builder's
+        // own long run must never trip it: a legitimate >6 h sweep
+        // (sf100 trajectory) started BEFORE the build, so the start-
+        // instant comparison keeps its table. Unknown start instants
+        // conservatively keep the table.
+        val stale =
+          System.currentTimeMillis() - f.lastModified() > 6L * 3600 * 1000 &&
+            pid.toLongOption.exists(p =>
+              java.lang.ProcessHandle.of(p).map[Boolean](h =>
+                h.info().startInstant().map[Boolean](si =>
+                  si.toEpochMilli > f.lastModified()).orElse(false))
+                .orElse(true))
+        if (dead || stale)
+          try ScaleOps.dropTableAndDir(s, f.getName)
+          catch { case scala.util.control.NonFatal(_) => () }
+      })
+
+  /** Latch for [[symEdgeDstRelation]] — catalog table name per dataset dir. */
+  private val symEdgeDstTable = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The DST-BUCKETED TWIN of [[symEdgeRelation]]: the SAME symmetric
+    * relation (both directions + the Doulion `samp` flag) laid out
+    * `bucketBy(n, "dst").sortBy("dst")`. Production graph stores keep the
+    * edge list clustered BOTH ways because the two halves of a
+    * bulk-synchronous iteration want opposite layouts: joins and degree
+    * aggregates key on src (the src buckets serve them Exchange-free),
+    * while the per-round CONTRIBUTION AGGREGATE keys on dst — over the
+    * src layout its partial aggregates pay one Exchange EVERY round,
+    * over this twin the within-broadcast-rail plan is scan →
+    * broadcast-hash join → partial+final HashAggregate with ZERO
+    * Exchange (PlanSpec-locked; measured 2.1× per iteration at the 100×
+    * SF, tools/DstProbe). Past the rail the sort-merge join needs the
+    * src-sorted buckets, so consumers fall back to [[symEdgeRelation]]
+    * there ([[contribJoin]] picks per regime). Built once per (JVM,
+    * dataset) from the standing edge artifact; at 100 TB both layouts
+    * are ingest-maintained tables.
+    */
+  private[graft] def symEdgeDstRelation(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val name = symEdgeDstTable.computeIfAbsent(d, _ => ArtifactBuilds.timed("graph_symedges_dst", d) {
+      val t = s"graft_bk_symedges_dst_${viewSuffix(d)}_" +
+        java.lang.ProcessHandle.current().pid()
+      reapDeadSymEdgeTrees(s)
+      ScaleOps.dropTableAndDir(s, t)
+      val e = edgeRelation(s, d).select(col("src"), col("dst"), col("samp"))
+      val buckets = symEdgeBuckets(leafFileBytes(edgeArtifact.get(d)))
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"), col("samp")))
+        .repartition(buckets, col("dst"))
+        .write.mode("overwrite")
+        .bucketBy(buckets, "dst").sortBy("dst")
         .saveAsTable(t)
       t
     })
@@ -280,6 +321,16 @@ object Graph {
     */
   private def symSampled(s: SparkSession, d: String): DataFrame =
     symEdgeRelation(s, d).filter(col("samp")).select(col("src"), col("dst"))
+
+  /** FULL graph off the dst-bucketed twin ([[symEdgeDstRelation]]). */
+  private def symDstFull(s: SparkSession, d: String): DataFrame =
+    symEdgeDstRelation(s, d).select(col("src"), col("dst"))
+
+  /** SAMPLED subgraph off the dst-bucketed twin — the flag filter
+    * preserves the dst bucket distribution exactly as on the src side.
+    */
+  private def symDstSampled(s: SparkSession, d: String): DataFrame =
+    symEdgeDstRelation(s, d).filter(col("samp")).select(col("src"), col("dst"))
 
   /** Both directions of an undirected (src, dst) edge list — THE
     * symmetrization shared by every consumer ([[pagerank]], [[degrees]]),
@@ -313,15 +364,21 @@ object Graph {
     * [[pagerankSym]] and [[trustRankSym]] (and shape-locked by PlanSpec):
     * per-source mass `(src, __m)` joins the symmetrized edge list on src
     * and sums per destination. Within the broadcast-rank rail the
-    * node-sized mass frame broadcasts; past it the join falls back to
-    * sort-merge, where a `sym` scanning the bucketed at-rest
-    * [[symEdgeRelation]] contributes its side pre-distributed and
-    * pre-sorted — the edge list is never Exchanged in either regime.
+    * node-sized mass frame broadcasts — and when the caller supplies the
+    * dst-bucketed twin (`symDst`), the scan side is THAT layout, so the
+    * per-destination sum aggregates bucket-locally and the round runs
+    * with ZERO Exchange (the broadcast join imposes no distribution
+    * requirement on the scan side). Past the rail the join falls back to
+    * sort-merge, which needs the src-sorted buckets: the src-layout
+    * `sym` contributes its side pre-distributed and pre-sorted — the
+    * edge list is never Exchanged in either regime.
     */
   private[graft] def contribJoin(sym: DataFrame, outMass: DataFrame,
-      nNodes: Long): DataFrame = {
-    val probe = if (nNodes <= broadcastRankLimit) broadcast(outMass) else outMass
-    sym.join(probe, "src")
+      nNodes: Long, symDst: Option[DataFrame] = None): DataFrame = {
+    val inRail = nNodes <= broadcastRankLimit
+    val probe = if (inRail) broadcast(outMass) else outMass
+    val scan = if (inRail) symDst.getOrElse(sym) else sym
+    scan.join(probe, "src")
       .groupBy(col("dst").as("node"))
       .agg(sum(col("__m")).as("__mass"))
   }
@@ -378,7 +435,8 @@ object Graph {
     * buckets directly (only the node-sized rank vector shuffles). `sym`
     * must contain BOTH directions of every undirected edge.
     */
-  def pagerankSym(sym: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+  def pagerankSym(sym: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      symDst: Option[DataFrame] = None): DataFrame = {
     val dampNum = dampNumOf(damping)
     val teleportNum = PrScale / 100 * (100 - dampNum) // exact: PrScale % 100 == 0
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
@@ -408,7 +466,7 @@ object Graph {
       // node-sized rank vector is Exchanged (PlanSpec-locked); the
       // billion-node regime costs one node-frame shuffle per round,
       // never an edge-list shuffle.
-      val contrib = contribJoin(sym, outMass, nNodes)
+      val contrib = contribJoin(sym, outMass, nNodes, symDst)
       // inner join is total: symmetry puts every node on some dst side.
       // Per-iteration checkpoint truncates the growing lineage (same
       // discipline as Dedup.clusters) — without it, evaluating iteration
@@ -529,7 +587,7 @@ object Graph {
     * inside the loop).
     */
   def trustRankSym(sym: DataFrame, seeds: DataFrame, iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, symDst: Option[DataFrame] = None): DataFrame = {
     val dampNum = dampNumOf(damping)
     val teleportNum = PrScale / 100 * (100 - dampNum)
     // |seeds| crosses to the driver as one bounded scalar (codebook
@@ -558,7 +616,7 @@ object Graph {
       // (src, __m) frame keeps the 2|E| edge list un-sorted in the loop
       val outMass = tr.select(col("node").as("src"),
         expr("tr_fix div deg").as("__m"))
-      val contrib = contribJoin(sym, outMass, nNodes)
+      val contrib = contribJoin(sym, outMass, nNodes, symDst)
       tr = deg.join(contrib, "node")
         .select(col("node"), col("deg"),
           (col("teleport_fix") + expr(s"($dampNum * __mass) div 100")).as("tr_fix"))
@@ -809,7 +867,7 @@ object Graph {
         |  CAST(pr_fix * n.n AS BIGINT) AS pr_norm_e12,
         |  CAST(pr_fix * n.n AS DOUBLE) / 1e12 AS pr_norm
         |FROM pr3 CROSS JOIN n ORDER BY node""".stripMargin) { (s, d) =>
-      pagerankSym(symFull(s, d))
+      pagerankSym(symFull(s, d), symDst = Some(symDstFull(s, d)))
         .orderBy(col("node"))
     },
 
@@ -897,7 +955,8 @@ object Graph {
       val seeds = degreesSym(sym)
         .filter(pmod(md5hash60(col("node").cast("string")), lit(20L)) === 0)
         .select(col("node"))
-      trustRankSym(sym, seeds).orderBy(col("node"))
+      trustRankSym(sym, seeds, symDst = Some(symDstSampled(s, d)))
+        .orderBy(col("node"))
     },
 
     // Multi-source BFS depth (bounded reachability) from the trustrank
@@ -1055,7 +1114,8 @@ object Graph {
          |SELECT node, CAST(label AS BIGINT) AS label
          |FROM l4 ORDER BY node""".stripMargin
     }) { (s, d) =>
-      minLabelRoundsSym(symSampled(s, d), rounds = 4).orderBy(col("node"))
+      minLabelRoundsSym(symSampled(s, d), rounds = 4,
+        symDst = Some(symDstSampled(s, d))).orderBy(col("node"))
     },
 
     // FREQUENT-PAIRS market-basket mining (the A-Priori 2-itemset pass):
@@ -1201,15 +1261,22 @@ object Graph {
 
   /** [[minLabelRounds]] over an already-symmetrized edge list (bucketed-
     * at-rest entry: the per-round label⨝edges join consumes the src
-    * buckets Exchange-free; only node-sized label frames move).
+    * buckets Exchange-free; only node-sized label frames move). The
+    * neighbor-min is [[contribJoin]]'s shape (join on src, aggregate on
+    * dst), so it takes the same dst-bucketed twin under the same
+    * broadcast rail: within the rail the label frame broadcasts and the
+    * per-dst min aggregates bucket-locally with zero Exchange.
     */
-  def minLabelRoundsSym(sym: DataFrame, rounds: Int): DataFrame = {
+  def minLabelRoundsSym(sym: DataFrame, rounds: Int,
+      symDst: Option[DataFrame] = None): DataFrame = {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
+    val inRail = symDst.isDefined && labels.count() <= broadcastRankLimit
     for (_ <- 1 to rounds) {
-      val nmin = sym
-        .join(labels.withColumnRenamed("node", "src")
-          .withColumnRenamed("label", "plabel"), "src")
+      val probe = labels.withColumnRenamed("node", "src")
+        .withColumnRenamed("label", "plabel")
+      val nmin = (if (inRail) symDst.get.join(broadcast(probe), "src")
+                  else sym.join(probe, "src"))
         .groupBy(col("dst").as("node")).agg(min(col("plabel")).as("nl"))
       labels = labels.join(nmin, Seq("node"), "left")
         .select(col("node"),

@@ -339,6 +339,28 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("pagerank within the rail over the dst-bucketed twin: ZERO Exchange in the contribution round") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val sym = graft.ops.Graph.symEdgeRelation(spark, sf)
+      .select(col("src"), col("dst"))
+    val symDst = graft.ops.Graph.symEdgeDstRelation(spark, sf)
+      .select(col("src"), col("dst"))
+    val outMass = sym.groupBy(col("src"))
+      .count().select(col("src"), (col("count") * lit(1L)).as("__m"))
+      .localCheckpoint(true)
+    // nNodes = 1 forces the within-rail branch: broadcast rank probe +
+    // dst-bucketed scan → the per-dst sum aggregates bucket-locally, so
+    // the WHOLE round plans with no hash Exchange at all
+    val contrib = graft.ops.Graph.contribJoin(sym, outMass, 1L, Some(symDst))
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) { contrib.explain("formatted") }
+    val p = out.toString("UTF-8")
+    assert(p.contains("SelectedBucketsCount"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 0, s"hashExchanges=$hashExchanges\n${p.take(4000)}")
+  }
+
   test("adamic-adar wedge self-join consumes the bucketed table on BOTH sides: no Exchange") {
     import org.apache.spark.sql.functions.col
     val sym = graft.ops.Graph.symEdgeRelation(spark, sf)
