@@ -648,19 +648,29 @@ object Graph {
 
   /** [[kcorePeel]] over an already-symmetrized edge list (bucketed-at-rest
     * entry). Join order is src-first on purpose: the bucketed scan feeds
-    * the src join Exchange-free, so each round moves the edge list once
-    * (the dst join) instead of twice; the closing groupBy(src) shuffles
-    * only map-side-combined partials (≤ distinct-src per partition).
+    * the src join Exchange-free, and the closing groupBy(src) rides the
+    * same bucket distribution. The two node-set probes are node-sized, so
+    * WITHIN the broadcast rail they broadcast explicitly and each round
+    * plans with ZERO Exchange (a 2M-node survivor set is past the default
+    * auto-broadcast threshold, so without the explicit hint each round
+    * paid TWO edge-frame Exchanges: out to the dst join's distribution
+    * and back for the src aggregate). Past the rail the equi-join path
+    * returns — the src side still consumes the buckets directly.
     */
   def kcorePeelSym(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
     var nodes = sym.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val inRail = nodes.count() <= broadcastRankLimit
+    def probe(c: String) = {
+      val p = nodes.withColumnRenamed("node", c)
+      if (inRail) broadcast(p) else p
+    }
     val perRound = scala.collection.mutable.ArrayBuffer(
       nodes.agg(count(lit(1)).as("n_nodes"))
         .select(lit(0L).as("round"), col("n_nodes")))
     for (r <- 1 to rounds) {
       nodes = sym
-        .join(nodes.withColumnRenamed("node", "src"), "src")
-        .join(nodes.withColumnRenamed("node", "dst"), "dst")
+        .join(probe("src"), "src")
+        .join(probe("dst"), "dst")
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("node"))
         .localCheckpoint(true)
@@ -1001,7 +1011,8 @@ object Graph {
       val seeds = degreesSym(sym)
         .filter(pmod(md5hash60(col("node").cast("string")), lit(20L)) === 0)
         .select(col("node"))
-      bfsDepthSym(sym, seeds, rounds = 3)
+      bfsDepthSym(sym, seeds, rounds = 3,
+        symDst = Some(symDstSampled(s, d)))
     },
 
     // DEGREE ASSORTATIVITY components — "do hubs link to hubs?" (crawl
@@ -1299,17 +1310,30 @@ object Graph {
   /** [[bfsDepth]] over an already-symmetrized edge list (bucketed-at-rest
     * entry: each frontier expansion consumes the src buckets
     * Exchange-free; only the node-sized frontier/settled frames move).
+    * With the dst-bucketed twin (`symDst`) and a rail-bounded node count,
+    * the whole round is Exchange-free: the frontier broadcasts into the
+    * dst-layout scan, the `distinct` on the reached dsts aggregates
+    * bucket-locally, and the settled anti-join broadcasts its node-sized
+    * right side.
     */
-  def bfsDepthSym(sym: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    val e = sym
+  def bfsDepthSym(sym: DataFrame, seeds: DataFrame, rounds: Int,
+      symDst: Option[DataFrame] = None): DataFrame = {
     var settled = seeds.select(col("node"), lit(0L).as("depth"))
       .localCheckpoint(true)
+    // the reachable set is bounded by the node count — the frontier and
+    // settled frames can only broadcast if the GRAPH's node count is
+    // rail-bounded, not just the seed set
+    val inRail = symDst.isDefined &&
+      sym.select(col("src")).distinct().count() <= broadcastRankLimit
+    val e = if (inRail) symDst.get else sym
     for (r <- 1 to rounds) {
       val frontier = settled.filter(col("depth") === (r - 1).toLong)
         .select(col("node").as("src"))
-      val next = frontier.join(e, "src")
+      val next = (if (inRail) e.join(broadcast(frontier), "src")
+                  else frontier.join(e, "src"))
         .select(col("dst").as("node")).distinct()
-        .join(settled, Seq("node"), "left_anti")
+        .join(if (inRail) broadcast(settled) else settled,
+          Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("depth"))
       settled = settled.unionByName(next).localCheckpoint(true)
     }
