@@ -260,10 +260,12 @@ object Graph {
         // own long run must never trip it: a legitimate >6 h sweep
         // (sf100 trajectory) started BEFORE the build, so the start-
         // instant comparison keeps its table. Unknown start instants
-        // conservatively keep the table.
+        // conservatively keep the table; a dir whose trailing segment is
+        // NOT a parseable pid can't ever be claimed by a live builder, so
+        // age alone reaps it (forall).
         val stale =
           System.currentTimeMillis() - f.lastModified() > 6L * 3600 * 1000 &&
-            pid.toLongOption.exists(p =>
+            pid.toLongOption.forall(p =>
               java.lang.ProcessHandle.of(p).map[Boolean](h =>
                 h.info().startInstant().map[Boolean](si =>
                   si.toEpochMilli > f.lastModified()).orElse(false))
@@ -374,9 +376,12 @@ object Graph {
     * edge list is never Exchanged in either regime.
     */
   private[graft] def contribJoin(sym: DataFrame, outMass: DataFrame,
-      nNodes: Long, symDst: Option[DataFrame] = None): DataFrame = {
+      nNodes: Long, symDst: => Option[DataFrame] = None): DataFrame = {
     val inRail = nNodes <= broadcastRankLimit
     val probe = if (inRail) broadcast(outMass) else outMass
+    // `symDst` is BY-NAME: past the rail it is never forced, so a
+    // past-rail run never triggers the twin's one-time build for a
+    // layout no plan will scan (repeat in-rail forcings hit the latch)
     val scan = if (inRail) symDst.getOrElse(sym) else sym
     scan.join(probe, "src")
       .groupBy(col("dst").as("node"))
@@ -436,7 +441,7 @@ object Graph {
     * must contain BOTH directions of every undirected edge.
     */
   def pagerankSym(sym: DataFrame, iters: Int = 3, damping: Double = 0.85,
-      symDst: Option[DataFrame] = None): DataFrame = {
+      symDst: => Option[DataFrame] = None): DataFrame = {
     val dampNum = dampNumOf(damping)
     val teleportNum = PrScale / 100 * (100 - dampNum) // exact: PrScale % 100 == 0
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
@@ -587,7 +592,7 @@ object Graph {
     * inside the loop).
     */
   def trustRankSym(sym: DataFrame, seeds: DataFrame, iters: Int = 3,
-      damping: Double = 0.85, symDst: Option[DataFrame] = None): DataFrame = {
+      damping: Double = 0.85, symDst: => Option[DataFrame] = None): DataFrame = {
     val dampNum = dampNumOf(damping)
     val teleportNum = PrScale / 100 * (100 - dampNum)
     // |seeds| crosses to the driver as one bounded scalar (codebook
@@ -1008,11 +1013,12 @@ object Graph {
     }) { (s, d) =>
       import graft.functions.Md5Hash60.md5hash60
       val sym = symSampled(s, d)
-      val seeds = degreesSym(sym)
+      val deg = degreesSym(sym).localCheckpoint(true)
+      val seeds = deg
         .filter(pmod(md5hash60(col("node").cast("string")), lit(20L)) === 0)
         .select(col("node"))
       bfsDepthSym(sym, seeds, rounds = 3,
-        symDst = Some(symDstSampled(s, d)))
+        symDst = Some(symDstSampled(s, d)), nNodes = deg.count())
     },
 
     // DEGREE ASSORTATIVITY components — "do hubs link to hubs?" (crawl
@@ -1279,14 +1285,17 @@ object Graph {
     * per-dst min aggregates bucket-locally with zero Exchange.
     */
   def minLabelRoundsSym(sym: DataFrame, rounds: Int,
-      symDst: Option[DataFrame] = None): DataFrame = {
+      symDst: => Option[DataFrame] = None): DataFrame = {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
-    val inRail = symDst.isDefined && labels.count() <= broadcastRankLimit
+    // rail check BEFORE forcing the by-name twin: past the rail its
+    // one-time build must never run (no plan would scan it)
+    lazy val dstTwin = symDst
+    val inRail = labels.count() <= broadcastRankLimit && dstTwin.isDefined
     for (_ <- 1 to rounds) {
       val probe = labels.withColumnRenamed("node", "src")
         .withColumnRenamed("label", "plabel")
-      val nmin = (if (inRail) symDst.get.join(broadcast(probe), "src")
+      val nmin = (if (inRail) dstTwin.get.join(broadcast(probe), "src")
                   else sym.join(probe, "src"))
         .groupBy(col("dst").as("node")).agg(min(col("plabel")).as("nl"))
       labels = labels.join(nmin, Seq("node"), "left")
@@ -1317,15 +1326,21 @@ object Graph {
     * right side.
     */
   def bfsDepthSym(sym: DataFrame, seeds: DataFrame, rounds: Int,
-      symDst: Option[DataFrame] = None): DataFrame = {
+      symDst: => Option[DataFrame] = None, nNodes: Long = -1L): DataFrame = {
     var settled = seeds.select(col("node"), lit(0L).as("depth"))
       .localCheckpoint(true)
     // the reachable set is bounded by the node count — the frontier and
     // settled frames can only broadcast if the GRAPH's node count is
-    // rail-bounded, not just the seed set
-    val inRail = symDst.isDefined &&
-      sym.select(col("src")).distinct().count() <= broadcastRankLimit
-    val e = if (inRail) symDst.get else sym
+    // rail-bounded, not just the seed set. Callers that already hold a
+    // node-sized degree frame pass its count as `nNodes` so the rail
+    // check costs nothing extra; otherwise it is one bucket-local
+    // distinct over the src buckets. The by-name twin is forced only
+    // within the rail (see [[contribJoin]]).
+    lazy val dstTwin = symDst
+    val n = if (nNodes >= 0L) nNodes
+            else sym.select(col("src")).distinct().count()
+    val inRail = n <= broadcastRankLimit && dstTwin.isDefined
+    val e = if (inRail) dstTwin.get else sym
     for (r <- 1 to rounds) {
       val frontier = settled.filter(col("depth") === (r - 1).toLong)
         .select(col("node").as("src"))

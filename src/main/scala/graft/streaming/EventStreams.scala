@@ -113,7 +113,8 @@ object EventStreams {
     */
   private def runStreamOnce(s: org.apache.spark.sql.SparkSession, label: String,
       statePartitions: String)(
-      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions)
     try {
@@ -122,6 +123,7 @@ object EventStreams {
       if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
         Option(q.lastProgress).foreach(p => println(
           s"[stream] $label batchId=${p.batchId} durationMs=${p.durationMs}"))
+      q // terminated; callers may still read its progress history
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -256,16 +258,12 @@ object EventStreams {
       .write.mode("overwrite").parquet(stage)
     val schema = s.read.parquet(stage).schema
     def runPhase(sink: String): Long = {
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
-      try {
-        val raw = s.readStream.schema(schema).parquet(stage)
-        val q = hourlyAgg(raw).writeStream.format("memory").queryName(sink)
+      val raw = s.readStream.schema(schema).parquet(stage)
+      val q = runStreamOnce(s, sink, StreamStatePartitions)(
+        hourlyAgg(raw).writeStream.format("memory").queryName(sink)
           .option("checkpointLocation", ckpt)
-          .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        q.recentProgress.map(p => p.numInputRows).sum
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+          .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start())
+      q.recentProgress.map(p => p.numInputRows).sum
     }
     val sinkA = s"restart_a_$sfx"
     val sinkB = s"restart_b_$sfx"

@@ -24,29 +24,33 @@ object DstProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val sym = graft.ops.Graph.symEdgeRelation(s, sfDir).select(col("src"), col("dst"))
-    val t = "graft_probe_dst_symedges"
-    s.sql(s"DROP TABLE IF EXISTS $t")
-    val buckets = 32
-    val t0 = System.nanoTime()
-    sym.repartition(buckets, col("dst"))
-      .write.mode("overwrite").bucketBy(buckets, "dst").sortBy("dst").saveAsTable(t)
-    println(f"[probe] dst table build ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    val symD = s.table(t)
-    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    val mass = deg.select(col("node").as("src"),
-      (lit(1000000000000L) / col("deg")).as("__m")).localCheckpoint(true)
-    def arm(e: org.apache.spark.sql.DataFrame): Long =
-      e.join(broadcast(mass), "src").groupBy(col("dst")).agg(sum(col("__m"))).count()
-    for (i <- 1 to reps; (name, e) <- Seq("src-bucketed" -> sym, "dst-bucketed" -> symD)) {
-      val a0 = System.nanoTime()
-      val n = arm(e)
-      println(f"[probe] rep=$i arm=$name rows=$n sec=${(System.nanoTime() - a0) / 1e9}%.2f")
-    }
-    println("[probe] dst-arm plan:")
-    symD.join(broadcast(mass), "src").groupBy(col("dst")).agg(sum(col("__m")))
-      .explain()
-    s.sql(s"DROP TABLE IF EXISTS $t")
+    // per-process unique name (the R6 rule — a fixed name would let two
+    // concurrent probes, or a probe alongside Verify/Bench, delete each
+    // other's live bucket files), dropped in a finally so a crashed probe
+    // can't leak a GB-scale table the symedges reaper never matches
+    val t = s"graft_probe_dst_symedges_${java.lang.ProcessHandle.current().pid()}"
+    try {
+      val buckets = 32
+      val t0 = System.nanoTime()
+      sym.repartition(buckets, col("dst"))
+        .write.mode("overwrite").bucketBy(buckets, "dst").sortBy("dst").saveAsTable(t)
+      println(f"[probe] dst table build ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val symD = s.table(t)
+      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val mass = deg.select(col("node").as("src"),
+        (lit(1000000000000L) / col("deg")).as("__m")).localCheckpoint(true)
+      def arm(e: org.apache.spark.sql.DataFrame): Long =
+        e.join(broadcast(mass), "src").groupBy(col("dst")).agg(sum(col("__m"))).count()
+      for (i <- 1 to reps; (name, e) <- Seq("src-bucketed" -> sym, "dst-bucketed" -> symD)) {
+        val a0 = System.nanoTime()
+        val n = arm(e)
+        println(f"[probe] rep=$i arm=$name rows=$n sec=${(System.nanoTime() - a0) / 1e9}%.2f")
+      }
+      println("[probe] dst-arm plan:")
+      symD.join(broadcast(mass), "src").groupBy(col("dst")).agg(sum(col("__m")))
+        .explain()
+    } finally graft.ops.ScaleOps.dropTableAndDir(s, t)
     s.stop()
   }
 }

@@ -868,6 +868,26 @@ class OpsSpec extends AnyFunSuite {
     assert(twice.toSeq == whole.toSeq)
   }
 
+  test("past the broadcast rail, the dst twin is never forced (by-name laziness)") {
+    // The twin's one-time build would be pure waste past the rail (no
+    // plan scans it there) — the by-name symDst param must not evaluate.
+    // Force the past-rail regime via the PrAB hook, then hand pagerankSym
+    // a twin expression that throws if forced.
+    System.setProperty("graft.pagerank.broadcastNodes", "-1")
+    try {
+      val schema = StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType)))
+      val edges = spark.createDataFrame(
+        Seq((1L, 2L), (2L, 3L)).map { case (a, b) => Row(a, b) }.asJava, schema)
+      val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val out = Graph.pagerankSym(sym, iters = 1,
+        symDst = fail("dst twin forced past the broadcast rail")).collect()
+      assert(out.length == 3)
+    } finally System.clearProperty("graft.pagerank.broadcastNodes")
+  }
+
   test("commonNeighbors: counts, union sizes, and edge flags on a known graph") {
     // graph: triangle 1-2-3 plus pendant 3-4
     val schema = StructType(Seq(
