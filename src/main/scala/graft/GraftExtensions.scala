@@ -88,6 +88,10 @@ object GraftExtensions {
       require(args.size == 1, "token_freq_stats(arr)")
       TokenFreqStats(args.head)
     },
+    "bpe_token_counts" -> { args =>
+      require(args.size == 1, "bpe_token_counts(text)")
+      graft.functions.BpeTokenCounts(args.head)
+    },
     "cdc_boundaries" -> { args =>
       require(args.size == 3, "cdc_boundaries(expr, window, mask)")
       CdcBoundaries(args.head, intLit(args(1), "window"), intLit(args(2), "mask").toLong)

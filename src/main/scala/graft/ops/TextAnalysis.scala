@@ -538,18 +538,27 @@ object TextAnalysis {
     },
 
     // BPE-ish token counting: letter runs / digit runs / single symbols —
-    // the pre-tokenization regex shape BPE tokenizers apply before merges.
+    // the pre-tokenization regex shape BPE tokenizers apply before
+    // merges. Engine side is the single-pass counting native
+    // ([[graft.functions.BpeTokenCounts]] — the regex form materialized
+    // one UTF8String per token, ~10⁸ allocations at the 100× SF, only to
+    // take the array's length); the ORACLE keeps the regex formulation,
+    // so the native's run/single-code-point partition is hash-verified
+    // against an independent engine at every SF, and PropertySpec pins
+    // equality against Spark's own regexp_extract_all on adversarial
+    // inputs.
     GraftQuery.of("text_token_bpe",
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT)
         |    AS n_bpe_tokens,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      documents(s, d).select(
-        col("doc_id"),
-        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
-          .cast("long").as("n_bpe_tokens"),
-        expr("size(split(text, ' '))").cast("long").as("n_ws_tokens"))
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.BpeTokenCounts.bpeTokenCounts(col("text")).as("tc"))
+        .select(col("doc_id"),
+          col("tc.n_bpe_tokens").as("n_bpe_tokens"),
+          col("tc.n_ws_tokens").as("n_ws_tokens"))
         .orderBy(col("doc_id"))
     },
 

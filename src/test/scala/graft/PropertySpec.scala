@@ -330,6 +330,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_token_counts equals the regex-materializing chain it fused (adversarial strings)") {
+    import org.apache.spark.sql.functions._
+    // the exact expressions text_token_bpe ran before r15 — the semantic
+    // pin the single-pass byte scanner must match forever, on inputs
+    // chosen to stress run boundaries, code-point width, and the empty
+    // cases: multi-byte symbols (each ONE token at code-point
+    // granularity), combining marks, surrogate-pair emoji, controls,
+    // leading/trailing/consecutive spaces, and run alternations
+    val adversarial = Seq(
+      "", " ", "   ", "a", "1", "?", "a1", "1a", "a 1 ?", "abc123def",
+      "a!b@c#d$", "tab\tnl\ncr\r", "é", "éé12éé", "αβγ 42 δ",
+      "naïve café 7", "é combining", "😀 emoji 1",
+      "ends with space ", " starts", "a  b   c", "123 456!789",
+      "x" * 500 + "9" * 9 + "!" * 3, " nbsp7 ")
+    val df = spark.createDataFrame(
+      adversarial.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }.asJava,
+      StructType(Seq(StructField("id", org.apache.spark.sql.types.LongType),
+        StructField("text", StringType))))
+    import graft.functions.BpeTokenCounts.bpeTokenCounts
+    val rows = df.select(col("id"),
+      expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))")
+        .cast("long").as("bpe_re"),
+      expr("size(split(text, ' '))").cast("long").as("ws_re"),
+      bpeTokenCounts(col("text")).as("tc"))
+      .select(col("id"), col("bpe_re"), col("ws_re"),
+        col("tc.n_bpe_tokens").as("bpe_ns"), col("tc.n_ws_tokens").as("ws_ns"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bpe_re") == r.getAs[Long]("bpe_ns"),
+        s"bpe counts diverge on ${adversarial(r.getAs[Long]("id").toInt)}: $r")
+      assert(r.getAs[Long]("ws_re") == r.getAs[Long]("ws_ns"),
+        s"ws counts diverge on ${adversarial(r.getAs[Long]("id").toInt)}: $r")
+    }
+  }
+
   test("token_freq_stats equals the quadratic distinct×filter lambda it replaced") {
     import org.apache.spark.sql.functions._
     import graft.functions.TokenFreqStats.tokenFreqStats

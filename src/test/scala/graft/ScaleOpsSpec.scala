@@ -146,9 +146,9 @@ class ScaleOpsSpec extends AnyFunSuite {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must register without throwing
     assert(GraftExtensions.functions.map(_._1).sorted ==
-      Seq("cdc_boundaries", "cosine_sim", "exact_topk", "kmin_distinct",
-        "md5hash60", "ngrams", "normalize_scrub", "rolling_hash61",
-        "space_saving_topk", "token_freq_stats"))
+      Seq("bpe_token_counts", "cdc_boundaries", "cosine_sim", "exact_topk",
+        "kmin_distinct", "md5hash60", "ngrams", "normalize_scrub",
+        "rolling_hash61", "space_saving_topk", "token_freq_stats"))
   }
 
   test("cdc boundaries match a brute-force BigInt window hash; insertions shift, not rewrite") {
