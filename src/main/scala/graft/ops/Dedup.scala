@@ -760,13 +760,28 @@ object Dedup {
          |        6) AS jaccard
          |FROM ssets a JOIN ssets b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin) { (s, d) =>
+      // The successor self-join is reshaped as a pair-keyed rollup so the
+      // shingle-set aggregate is planned ONCE: doc k's set serves as the
+      // 'a' side of pair k and the 'b' side of pair k−1, so each sset row
+      // explodes into those two (pair, role) rows and one groupBy(pair)
+      // reassembles both sides. The a.join(b) formulation planned the
+      // whole explode+collect subtree twice (once per join input) and
+      // exchanged the same array payloads anyway.
       val ssets = shingles3(documents(s, d))
         .groupBy(col("doc_id"))
         .agg(expr("array_sort(array_distinct(collect_list(shingle)))").as("sset"))
-      val a = ssets.select(col("doc_id").as("doc_a"), col("sset").as("sa"))
-      val b = ssets.select(col("doc_id").as("doc_b"), col("sset").as("sb"))
-      a.join(b, col("doc_b") === col("doc_a") + 1)
-        .select(col("doc_a"), col("doc_b"),
+      val paired = ssets.select(explode(array(
+          struct(col("doc_id").as("pair"), lit(true).as("is_a"), col("sset")),
+          struct((col("doc_id") - 1).as("pair"), lit(false).as("is_a"), col("sset"))))
+          .as("e"))
+        .select(col("e.pair").as("pair"), col("e.is_a").as("is_a"),
+          col("e.sset").as("sset"))
+        .groupBy(col("pair"))
+        .agg(first(when(col("is_a"), col("sset")), ignoreNulls = true).as("sa"),
+          first(when(!col("is_a"), col("sset")), ignoreNulls = true).as("sb"))
+        .filter(col("sa").isNotNull && col("sb").isNotNull)
+      paired
+        .select(col("pair").as("doc_a"), (col("pair") + 1).as("doc_b"),
           round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
             (size(col("sa")) + size(col("sb")) -
               size(array_intersect(col("sa"), col("sb")))).cast("double"), 6)
@@ -1247,11 +1262,16 @@ object Dedup {
     // positions, and every marked position is scrubbed from the text —
     // not flagged (text_boilerplate_flags) or scored (text_ngram_novelty)
     // but REMOVED, the way production pipelines strip licenses/headers.
-    // Shape at 100 TB: the gram stream pre-aggregates map-side, the
-    // common-gram set (grams in >1 doc) is a strictly-narrowing aggregate
-    // joined back gram-keyed (star-shaped, never all-pairs), and the
-    // rewrite is a doc_id-keyed anti join + per-doc bounded reassembly —
-    // four narrowing shuffles, state bounded by O(distinct grams).
+    // Shape at 100 TB: the gram stream crosses the wire EXACTLY ONCE —
+    // a gram-partitioned window marks cross-document grams in the same
+    // exchange that groups them (`occurs in >1 doc` ≡ `min(doc_id) ≠
+    // max(doc_id)` over the gram's occurrence rows, so no countDistinct
+    // aggregate and no join of the gram stream back to its own
+    // aggregate); the rewrite is a doc_id-keyed anti join + per-doc
+    // bounded reassembly, with the removed-position count derived as
+    // n_words − n_kept instead of a separate aggregation of the covered
+    // set. Three narrowing shuffles, state bounded by O(occurrences of
+    // the hottest gram) in the spillable window buffer.
     GraftQuery.of("dedup_span_scrub",
       s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |g AS (SELECT doc_id, i AS start,
@@ -1291,28 +1311,38 @@ object Dedup {
            |  i -> struct(i AS start, array_join(slice(toks, i, $n), ' ') AS gram))"""
           .stripMargin)).as("g"))
       .select(col("doc_id"), col("g.start").as("start"), col("g.gram").as("gram"))
-    val common = grams.groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("dw"))
-      .filter(col("dw") > 1)
-      .select(col("gram"))
-    val covered = grams.join(common, Seq("gram"))
+    // A gram occurs in more than one document ⟺ min(doc_id) ≠
+    // max(doc_id) over its occurrence rows — computable in a
+    // gram-partitioned window, so the (gram, doc_id, start) stream is
+    // exchanged ONCE and the gram-explode subtree is planned ONCE. The
+    // prior formulation (countDistinct ≥ 2 aggregate, then join the
+    // stream back on the gram string) shuffled the full gram strings
+    // twice AND re-ran the explode on both join inputs — measured 4
+    // Generate subtrees in the sf0.001 plan, 40.5 s at the 100× SF.
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val covered = grams
+      .withColumn("__lo", min(col("doc_id")).over(byGram))
+      .withColumn("__hi", max(col("doc_id")).over(byGram))
+      .filter(col("__lo") =!= col("__hi"))
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
       .distinct()
     val words = toks
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "word")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("word"))
+    // Covered positions all lie in [1, n_words], so the removed count is
+    // n_words − kept count — no separate aggregation of the covered set.
     val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(pos, word))), x -> x.word), ' ')")
-        .as("scrub"))
-    val removed = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+        .as("scrub"),
+        count(lit(1)).as("n_kept"))
     toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_words"))
-      .join(removed, Seq("doc_id"), "left")
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (coalesce(col("n_words"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
         length(coalesce(col("scrub"), lit(""))).cast("long").as("scrub_len"),
         graft.functions.Md5Hash60.md5hash60(coalesce(col("scrub"), lit("")))
           .as("scrub_fp64"))

@@ -334,10 +334,11 @@ object TextAnalysis {
     // distinct shingles, boilerplate shingles). The frequency threshold
     // compares as INTEGERS (10·df > ndocs). Shapes: the doc-frequency
     // pass is one shingle-keyed groupBy over the distinct (doc, shingle)
-    // relation ([[graft.ops.Dedup.shingles3]] — one definition), counts
-    // rejoin on the shingle key; at 100 TB the frequent set (tiny by
-    // Zipf) would broadcast back instead, same as the decontamination
-    // semi-join.
+    // relation ([[graft.ops.Dedup.shingles3]] — one definition), the
+    // >10%-of-docs FREQUENT set it yields is tiny by Zipf and
+    // BROADCASTS back as a membership flag — the decontamination
+    // semi-join shape — so the data-sized relation is never
+    // re-exchanged on the shingle key.
     GraftQuery.of("text_boilerplate_flags",
       s"""WITH ${graft.ops.Dedup.shinglesSqlCte},
          |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -351,12 +352,22 @@ object TextAnalysis {
          |GROUP BY ds.doc_id ORDER BY ds.doc_id""".stripMargin) { (s, d) =>
       val docs = documents(s, d)
       val ds = graft.ops.Dedup.shingles3(docs).distinct()
-      val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       val nd = broadcast(docs.agg(count(lit(1)).as("ndocs")))
-      ds.join(df, "shingle").crossJoin(nd)
+      // Only the FREQUENT set (df in >10% of docs — tiny by Zipf, and
+      // SF-invariant under replica scaling) ever needs to meet the
+      // per-doc rollup, so it broadcasts back as a membership flag: the
+      // 10⁸-row (doc, shingle) relation is never re-exchanged or sorted
+      // on the shingle key for the join. (A shingle-partitioned window
+      // variant was measured at the 100× SF and REJECTED: 54.9 s vs the
+      // old data-sized join-back's 24.1 — WindowExec's per-group buffers
+      // lose badly on ~10⁸ mostly-singleton shingle groups.)
+      val freq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .crossJoin(nd).filter(lit(10) * col("df") > col("ndocs"))
+        .select(col("shingle"), lit(1).as("__f"))
+      ds.join(broadcast(freq), Seq("shingle"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
-          count(when(lit(10) * col("df") > col("ndocs"), 1)).as("n_boiler"))
+          count(col("__f")).as("n_boiler"))
         .orderBy(col("doc_id"))
     },
 
@@ -1098,17 +1109,28 @@ object TextAnalysis {
         |FROM docs d LEFT JOIN sc s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       val docs = documents(s, d)
-      val grams = docs
+      // LM train + score share ONE gram-keyed exchange: the stream
+      // pre-aggregates to (gram, doc_id, occ) — map-side combine — and
+      // a gram-partitioned window sums occ into the corpus count c, so
+      // the gram strings cross the wire once and the tokenize+explode
+      // subtree is planned once. The prior groupBy(gram) + join-back
+      // shuffled the gram strings twice and re-ran the explode on both
+      // join inputs (24.6 s at the 100× SF). Each occurrence contributes
+      // floor(log2 c) = len(bin(c)) − 1, so the per-doc rollup weighs
+      // the per-(gram, doc) row by occ.
+      val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+      val scored = docs
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"))
           .as("gram"))
-      val lm = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
-      val scored = grams.join(lm, Seq("gram"))
+        .groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("occ"))
+        .withColumn("c", sum(col("occ")).over(byGram))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(length(bin(col("c"))) - 1).cast("long").as("sum_flog2"))
+        .agg(sum(col("occ")).as("n_bigrams"),
+          sum(col("occ") * (length(bin(col("c"))) - 1)).cast("long").as("sum_flog2"))
       docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

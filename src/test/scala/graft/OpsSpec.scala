@@ -25,6 +25,20 @@ class OpsSpec extends AnyFunSuite {
     spark.createDataFrame(rows.map { case (i, t) => Row(i, t) }.asJava, schema)
   }
 
+  test("span scrub: cross-doc grams only, overlapping spans dedup, removed = words - kept") {
+    // n=2 grams. "a b" spans docs 0/1/4 and "b c" docs 0/4, so docs 0/4
+    // cover overlapping positions {1,2}∪{2,3} (distinct ⇒ 3 removed);
+    // doc 3's "z z" repeats WITHIN one doc only — min(doc_id) == max ⇒
+    // NOT scrubbed (the countDistinct>1 semantics the window min≠max
+    // formulation must preserve); doc 2 shares nothing.
+    val docs = docsDf(0L -> "a b c d", 1L -> "a b x", 2L -> "q r",
+      3L -> "z z z", 4L -> "a b c e")
+    val got = Dedup.spanScrub(docs, n = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 4L, 3L, 1L), (1L, 3L, 2L, 1L), (2L, 2L, 0L, 3L),
+      (3L, 3L, 0L, 5L), (4L, 4L, 3L, 1L)), got.toString)
+  }
+
   test("exact dedup groups byte-identical normalized text") {
     val docs = docsDf(
       0L -> "the quick brown fox",
@@ -1326,16 +1340,19 @@ class OpsSpec extends AnyFunSuite {
     val out = TextAnalysis.queries.find(_.name == "text_lm_bigram_score").get
     // rebuild over the crafted frame via the public pieces: replicate the
     // registered derivation inline (the registered query reads testdata)
-    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val scored = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))"))
         .as("gram"))
-    val lm = grams.groupBy(col("gram")).agg(count(lit(1)).as("c"))
-    val scored = grams.join(lm, Seq("gram")).groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(length(bin(col("c"))) - 1).cast("long").as("sum_flog2"),
-        expr("(sum(length(bin(c)) - 1) * 1000) div count(1)").as("score_milli"))
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("c", sum(col("occ")).over(byGram))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * (length(bin(col("c"))) - 1)).cast("long").as("sum_flog2"),
+        expr("(sum(occ * (length(bin(c)) - 1)) * 1000) div sum(occ)").as("score_milli"))
       .orderBy(col("doc_id")).collect()
     // doc0 bigrams: "a b"(c=3,fl2=1), "b a"(c=1,fl2=0), "a b"(1) → sum 2, n 3 → 666
     assert(scored(0).getLong(1) == 3L && scored(0).getLong(2) == 2L &&
