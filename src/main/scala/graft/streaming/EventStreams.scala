@@ -101,6 +101,38 @@ object EventStreams {
     }
   }
 
+  /** [[runToResult]] for APPEND-mode queries whose emission is
+    * DATA-PROPORTIONAL (matched join pairs, first-seen rows, closed
+    * sessions): the memory sink materializes every emitted row into the
+    * DRIVER each micro-batch — the "task of very large size" class that
+    * cost stream_dedup_watermarked 32.6 s at the 100× SF in r14 — so
+    * these run through a DISTRIBUTED parquet sink (exactly-once file
+    * commit) and the batch finisher reads the files back. The read-back
+    * pins the plan's schema, so a legitimately empty emission set still
+    * yields a typed empty frame instead of an infer failure. The
+    * finisher's result is eagerly materialized (localCheckpoint) BEFORE
+    * the finally deletes the sink directory.
+    */
+  private def runToParquetResult(s: org.apache.spark.sql.SparkSession,
+      plan: DataFrame, label: String,
+      statePartitions: String = StreamStatePartitions)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft_stream_$label").toFile
+    try {
+      runStreamOnce(s, label, statePartitions)(
+        plan.writeStream.format("parquet")
+          .option("path", s"$base/data")
+          .option("checkpointLocation", s"$base/checkpoint")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start())
+      finish(s.read.schema(plan.schema).parquet(s"$base/data"))
+        .localCheckpoint(true)
+    } finally {
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
+    }
+  }
+
   /** THE one copy of the run-a-stream-to-completion discipline every
     * sink flavor shares (memory, parquet, foreachBatch): cap the state
     * partitioning for the query's lifetime and RESTORE it in a finally
@@ -561,29 +593,16 @@ object EventStreams {
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("event_type"))
       // Append mode emits every first-seen row — ~10M rows at sf10 —
-      // so the sink must be DISTRIBUTED: a parquet sink writes them in
-      // parallel and the per-type count aggregates the files, where the
-      // r14 memory sink collected all of them into the driver each batch
-      // (the profile's actual cost; state shards alone couldn't move
-      // it). Within-watermark fingerprint state ∝ input (2× events
-      // here) → input-scaled shards; same conf-cap / StateStore.stop /
-      // eager-materialize-then-delete discipline as hourlyToParquetSink.
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_ddwm").toFile
-      try {
-        runStreamOnce(s, "ddwm", sessionStateShards(d))(
-          deduped.writeStream.format("parquet")
-            .option("path", s"$base/data")
-            .option("checkpointLocation", s"$base/checkpoint")
-            .outputMode(OutputMode.Append())
-            .trigger(Trigger.AvailableNow()).start())
-        s.read.parquet(s"$base/data")
-          .groupBy(col("event_type"))
+      // so the sink must be DISTRIBUTED: the parquet-sink helper writes
+      // them in parallel and the per-type count aggregates the files,
+      // where the r14 memory sink collected all of them into the driver
+      // each batch (the profile's actual cost; state shards alone
+      // couldn't move it). Within-watermark fingerprint state ∝ input
+      // (2× events here) → input-scaled shards.
+      runToParquetResult(s, deduped, "ddwm", sessionStateShards(d)) { t =>
+        t.groupBy(col("event_type"))
           .agg(count(lit(1)).cast("long").as("n"))
           .orderBy(col("event_type"))
-          .localCheckpoint(true)
-      } finally {
-        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(base)
       }
     },
 
@@ -640,6 +659,11 @@ object EventStreams {
       val joined = viewPurchaseJoin(
         src().filter(col("event_type") === "view"),
         src().filter(col("event_type") === "purchase"))
+      // Sink choice MEASURED at the 100× SF (r15 addendum): the join's
+      // cost is the two-sided state machinery, not the sink — total
+      // matched-pair emission is only ~34k rows there, so the
+      // runToParquetResult switch bought nothing (11.3 s memory vs
+      // 21.7 s parquet, same window) and the memory sink stays.
       val sink = s"stream_ssj_${graft.ops.Tables.viewSuffix(d)}"
       runToResult(s, joined, sink, OutputMode.Append()) { t =>
         t.groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
@@ -854,6 +878,11 @@ object EventStreams {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
           unix_micros(col("w.end")).as("end_us"), col("n_events"))
+      // Sink choice MEASURED at the 100× SF (r15 addendum): despite the
+      // ~9.5M-session append emission, the runToParquetResult switch
+      // showed no same-window improvement (70.8 s memory vs 101.5
+      // parquet — the session-window state store dominates), so the
+      // memory sink stays; the state shards remain input-scaled.
       val sink = s"stream_sessnat_${graft.ops.Tables.viewSuffix(d)}"
       runToResult(s, sessioned, sink, OutputMode.Append(),
         sessionStateShards(d)) { t =>
